@@ -1,0 +1,183 @@
+"""MASD-core queries: the reference pipeline's exact semantics, expressed in
+batch over the ``events`` fixture so a DuckDB oracle can check them.
+
+Fixture mapping (FIXTURES.md): ``event_type`` plays station, ``user_id``
+plays sensor, ``ts`` plays event_time, ``value`` plays the sensor reading.
+Malformation is injected deterministically (event_id % 20 == 0 ->
+"<<bad_data>>"), mirroring the producer's 5% Bernoulli malformation
+(reference: simulator/producer.py:75-77) without randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.validate import classify_validity
+from masd_spark.operators.window_agg import windowed_metrics
+from masd_spark.operators.nest import nest_sensor_document
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table, with_event_time
+
+# Shared SQL fragment: the deterministic "sensor reading" derivation.
+_ENRICH_SQL = """
+    SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN event_id % 20 = 0 THEN '<<bad_data>>'
+                ELSE CAST(value AS VARCHAR) END AS value_str
+    FROM events
+"""
+
+
+def _sensor_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> stringly-typed sensor readings with injected bad data."""
+    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    return ev.withColumn(
+        "value_str",
+        F.when(F.col("event_id") % 20 == 0, F.lit("<<bad_data>>")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+
+
+@register(
+    "masd_sensor_rollup",
+    headline=True,
+    oracle=f"""
+    WITH readings AS ({_ENRICH_SQL}),
+    v AS (
+        SELECT *,
+               TRY_CAST(value_str AS DOUBLE) AS value_numeric,
+               TRY_CAST(value_str AS DOUBLE) IS NOT NULL AS is_valid,
+               (ts_ms // 60000) * 60000 AS win_ms
+        FROM readings
+    )
+    SELECT win_ms AS window_start,
+           win_ms + 60000 AS window_end,
+           event_type,
+           count(*) AS total_count,
+           CAST(count(*) FILTER (WHERE is_valid) AS BIGINT) AS valid_count,
+           CAST(count(*) FILTER (WHERE NOT is_valid) AS BIGINT) AS malformed_count,
+           ROUND(avg(CASE WHEN is_valid THEN value_numeric END), 6) AS avg_val,
+           min(CASE WHEN is_valid THEN value_numeric END) AS min_val,
+           max(CASE WHEN is_valid THEN value_numeric END) AS max_val
+    FROM v
+    GROUP BY win_ms, event_type
+    """,
+)
+def masd_sensor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's windowed validity rollup
+    (reference: spark-app/consumer.py:93-139) in batch — try-cast
+    validation, 1-minute tumbling event-time window x event_type,
+    A1-A6 metrics with null-skipping semantics.
+    """
+    v = classify_validity(_sensor_readings(spark, sf_dir), value_col="value_str")
+    m = windowed_metrics(v, time_col="event_time", keys=["event_type"])
+    return m.select(
+        F.unix_millis("window.start").alias("window_start"),
+        F.unix_millis("window.end").alias("window_end"),
+        "event_type",
+        "total_count",
+        "valid_count",
+        "malformed_count",
+        F.round("avg_val", 6).alias("avg_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+@register(
+    "masd_all_malformed_groups",
+    oracle=f"""
+    WITH readings AS ({_ENRICH_SQL}),
+    v AS (
+        SELECT *,
+               TRY_CAST(value_str AS DOUBLE) IS NOT NULL AS is_valid,
+               (ts_ms // 60000) * 60000 AS win_ms
+        FROM readings
+    ),
+    g AS (
+        SELECT win_ms AS window_start, event_type, user_id,
+               count(*) AS total_count,
+               CAST(count(*) FILTER (WHERE is_valid) AS BIGINT) AS valid_count,
+               avg(CASE WHEN is_valid THEN TRY_CAST(value_str AS DOUBLE) END) AS avg_val,
+               min(CASE WHEN is_valid THEN TRY_CAST(value_str AS DOUBLE) END) AS min_val
+        FROM v GROUP BY win_ms, event_type, user_id
+    )
+    SELECT window_start, event_type, user_id, total_count,
+           avg_val IS NULL AS avg_is_null, min_val IS NULL AS min_is_null
+    FROM g WHERE valid_count = 0
+    """,
+)
+def masd_all_malformed_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-case semantics the reference's design implies (SURVEY.md §2.4):
+    a group whose rows are ALL malformed still emits a row, with
+    total_count > 0 and null avg/min/max (``when`` without ``otherwise``
+    -> null; null-skipping aggregates).
+    """
+    v = classify_validity(_sensor_readings(spark, sf_dir), value_col="value_str")
+    m = windowed_metrics(v, time_col="event_time", keys=["event_type", "user_id"])
+    return m.filter(F.col("valid_count") == 0).select(
+        F.unix_millis("window.start").alias("window_start"),
+        "event_type",
+        "user_id",
+        "total_count",
+        F.col("avg_val").isNull().alias("avg_is_null"),
+        F.col("min_val").isNull().alias("min_is_null"),
+    )
+
+
+@register(
+    "masd_try_cast_boundary",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               CASE event_id % 5
+                    WHEN 0 THEN CAST(value AS VARCHAR)
+                    WHEN 1 THEN '  ' || CAST(value AS VARCHAR) || ' '
+                    WHEN 2 THEN '<<bad_data>>'
+                    WHEN 3 THEN ''
+                    ELSE CAST(event_id AS VARCHAR)
+               END AS value_str
+        FROM events
+    )
+    SELECT event_id,
+           TRY_CAST(value_str AS DOUBLE) AS value_numeric,
+           TRY_CAST(value_str AS DOUBLE) IS NOT NULL AS is_valid
+    FROM s
+    """,
+)
+def masd_try_cast_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Try-cast boundary semantics (SURVEY.md §7.4 hard part 1): numeric,
+    numeric-with-whitespace (both engines trim), the bad-data literal, the
+    empty string, and integer strings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.col("value").cast("string"))
+        .when(F.col("event_id") % 5 == 1, F.concat(F.lit("  "), F.col("value").cast("string"), F.lit(" ")))
+        .when(F.col("event_id") % 5 == 2, F.lit("<<bad_data>>"))
+        .when(F.col("event_id") % 5 == 3, F.lit(""))
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("value_str"),
+    )
+    v = classify_validity(s, value_col="value_str")
+    return v.select("event_id", "value_numeric", "is_valid")
+
+
+@register("masd_nested_document")
+def masd_nested_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full output-document shape
+    (reference: spark-app/consumer.py:142-165): nested structs
+    window/station/sensor/metrics. No oracle — nested struct values are not
+    portably hashable across engines; rows-only check, with struct-field
+    semantics covered by masd_sensor_rollup's flat twin and unit tests.
+    """
+    v = classify_validity(_sensor_readings(spark, sf_dir), value_col="value_str")
+    v = v.withColumn("station_name", F.initcap("event_type")).withColumn(
+        "sensor_id", F.col("user_id").cast("string")
+    )
+    m = windowed_metrics(
+        v, time_col="event_time", keys=["event_type", "station_name", "sensor_id"]
+    )
+    return nest_sensor_document(m, station_id="event_type")

@@ -1,0 +1,76 @@
+"""SparkSession construction and session-level configs.
+
+The reference builds a bare session with only Mongo connector configs
+(reference: spark-app/consumer.py:55-64). Our engine pins the configs that
+matter for correctness parity (UTC timezone, ns-timestamp handling) and for
+scale (AQE, skew-join handling, shuffle partitioning).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must hold on ANY session running our queries, including a
+# driver-provided session we did not build. All of these are runtime-settable.
+RUNTIME_CONFS: dict[str, str] = {
+    # fixture `events.ts` is ns-precision parquet; Spark 4 refuses
+    # TIMESTAMP(NANOS) columns unless read as raw long (we convert ourselves,
+    # see sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB oracle timestamps are UTC-naive; pin the session to UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_io_confs(spark: SparkSession) -> SparkSession:
+    """Apply RUNTIME_CONFS to an existing session (e.g. the driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build; builder path sets it instead
+    return spark
+
+
+def get_spark(
+    app_name: str = "masd-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a session tuned for local[N] testing.
+
+    On a real cluster the same code runs unchanged; only master/memory/
+    shuffle-partition sizing comes from the environment
+    (``SPARK_GRAFT_CPUS`` mirrors the driver's bench environment).
+    """
+    cpus = int(os.getenv("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.getenv("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    driver_memory = driver_memory or os.getenv("MASD_DRIVER_MEMORY", "16g")
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    # getOrCreate() may have returned a pre-existing session -> re-assert.
+    return ensure_io_confs(spark)
