@@ -1,0 +1,107 @@
+"""Multimodal-column plumbing: opaque binary payloads with typed metadata,
+decoded/feature-extracted via Arrow-batched Pandas functions.
+
+The container has no image/audio libraries, so the *decode* step is
+stubbed two ways (per the build contract):
+
+- ``decode_image``/``decode_audio`` raise ``NotImplementedError`` with a
+  clear message unless the optional library (Pillow/soundfile) is
+  importable — the real integration point, import-gated.
+- ``byte_stats_features`` is a deterministic fake decoder (byte-level
+  statistics of the payload) that exercises the REAL Spark plumbing:
+  binary column -> mapInPandas with Arrow batches -> typed feature
+  columns. Swapping the fake for a real decoder changes one pandas
+  function body, not the plan.
+
+Scale notes: payload bytes ride the shuffle only if you shuffle them —
+feature extraction runs map-side (mapInPandas, no shuffle); keep payloads
+out of groupBy keys and join the (id -> features) result back instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, byte_mean double, byte_min long, byte_max long"
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic 32-byte binary payload + typed metadata from
+    each document (fixture stand-in for a real image/audio/video blob
+    column; in production this column comes from the lakehouse as-is).
+    """
+    payload = F.unhex(F.concat(F.md5(F.col(text_col)), F.md5(F.reverse(F.col(text_col)))))
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return (
+        df.withColumn("payload", payload)
+        .withColumn("media_kind", kind)
+        .withColumn("media_width", ((F.col(id_col) % 16) * 64 + 64).cast("bigint"))
+        .withColumn("media_height", ((F.col(id_col) % 9) * 64 + 64).cast("bigint"))
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode integration point — import-gated, stubbed here."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not available in this "
+            "environment; the Spark-side plumbing is exercised with the "
+            "deterministic fake decoder byte_stats_features()"
+        ) from exc
+
+
+def decode_audio(payload: bytes):
+    """Real decode integration point — import-gated, stubbed here."""
+    try:
+        import soundfile  # noqa: F401
+        import io
+
+        return soundfile.read(__import__("io").BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding requires soundfile, which is not available in "
+            "this environment; use byte_stats_features() for the plumbing"
+        ) from exc
+
+
+def byte_stats_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Deterministic fake 'decoder': per-payload byte statistics via
+    mapInPandas (Arrow batches of binary values -> pandas -> typed rows).
+
+    This is the exact batch shape a real decode/resize/frame-sample UDF
+    uses — an iterator of pandas DataFrames, one output row per input row,
+    no shuffle, vectorized Arrow transfer.
+    """
+    narrow = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len),
+                "byte_mean": payloads.map(
+                    lambda b: round(sum(b) / len(b), 6) if len(b) else None
+                ),
+                "byte_min": payloads.map(lambda b: min(b) if len(b) else None),
+                "byte_max": payloads.map(lambda b: max(b) if len(b) else None),
+            }
+            yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(extract, FEATURE_SCHEMA)

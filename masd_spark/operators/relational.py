@@ -1,0 +1,128 @@
+"""Relational operators beyond the reference's surface.
+
+The reference contains no joins, analytic windows, sorts, or set ops
+(SURVEY.md §2.3/2.5/2.6/2.7 — verified ABSENT); its design avoids them by
+denormalizing station metadata into every message. A general engine needs
+them, and they're all built-in Spark — these helpers only add the
+composition patterns Spark lacks as single calls.
+
+Scale notes are per function; none of them uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number.
+
+    Scale: one shuffle on the partition keys; Spark's WindowExec sorts
+    within partitions only. For heavily skewed groups with tiny k, a
+    pre-aggregation (AQE skew split) keeps partitions bounded. Always pass
+    a unique tiebreaker in ``order_cols`` — top-k without total order is
+    nondeterministic.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event for the same key exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum-of-boundaries pattern — one shuffle on the
+    key, no state, no UDF. The streaming twin is ``F.session_window``
+    (see masd_spark/streaming/pipeline.py).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    prev_ts = F.lag(F.col(time_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col(time_col).cast("double") - prev_ts.cast("double") > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new_session", is_new).withColumn(
+        session_col,
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("_new_session")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right_time <= left_time`` within the same key (null if none).
+
+    Spark has no native as-of join; the scalable composition is the
+    union-and-carry-forward pattern: tag both sides, union, sort by
+    (key, time, side) and carry the right side's values forward with
+    ``last(..., ignorenulls=True)``. ONE shuffle on the key and no
+    pairwise explosion — unlike the naive range-join (left x right filter
+    + max), which is quadratic per key. This is the 100 TB path; an
+    ``applyInPandas``+``merge_asof`` variant would move every row through
+    Python for no semantic gain.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            tagged_left.schema["_left"].dataType
+        ).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # right rows (_side=0) sort before left rows at equal time -> a right row
+    # AT the left row's timestamp is visible to it ("<=" semantics).
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_left",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in lcols],
+        *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out

@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute_force_topk: exact top-k cosine for a (small) query set against the
+  full corpus. Queries are broadcast; the corpus is scanned once; the
+  top-k per query is a TakeOrdered-style window, so no all-pairs shuffle
+  materializes. Exact baseline and the oracle-checkable ground truth.
+- lsh_topk: random-hyperplane LSH — sign-bit bucket per vector, candidates
+  share a bucket (optionally within Hamming-adjacent buckets), exact
+  cosine re-rank of candidates. The 100 TB path: bucket cardinality
+  bounds the join, never corpus x queries. Recall is approximate;
+  measured against brute force in tests.
+- embedding near-dup pairs: all pairs with cosine >= threshold via
+  bucketed self-join (brute force at fixture scale, LSH-bucketed at real
+  scale).
+
+All vector math uses built-in higher-order functions (functions/vectors.py)
+in double precision — no UDFs, no Python row path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from masd_spark.functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` must be small enough to broadcast (it is hinted); ranking
+    uses (rounded cosine desc, id asc) — a total order, so results are
+    deterministic and engine-portable.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+
+    Fixture-scale implementation is the exact self-join; at corpus scale
+    wrap it with LSH buckets (``lsh_bucket``) so the self-join happens
+    per-bucket. Normalizing first (norm precomputed once per row) halves
+    the math vs naive cosine per pair.
+    """
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na")
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure-python LCG; no
+    numpy dependency in the plan, values baked into the expression as
+    literals and broadcast with the closure)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            # Numerical Recipes LCG; deterministic across runs/platforms.
+            state = (1664525 * state + 1013904223) % (2**32)
+            v.append(state / 2**32 * 2.0 - 1.0)
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) per vector.
+
+    Bit i = sign of dot(vec, plane_i). Plane literals are constant-folded
+    into the plan (no side table, no shuffle). P[same bit] =
+    1 - angle/pi, so near-identical vectors land in the same bucket with
+    probability (1-angle/pi)^n_planes.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket + bit
+    return df.withColumn(out_col, bucket.cast("bigint"))
+
+
+def _bucket_array(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int):
+    """array of (table, bucket) structs — one sign-bit bucket per table."""
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0).cast("bigint")
+        for i, p in enumerate(planes):
+            plane_col = F.array(*[F.lit(x) for x in p])
+            bucket = bucket + F.when(
+                dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("bigint").alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with OR-amplified random-hyperplane LSH:
+    ``n_tables`` independent tables of ``n_planes`` sign bits; a corpus
+    vector is a candidate if it shares a bucket with the query in ANY
+    table (P = 1-(1-p^b)^L with p = 1-angle/pi — e.g. ~0.8 for 60-degree
+    neighbors at b=4, L=8). Candidates get an exact cosine re-rank.
+
+    Scale: bucketing is a map-side expression (plane literals constant-
+    folded); the join is bucket-equi, bounded by bucket occupancy — never
+    corpus x queries. Tune (b, L) for the corpus's similarity regime.
+    """
+    bc = corpus.select(
+        F.col(id_col),
+        F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    bq = q.select(
+        query_id_col,
+        F.explode(_bucket_array("_qvec", dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select(query_id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    # distinct on narrow id pairs (arrays never ride the dedup shuffle),
+    # then join vectors back: corpus side by id, query side broadcast.
+    cand_ids = (
+        bc.join(F.broadcast(bq), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    candidates = cand_ids.join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    ).join(F.broadcast(q), query_id_col)
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

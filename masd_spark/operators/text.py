@@ -1,0 +1,166 @@
+"""Text-analysis operators for a training-data pipeline over a
+``documents(doc_id, text, ...)`` table: tokenization, shingling, token
+counting, quality scoring, language ID, fingerprinting.
+
+All expressions are built-in (split/transform/aggregate/md5 higher-order
+functions) — JVM-side, codegen'd, no Python in the row path. Hash-based
+ops use md5 hex strings as the portable hash (identical in any engine);
+at production scale swap ``hash_fn='xxhash64'`` for the cheaper 64-bit
+JVM hash — same pipeline shape, one expression changed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic — the operator's value is
+# the scalable shape (explode + broadcast join + argmax), not the lexicon.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+    "fr": ["le", "les", "et", "est", "une", "du"],
+    "zh": ["de", "shi", "le", "zai", "he", "you"],
+}
+
+
+def tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return F.split(c, r"\s+")
+
+
+def word_shingles(toks_col: str, k: int = 3) -> Column:
+    """Distinct k-word shingles (each a space-joined string) from an
+    array<string> column named ``toks_col``.
+
+    Docs shorter than k words produce an empty set. Built via
+    transform(sequence(...)) — no explode needed until the caller wants
+    one row per shingle.
+    """
+    parts = ", ".join(f"{toks_col}[i + {j}]" for j in range(k))
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks_col}) >= {k} THEN "
+            f"transform(sequence(0, size({toks_col}) - {k}), i -> concat_ws(' ', {parts})) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out_col: str = "shingles") -> DataFrame:
+    """Attach a distinct k-word shingle array column."""
+    return (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn(out_col, word_shingles("_toks", k))
+        .drop("_toks")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (empty text -> 0)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    ).cast("bigint")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features: char/token counts, mean token
+    length, alpha ratio, stopword ratio — the standard cheap pre-filters of
+    an LLM data pipeline. Pure column math; scales linearly, no shuffle.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = token_count(text_col)
+    alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stop)).cast("bigint")
+    return (
+        df.withColumn("n_chars_obs", F.length(t).cast("bigint"))
+        .withColumn("n_tokens", n_tok)
+        .withColumn(
+            "mean_token_len",
+            F.round((F.length(F.regexp_replace(F.trim(t), r"\s+", ""))) / n_tok, 6),
+        )
+        .withColumn("alpha_ratio", F.round(alpha_chars / F.length(t), 6))
+        .withColumn("distinct_stopwords", n_stop)
+    )
+
+
+def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Portable construction: bit j of a token's hash is the top bit of hex
+    digit j of md5(token) (32 hex digits -> 32 bits). The document
+    fingerprint sets bit j when the sum over tokens of (+1/-1) is positive.
+
+    Plan shape: explode tokens -> one md5 per token -> 32 narrow sums in a
+    single partial+final aggregation (one shuffle keyed by doc, map-side
+    combine). At 100 TB this is the cheapest near-dup fingerprint: no
+    pairwise work, fingerprints join/bucket afterwards.
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toked.withColumn("h", F.md5(F.col("tok")))
+    # hex digit j -> numeric value 0..15 (conv base16 -> base10)
+    digit = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")  # noqa: E731
+    bit_sums = [
+        F.sum(
+            F.when(digit(j) >= 8, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(32)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(32):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Exact content fingerprint: md5 of whitespace-normalized lowercase
+    text. The join key for exact dedup at any scale.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, join the (broadcast)
+    stopword lexicon, argmax matches per doc with deterministic tiebreak
+    (count desc, lang asc); docs with zero hits -> 'und'.
+    """
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_STOPWORDS.items() for w in ws],
+        ["lang_cand", "tok"],
+    )
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    votes = (
+        toked.join(F.broadcast(lex), "tok")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("votes").desc(), F.col("lang_cand"))
+    best = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        df.select(id_col)
+        .join(best.select(id_col, "lang_cand", "votes"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("lang_cand"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("votes"), F.lit(0)).cast("bigint").alias("lang_votes"),
+        )
+    )

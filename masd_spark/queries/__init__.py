@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         dedup,
         similarity,
+        multimodal,
     )
 
     return REGISTRY

@@ -1,1 +1,157 @@
-"""Deduplication queries over the documents table. Filled in incrementally."""
+"""Deduplication queries over the documents/embeddings tables (north-star
+extension operators). Ground truth for the approximate variants is the
+exact n-gram Jaccard; the DuckDB oracles recompute the full pipelines
+(shingles -> minhash -> bands -> verified pairs) in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+)
+from masd_spark.operators.similarity import cosine_pairs
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+# Shared SQL fragments -----------------------------------------------------
+
+_SHINGLES_SQL = """
+    toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                     for i in range(1, len(ts) - 1)])) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents
+    ),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM fp d JOIN keep k ON d.doc_id = k.doc_id AND d.f = k.f
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per normalized-text
+    fingerprint (hash groupBy — one shuffle at any scale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — ground truth
+    for MinHash-LSH. Candidate pairs are bounded by shared shingles, never
+    all-pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = n_hashes // n_bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM candidates c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_inter), 6) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", headline=True, oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)-LSH(4 bands) near-dup pairs, exact-Jaccard-verified at
+    threshold 0.5. The scale path: signatures + banding are linear in the
+    corpus; only band-colliding candidates are verified.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, n_hashes=16, n_bands=4, threshold=0.5)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: embedding pairs with cosine >= 0.35. Exact
+    self-join at fixture scale; LSH-bucketed variant for corpus scale
+    (operators/similarity.py:lsh_bucket).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.35)

@@ -1,0 +1,54 @@
+"""Multimodal-plumbing queries: binary payload + metadata (oracle-checked)
+and Arrow-batched fake-decode feature extraction (rows-only; values
+pinned by tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from masd_spark.operators.multimodal import attach_binary_payload, byte_stats_features
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_kind,
+           CAST(octet_length(unhex(md5(text) || md5(reverse(text)))) AS BIGINT)
+               AS n_bytes,
+           CAST((doc_id % 16) * 64 + 64 AS BIGINT) AS media_width,
+           CAST((doc_id % 9) * 64 + 64 AS BIGINT) AS media_height
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload attachment + typed metadata over documents. The
+    payload column itself is exercised via its length (portable across
+    engines); payload bytes are identical md5 material on both sides.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    return mm.select(
+        "doc_id",
+        "media_kind",
+        F.length(F.col("payload")).cast("bigint").alias("n_bytes"),
+        "media_width",
+        "media_height",
+    )
+
+
+@register("multimodal_byte_features")
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction through the real mapInPandas Arrow
+    path. Deterministic (md5-derived payloads) but not SQL-expressible ->
+    rows-only check; tests pin exact values against hashlib.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_stats_features(attach_binary_payload(docs))

@@ -1,4 +1,624 @@
-"""Relational query coverage over the star schema (joins, sorts, set ops,
-grouping sets, window functions) — absent from the reference (SURVEY.md
-§2.3/2.5/2.6/2.7) but required by the harness. Filled in incrementally.
+"""Relational query coverage over the star schema.
+
+The reference has NO joins, analytic windows, sorts/limits, or set ops
+(SURVEY.md §2.3/2.5/2.6/2.7) — station metadata is denormalized into each
+message. The harness's star schema exercises the full relational family;
+everything here is built-in DataFrame/SQL, planned by Catalyst.
+
+Cross-engine parity conventions (see masd_spark/queries/__init__.py):
+- double SUMs go through DECIMAL(18,6) per-row casts -> exact, associative,
+  order-independent -> cast back to double (identical bits in both engines);
+- AVGs of doubles are rounded to 6 decimals (mean error is ~1e-10, so the
+  rounding grid is 4+ orders of magnitude coarser than engine disagreement);
+- computed integers are BIGINT on both sides (DuckDB's length/year/
+  row_number return BIGINT where Spark returns INT);
+- dates/timestamps surface as epoch-ms BIGINT;
+- every LIMIT/top-k carries a unique tiebreaker.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from masd_spark.operators.relational import asof_join, sessionize, topk_per_group
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table, with_event_time
+
+
+def _dec_sum(expr: Column) -> Column:
+    """Order-independent double sum via DECIMAL(18,6); see module doc."""
+    return F.sum(expr.cast("decimal(18,6)")).cast("double")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a big fact table (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): scan-heavy groupBy with 8
+    aggregates. Catalyst pushes the shipdate filter and 6-column projection
+    into the parquet scan; the aggregation is partial+final hash agg, so the
+    shuffle carries ~6 groups per task regardless of fact size.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-table joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           epoch_ms(o_orderdate) AS o_orderdate_ms
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3 shape): filtered 3-way join + top-10.
+
+    Scale plan: customer (the selective dimension) is explicitly broadcast
+    — no shuffle of the fact tables for that join; orders|x|lineitem is the
+    one genuine shuffle (both sides partitioned on the order key). The
+    top-10 is a TakeOrderedAndProject: per-partition heaps, no global sort.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue (TPC-H Q5 shape): 6-way join through the full
+    snowflake. All dimensions (customer/supplier/nation/region) are
+    broadcast — the only shuffle is lineitem|x|orders on the order key;
+    Catalyst folds the region/nation lookups into the broadcast stage.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having a >100k order."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count 0, spend 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k / distinct
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orderby_limit_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def orderby_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 (SURVEY.md §2.6 — the reference delegates this to its
+    serving DB). Spark plans order-by+limit as TakeOrderedAndProject:
+    per-partition heaps of size 10, no global sort at any scale.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "topk_orders_per_segment",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rank <= 3
+    """,
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment — the engine's topk_per_group
+    operator (row_number window, one shuffle on the group key).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    top = topk_per_group(
+        joined,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return top.select(
+        "c_mktsegment", "o_orderkey", "o_totalprice", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
+    "distinct_segment_nation",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-dedup distinct (reference's only dedup is the per-batch station
+    list — consumer.py:185); partial+final aggregate, shuffle carries
+    distinct pairs only.
+    """
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_ops_nation_overlap",
+    oracle="""
+    SELECT 'both' AS tag, n FROM (
+        SELECT c_nationkey AS n FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, n FROM (
+        SELECT c_nationkey AS n FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result, tagged. The reference's
+    only set-op analogue is the implicit union of N Kafka topics
+    (SURVEY.md §2.7).
+    """
+    cust_n = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    supp_n = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = cust_n.intersect(supp_n).select(F.lit("both").alias("tag"), "n")
+    # subtract == SQL EXCEPT (distinct); exceptAll would keep left surplus
+    only = cust_n.subtract(supp_n).select(F.lit("customer_only").alias("tag"), "n")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_lineitem_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id — subtotal + grand-total rows."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_rows"),
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+@register(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping id."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_customer_order_stats",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag + running sum per customer (SURVEY.md §2.5 — ABSENT in
+    the reference). Decimal running sum -> order-independent exactness.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(run)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function coverage
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           substring(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '|', p_type) AS brand_type,
+           round(p_retailprice * 1.1, 2) AS price_up,
+           CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+           CAST(p_size % 7 AS BIGINT) AS size_mod,
+           CAST(greatest(p_size, 10) AS BIGINT) AS size_floor10
+    FROM part
+    """,
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar-function sweep (SURVEY.md §2.8 — the reference
+    uses only cast/from_json/to_timestamp/when/struct; a general engine
+    needs the standard library).
+    """
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        (F.col("p_size") % 7).cast("bigint").alias("size_mod"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("bigint").alias("size_floor10"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(day(o_orderdate) AS BIGINT) AS o_day,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS o_dow,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date_str
+    FROM orders
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function sweep. Note DuckDB dayofweek is 0=Sunday,
+    Spark dayofweek is 1=Sunday -> aligned via (dayofweek-1).
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("o_dow"),
+        F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "month_start_ms"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (fixture analogue of the
+    reference's from_json parse, consumer.py:100-102, for ad-hoc paths).
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select(
+        "event_id", k.alias("k_str"), k.cast("bigint").alias("k_num")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization + as-of join over the event stream table
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6-hour gap) via the engine's sessionize
+    operator, then per-session stats. Batch twin of streaming
+    session_window (SURVEY.md §2.9 extension). Gaps are compared in
+    epoch-ms space on both sides so µs-level ties can't diverge.
+    """
+    ev = with_event_time(_t(spark, sf_dir, "events")).withColumn(
+        "ts_ms", F.unix_millis("event_time")
+    )
+    s = sessionize(ev, "user_id", "ts_ms", gap_seconds=21600000)
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_ms").alias("session_start_ms"),
+            F.max("ts_ms").alias("session_end_ms"),
+        )
+    )
+
+
+@register(
+    "asof_join_purchases",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ts_ms,
+           p.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click is annotated with the user's latest
+    purchase value at-or-before the click. Engine operator asof_join —
+    union + carry-forward, one shuffle, no pairwise explosion (the custom
+    operator Spark lacks; DuckDB checks it with its native ASOF JOIN).
+    """
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "event_time", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_time", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        left_time="event_time",
+        right_time="event_time",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("event_time").alias("click_ts_ms"),
+        F.col("asof_value"),
+    )

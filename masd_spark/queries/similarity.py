@@ -1,1 +1,67 @@
-"""Similarity-search queries over the embeddings table. Filled in incrementally."""
+"""Similarity-search queries over the embeddings table (north-star
+extension operators): exact brute-force top-k cosine (oracle-checked) and
+the LSH-bucketed approximate variant (rows-only; recall measured in
+tests/test_similarity.py against the exact baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.similarity import brute_force_topk, lsh_topk
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+EMBEDDING_DIM = 64
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    """Deterministic query set: every 100th vector."""
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    headline=True,
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for every 100th vector. Queries are
+    broadcast; corpus scanned once; ranking on (rounded cosine, vec_id) is
+    a total order -> deterministic and engine-portable.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _queries_df(emb), k=10)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: random-hyperplane LSH buckets (6 planes) +
+    exact re-rank within bucket. No oracle (the plane constants are
+    engine-side literals); the driver records rows-only, and
+    tests/test_similarity.py measures recall against ann_cosine_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10, n_planes=6)

@@ -1,1 +1,135 @@
-"""Text-analysis queries over the documents table. Filled in incrementally."""
+"""Text-analysis queries over the documents table (north-star extension
+operators: SURVEY.md §7.2 step 5 / BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.text import (
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    language_id,
+    quality_features,
+    simhash32,
+)
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+@register(
+    "text_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           CAST(len(list_distinct(list_intersect(
+                list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                {_EN_STOP_SQL}))) AS BIGINT) AS distinct_stopwords
+    FROM documents
+    """,
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length, token stats, alpha ratio,
+    stopword hits) — the cheap pre-filters of an LLM data pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        "mean_token_len",
+        "alpha_ratio",
+        "distinct_stopwords",
+    )
+
+
+def _lex_values_sql() -> str:
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang, ws in LANG_STOPWORDS.items()
+        for w in ws
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH lex(lang_cand, tok) AS (VALUES {_lex_values_sql()}),
+    toked AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, lang_cand, count(*) AS votes
+        FROM toked JOIN lex USING (tok) GROUP BY doc_id, lang_cand
+    ),
+    best AS (
+        SELECT doc_id, lang_cand, votes,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, lang_cand) AS rn
+        FROM votes
+    )
+    SELECT d.doc_id,
+           COALESCE(b.lang_cand, 'und') AS lang_pred,
+           CAST(COALESCE(b.votes, 0) AS BIGINT) AS lang_votes
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic argmax tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        "SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 >= 8 "
+        "THEN 1 ELSE -1 END) AS b_{j}".format(p=j + 1, j=j)
+        for j in range(32)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("text_simhash", oracle=_simhash_oracle())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (portable md5-hex-digit bit
+    construction; see operators/text.py:simhash32).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs)
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content fingerprint (normalized md5) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint_md5(docs).select("doc_id", "fingerprint")

@@ -139,11 +139,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def with_event_time(events: DataFrame, ts_col: str = "ts", out_col: str = "event_time") -> DataFrame:
     """Derive a microsecond TimestampType column from the ns-long ``ts``.
 
-    Truncation ns->us is floor division, matching how DuckDB narrows the
-    same parquet column to its microsecond TIMESTAMP — so both engines see
-    identical event times.
+    Truncation ns->us is integer floor division (``DIV``, never ``/`` —
+    double division of ~1.7e18 ns loses the low digits), matching how
+    DuckDB narrows the same parquet column to its microsecond TIMESTAMP —
+    so both engines see identical event times.
     """
-    return events.withColumn(out_col, F.timestamp_micros(F.floor(F.col(ts_col) / 1000).cast("long")))
+    return events.withColumn(out_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

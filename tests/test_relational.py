@@ -1,0 +1,35 @@
+"""Oracle parity for the relational query family."""
+
+import pytest
+
+from masd_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+RELATIONAL = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_left_order_counts",
+    "orderby_limit_top_orders",
+    "topk_orders_per_segment",
+    "distinct_segment_nation",
+    "set_ops_nation_overlap",
+    "rollup_lineitem_flags",
+    "cube_order_status_priority",
+    "window_customer_order_stats",
+    "scalar_string_math",
+    "scalar_datetime",
+    "json_extract_events",
+    "sessionize_events",
+    "asof_join_purchases",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)

@@ -1,0 +1,151 @@
+"""Streaming semantics: batch-stream equivalence, watermark late-drop,
+checkpoint recovery, keyed sink. File-drop sources give deterministic
+micro-batches (SURVEY.md §7.4 hard part 4).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.sources.simulator import SimulatorConfig, readings_df, write_json_drops
+from masd_spark.streaming.pipeline import (
+    read_file_sensor_stream,
+    sensor_pipeline,
+    start_keyed_sink,
+)
+
+CFG = SimulatorConfig(duration_ms=120_000, seed=7)  # 2 one-minute windows
+
+
+def _collecting_sink(collected):
+    def write(batch_df, batch_id, _path):
+        collected.append((batch_id, batch_df.collect()))
+
+    return write
+
+
+def test_stream_matches_batch_twin(spark, tmp_path):
+    """Update-mode streaming agg, last emission per key, equals the batch
+    pipeline over the same rows — the operators are shared, so this pins
+    the streaming plumbing (watermark, state merge, foreachBatch)."""
+    src = str(tmp_path / "drops")
+    n = write_json_drops(src, CFG, n_files=3)
+    assert n > 0
+
+    collected: list = []
+    stream = read_file_sensor_stream(spark, src)
+    agg = sensor_pipeline(stream, watermark_delay="10 minutes", nest=False)
+    q = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        write_batch=_collecting_sink(collected),
+    )
+    q.awaitTermination(300)
+
+    last_emission: dict = {}
+    for batch_id, rows in sorted(collected, key=lambda x: x[0]):
+        for r in rows:
+            key = (r["window"]["start"], r["station_id"], r["sensor_id"])
+            last_emission[key] = (
+                r["total_count"],
+                r["valid_count"],
+                r["malformed_count"],
+                None if r["avg_val"] is None else round(r["avg_val"], 9),
+            )
+
+    batch = sensor_pipeline(readings_df(spark, CFG), nest=False)
+    expected = {
+        (r["window"]["start"], r["station_id"], r["sensor_id"]): (
+            r["total_count"],
+            r["valid_count"],
+            r["malformed_count"],
+            None if r["avg_val"] is None else round(r["avg_val"], 9),
+        )
+        for r in batch.collect()
+    }
+    assert last_emission == expected
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving (in a later micro-batch) with event time older than
+    the committed watermark is dropped from the aggregation (reference
+    semantics: consumer.py:114-116 with 5 s watermark; SURVEY.md §4.3
+    item 4). The late file is written AFTER the first batch commits —
+    watermark filtering uses the watermark committed by previous batches,
+    so pre-existing files in one availableNow run would all see the
+    initial watermark.
+    """
+    src = str(tmp_path / "late_drops")
+    os.makedirs(src)
+    base = 1_704_067_200_000
+
+    def row(ts, value="1.0"):
+        return (
+            '{"station_name": "P", "station_id": "p", "sensor_id": "0", '
+            f'"timestamp": {ts}, "value": "{value}"}}'
+        )
+
+    # rows in minute 0 and minute 10 -> watermark advances to 00:09:55
+    with open(os.path.join(src, "f1.json"), "w") as fh:
+        fh.write(row(base) + "\n" + row(base + 600_000) + "\n")
+
+    collected: list = []
+    stream = read_file_sensor_stream(spark, src)
+    agg = sensor_pipeline(stream, watermark_delay="5 seconds", nest=False)
+    q = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "out2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        write_batch=_collecting_sink(collected),
+    )
+    try:
+        q.processAllAvailable()
+        # late row back in minute 0, arriving after the watermark advanced
+        with open(os.path.join(src, "f2.json"), "w") as fh:
+            fh.write(row(base + 1000) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    counts = {}
+    for _bid, rows in sorted(collected, key=lambda x: x[0]):
+        for r in rows:
+            counts[r["window"]["start"]] = r["total_count"]
+    # minute-0 window must still count 1 (late row dropped), not 2
+    assert len(counts) == 2
+    assert all(v == 1 for v in counts.values())
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
+
+
+def test_checkpoint_recovery(spark, tmp_path):
+    """Restarting from the checkpoint processes only new files."""
+    src = str(tmp_path / "ckpt_drops")
+    ckpt = str(tmp_path / "ckpt3")
+    write_json_drops(src, SimulatorConfig(duration_ms=30_000, seed=1), n_files=1)
+
+    def run_once():
+        collected: list = []
+        stream = read_file_sensor_stream(spark, src)
+        agg = sensor_pipeline(stream, watermark_delay="10 minutes", nest=False)
+        q = start_keyed_sink(
+            agg,
+            path=str(tmp_path / "out3"),
+            checkpoint_dir=ckpt,
+            available_now=True,
+            write_batch=_collecting_sink(collected),
+        )
+        q.awaitTermination(300)
+        return collected
+
+    first = run_once()
+    assert sum(len(rows) for _b, rows in first) > 0
+    # no new files -> restart emits nothing new
+    second = run_once()
+    assert sum(len(rows) for _b, rows in second) == 0

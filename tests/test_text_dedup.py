@@ -1,0 +1,39 @@
+"""Oracle parity + behavioral checks for text analysis and dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+ORACLE_QUERIES = [
+    "text_quality_features",
+    "text_language_id",
+    "text_simhash",
+    "text_fingerprint",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_minhash_recall_against_exact(spark):
+    """LSH must find every high-jaccard pair at fixture scale (the planted
+    near-dups are >=0.9 jaccard where 16/4 banding has ~certain recall).
+    """
+    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_ORACLE)
+    lsh = REGISTRY["dedup_minhash_lsh"].fn(spark, SF_ORACLE)
+    high = exact.filter(F.col("jaccard") >= 0.9).select("doc_a", "doc_b")
+    n_high = high.count()
+    assert n_high > 0, "fixture should contain planted near-dups"
+    found = high.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
+    assert found == n_high, f"LSH missed {n_high - found} of {n_high} high-sim pairs"
