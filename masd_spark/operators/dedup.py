@@ -20,14 +20,27 @@ Four families, each with a distinct scale profile:
 
 Shingle weighting: all ops use DISTINCT shingles (set semantics), the
 standard choice for Jaccard dedup.
+
+Plan-shape notes (these were measured, not guessed):
+- The shingle row-set feeds several consumers (self-join sides,
+  signatures, verification). It is cached AND eagerly materialized before
+  reuse — a lazily-cached subtree referenced N times within one action is
+  recomputed by each consumer racing to fill the cache (observed 4-8x).
+  At real scale the same role is played by a persisted intermediate table.
+- ``set_size`` rides along on every shingle row (computed inside the one
+  per-doc aggregation), so Jaccard needs no extra size-lookup joins —
+  sizes reach the pair aggregation map-side via ``first()``.
+- Everything downstream of the per-doc aggregation reuses its doc_id
+  hash partitioning (collect_set -> explode preserves partitioning), so
+  signatures add NO extra shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from masd_spark.operators.text import fingerprint_md5, with_shingles
+from masd_spark.operators.text import fingerprint_md5, tokens
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -37,12 +50,74 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return keep.join(fp, [id_col, "fingerprint"]).drop("fingerprint")
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, shingle) rows, distinct shingles per doc."""
-    return (
-        with_shingles(df, text_col, k)
-        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id, shingle, set_size) rows — distinct k-word shingles per doc,
+    with the doc's distinct-shingle count on every row.
+
+    Built as posexplode(tokens) + window ``lead`` rather than exploding an
+    array-of-shingles expression: Catalyst inlines array expressions into
+    the explode's implied ``size(...) > 0`` filter, re-evaluating the
+    tokenizing regex split per element access (O(tokens^2) per doc,
+    interpreted). The row-wise lead form evaluates split once per doc and
+    stays in whole-stage codegen.
+
+    ONE shuffle total (keyed by doc): the window sort, the per-doc
+    collect_set dedup, and the set_size all share the same partitioning.
+    The per-doc set is collected as an in-memory array — fine for bounded
+    documents (LLM corpus docs); for multi-million-token inputs, chunk
+    upstream first.
+    """
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = toked.select(
+        F.col(id_col),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    per_doc = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+    out = per_doc.select(
+        F.col(id_col),
+        F.size("_set").cast("bigint").alias("set_size"),
+        F.explode("_set").alias("shingle"),
+    )
+    if materialize:
+        # localCheckpoint, not cache(): broadcast-subquery threads plan
+        # independently and were observed BYPASSING the cache, recomputing
+        # the whole window+collect_set lineage per broadcast (10x blowup).
+        # Checkpointing truncates the lineage — downstream plans, including
+        # broadcast subqueries, can only read the materialized blocks.
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+# backwards-compatible internal alias
+_shingle_rows = shingle_rows
+
+
+def _pair_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, shingle-match rows with size_a/size_b) -> thresholded
+    Jaccard per pair. Sizes arrive map-side via first() — no extra joins."""
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_inter"),
+        F.first("size_a").alias("size_a"),
+        F.first("size_b").alias("size_b"),
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def jaccard_pairs(
@@ -51,44 +126,27 @@ def jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
     threshold).
 
     Plan: shingle rows self-join on shingle (shuffle keyed by shingle) ->
-    per-pair intersection counts -> broadcast-join per-doc set sizes ->
-    jaccard filter. Hot shingles create join skew at scale: mitigate by
-    dropping shingles with document-frequency above a cap (they contribute
-    candidates that banding would find anyway) — here the fixture corpus
-    has no such stop-shingles, so no cap is applied.
+    per-pair intersection counts with sizes carried map-side -> jaccard
+    filter. Hot shingles create join skew at scale: mitigate by dropping
+    shingles with document-frequency above a cap (they contribute
+    candidates that banding would find anyway) — the fixture corpus has no
+    such stop-shingles, so no cap is applied.
     """
-    sh = _shingle_rows(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
+    a = sh.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("size_a")
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
-            ),
-        )
+    b = sh.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    return _pair_jaccard(pairs, threshold)
 
 
 def minhash_signatures(
@@ -97,14 +155,15 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 3,
     n_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: sig_i = min over shingles of
     md5(i || ':' || shingle), i in [0, n_hashes).
 
-    One shuffle (groupBy doc) with n_hashes conditional-min partial
-    aggregates — the md5s are computed map-side, n_hashes per shingle.
+    The groupBy reuses the shingle set's doc_id partitioning — no extra
+    shuffle; the md5s are computed map-side, n_hashes per shingle.
     """
-    sh = _shingle_rows(df, id_col, text_col, k)
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(n_hashes)
@@ -120,6 +179,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -128,12 +188,14 @@ def minhash_lsh_pairs(
     ~0.95 at j=0.8, ~0.3 at j=0.5). Candidates are then verified with the
     exact Jaccard, so the threshold is honest; only recall is approximate.
 
-    Scale: signatures are one shuffle; banding explodes 4 rows/doc; the
-    bucket self-join only ever joins docs whose band-hash matches. No
-    all-pairs stage anywhere.
+    Scale: signatures are one no-extra-shuffle aggregation over one
+    shared, materialized shingle set; banding explodes n_bands rows/doc;
+    the bucket self-join only ever joins docs whose band-hash matches;
+    verification touches candidates only. No all-pairs stage anywhere.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, shingles=sh)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -157,31 +219,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact-Jaccard verification of CANDIDATES ONLY (never all pairs):
-    # attach doc_a's shingles, semi-join doc_b's shingles -> intersection.
-    sh = _shingle_rows(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    # attach doc_a's shingles, equi-join doc_b's shingles -> intersection.
+    sh_a = sh.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("size_a")
     )
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    verified = (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-                6,
-            ),
-        )
+    sh_b = sh.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    pairs = candidates.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+    return _pair_jaccard(pairs, threshold)

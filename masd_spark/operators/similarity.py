@@ -26,7 +26,15 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from masd_spark.functions.vectors import cosine, dot, norm
+from masd_spark.functions.vectors import (
+    cosine,
+    cosine_fixed,
+    dot,
+    dot_fixed,
+    dot_literal,
+    norm,
+    norm_fixed,
+)
 
 
 def brute_force_topk(
@@ -36,22 +44,45 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
     ``queries`` must be small enough to broadcast (it is hinted); ranking
     uses (rounded cosine desc, id asc) — a total order, so results are
-    deterministic and engine-portable.
+    deterministic and engine-portable. Pass ``dim`` to unroll the vector
+    math into codegen (~10x over interpreted higher-order functions);
+    norms are precomputed once per row, so each pair costs one dot.
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
-    scored = pairs.select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
-    )
+    if dim is None:
+        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        scored = pairs.select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm_fixed(F.col(vec_col), dim).alias("_qn"),
+        )
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            norm_fixed(F.col(vec_col), dim).alias("_cn"),
+        )
+        pairs = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        scored = pairs.select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot_fixed(F.col("_qvec"), F.col(vec_col), dim)
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)
     )
@@ -72,17 +103,19 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup.
 
     Fixture-scale implementation is the exact self-join; at corpus scale
     wrap it with LSH buckets (``lsh_bucket``) so the self-join happens
-    per-bucket. Normalizing first (norm precomputed once per row) halves
-    the math vs naive cosine per pair.
+    per-bucket. Norms are precomputed once per row; pass ``dim`` to unroll
+    the per-pair dot into codegen.
     """
-    with_norm = df.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
+    norm_expr = (
+        norm(F.col(vec_col)) if dim is None else norm_fixed(F.col(vec_col), dim)
     )
+    with_norm = df.select(F.col(id_col), F.col(vec_col), norm_expr.alias("_n"))
     a = with_norm.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na")
     )
@@ -90,12 +123,15 @@ def cosine_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot_expr = (
+        dot(F.col("_va"), F.col("_vb"))
+        if dim is None
+        else dot_fixed(F.col("_va"), F.col("_vb"), dim)
+    )
     scored = pairs.select(
         "id_a",
         "id_b",
-        F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
-            "cos_sim"
-        ),
+        F.round(dot_expr / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -135,6 +171,10 @@ def lsh_bucket(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
+        # HOF dot, NOT the unrolled dot_literal: bucketing multiplies the
+        # expression by n_planes (x n_tables in _bucket_array), and the
+        # unrolled form blew a 1g driver heap at plan/codegen time. The
+        # interpreted HOF runs once per corpus row — not a hot path.
         plane_col = F.array(*[F.lit(x) for x in p])
         bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)).otherwise(
             F.lit(0)
@@ -150,6 +190,7 @@ def _bucket_array(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: in
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
         bucket = F.lit(0).cast("bigint")
         for i, p in enumerate(planes):
+            # HOF dot — see lsh_bucket for why not dot_literal here.
             plane_col = F.array(*[F.lit(x) for x in p])
             bucket = bucket + F.when(
                 dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)
@@ -205,7 +246,7 @@ def lsh_topk(
     scored = candidates.select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cos_sim"),
+        F.round(cosine_fixed(F.col("_qvec"), F.col(vec_col), dim), 6).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col)

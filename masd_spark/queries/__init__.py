@@ -64,6 +64,8 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         multimodal,
+        advanced,
+        streaming_q,
     )
 
     return REGISTRY

@@ -1,0 +1,271 @@
+"""Advanced relational coverage: distinct/approx/statistical aggregates,
+pivot, grouping sets, range window frames, ntile/percentiles, regex,
+array and conditional scalar functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table, register_views
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates (SURVEY.md §2.4 marks these ABSENT in the
+    reference). Spark plans multi-distinct via expand — one extra shuffle
+    per distinct key set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, t-digest percentiles) — the
+    scale substitutes for exact distinct/median. Rows-only: HLL/t-digest
+    implementations differ by engine, so there is no cross-engine oracle;
+    accuracy is asserted against exact values in tests.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+    )
+
+
+@register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates. Rounded coarsely (4 decimals for the
+    price-scaled moments): both engines use streaming moment updates whose
+    last bits differ with partitioned execution.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "pivot_value_by_event_type",
+    oracle="""
+    SELECT user_id,
+           ROUND(AVG(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+           ROUND(AVG(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           ROUND(AVG(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+           ROUND(AVG(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit
+    lists keep the plan a single pass (no values-discovery job) and are
+    mandatory for determinism at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), 6))
+    )
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst plan as the
+    DataFrame rollup/cube family)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_trailing_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_90d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS spend_trailing_90d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+                 RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: trailing-90-day order count and spend per
+    customer (value-based frame over epoch-ms, identical in both engines;
+    ties inside the frame don't affect frame membership).
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_ms", F.unix_millis("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("_ms")
+        .rangeBetween(-90 * 24 * 3600 * 1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("n_trailing_90d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_trailing_90d"),
+    )
+
+
+@register(
+    "window_ntile_percentiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per segment with a unique
+    tiebreaker in the ordering (c_acctbal has duplicate values)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, 'w.dget') AS is_widget,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT) AS brand_num
+    FROM part
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions (extract/replace/match). Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("w.dget").alias("is_widget"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("bigint").alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           list_sort(string_split(p_name, ' '))[-1] AS max_word,
+           array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'widget') AS has_widget
+    FROM part
+    """,
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over split words — output scalars (joined
+    strings / flags), since raw array columns don't hash portably across
+    engines."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(F.array_sort(words), -1).alias("max_word"),
+        F.array_join(F.array_sort(words), ",").alias("sorted_words"),
+        F.array_contains(words, "widget").alias("has_widget"),
+    )
+
+
+@register(
+    "scalar_conditionals",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           least(o_totalprice, 100000.0) AS capped,
+           greatest(o_totalprice - 100000.0, 0.0) AS excess
+    FROM orders
+    """,
+)
+def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null scalar functions: nullif, coalesce, CASE buckets,
+    least/greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_label"),
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice") - 100000.0, F.lit(0.0)).alias("excess"),
+    )

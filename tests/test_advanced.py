@@ -1,0 +1,63 @@
+"""Oracle parity for the advanced relational family + accuracy checks for
+approximate aggregates + determinism of the streaming harness query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+ORACLE_QUERIES = [
+    "agg_count_distinct",
+    "agg_statistics",
+    "pivot_value_by_event_type",
+    "grouping_sets_status_priority",
+    "window_trailing_range",
+    "window_ntile_percentiles",
+    "scalar_regex",
+    "scalar_arrays",
+    "scalar_conditionals",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_approx_aggregates_accuracy(spark):
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["approx_aggregates"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_count_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        rel_err = abs(a["approx_parts"] - e["n_parts"]) / e["n_parts"]
+        assert rel_err < 0.1, f"{flag}: HLL error {rel_err:.2%}"
+        assert a["approx_median_price"] > 0
+        q25, q75 = a["qty_quartiles"]
+        assert q25 <= q75
+
+
+def test_streaming_query_deterministic(spark):
+    df1 = REGISTRY["streaming_masd_rollup"].fn(spark, SF_ORACLE)
+    rows1 = sorted(map(tuple, df1.collect()))
+    df2 = REGISTRY["streaming_masd_rollup"].fn(spark, SF_ORACLE)
+    rows2 = sorted(map(tuple, df2.collect()))
+    assert rows1 == rows2
+    assert len(rows1) > 0
+    # validity invariant holds through the stream
+    bad = [
+        r
+        for r in rows1
+        if r[4] != r[5] + r[6]  # total != valid + malformed
+    ]
+    assert not bad

@@ -1,0 +1,83 @@
+"""Plan-shape regression tests: the scale guarantees each operator's
+docstring claims (pushdown, pruning, broadcast, shuffle counts) are
+asserted against the actual physical plans, at the smallest fixture.
+"""
+
+from pyspark.sql import functions as F
+
+from masd_spark.plans.explain import (
+    count_broadcast_joins,
+    count_exchanges,
+    has_pushed_filter,
+    has_take_ordered,
+    physical_plan,
+    scan_read_schema,
+)
+from masd_spark.queries import load_all
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def _q(spark, name):
+    return REGISTRY[name].fn(spark, SF_SMOKE)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = _q(spark, "q1_pricing_summary")
+    # shipdate filter reaches the parquet scan
+    assert has_pushed_filter(df, "l_shipdate")
+    # column pruning: the scan reads only the 7 needed columns, not all 11
+    schemas = scan_read_schema(df)
+    assert schemas and all(len(cols) <= 7 for cols in schemas), schemas
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = _q(spark, "q5_nation_revenue")
+    # customer/supplier/nation/region joins all broadcast
+    assert count_broadcast_joins(df) >= 4
+    # the only shuffle exchanges feed lineitem|x|orders + final agg
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_orderby_limit_is_take_ordered(spark):
+    assert has_take_ordered(_q(spark, "orderby_limit_top_orders"))
+
+
+def test_q3_broadcasts_customer(spark):
+    df = _q(spark, "q3_shipping_priority")
+    assert count_broadcast_joins(df) >= 1
+    assert has_pushed_filter(df, "l_shipdate") or has_pushed_filter(df, "o_orderdate")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join itself is ONE shuffle (union + window); the scan
+    side adds none (same source read twice, map-side filters)."""
+    from masd_spark.operators.relational import asof_join
+    from masd_spark.sources.tables import load_table, with_event_time
+
+    ev = with_event_time(load_table(spark, SF_SMOKE, "events"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "event_time"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_time", "value"
+    )
+    out = asof_join(clicks, purchases, "user_id", "event_time", "event_time", ["value"])
+    assert count_exchanges(out) == 1, physical_plan(out)
+
+
+def test_masd_rollup_partial_aggregation(spark):
+    """The windowed rollup is partial+final hash agg — exactly one shuffle
+    between them, keyed by the group columns."""
+    df = _q(spark, "masd_sensor_rollup")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1, plan
+
+
+def test_events_scan_prunes_columns(spark):
+    """json_extract reads only (event_id, props) from the 6-column table."""
+    df = _q(spark, "json_extract_events")
+    schemas = scan_read_schema(df)
+    assert schemas and all(len(cols) == 2 for cols in schemas), schemas
