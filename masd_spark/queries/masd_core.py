@@ -165,6 +165,63 @@ def masd_try_cast_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("event_id", "value_numeric", "is_valid")
 
 
+@register(
+    "masd_parse_sensor_json",
+    oracle="""
+    WITH enc AS (
+        SELECT event_id,
+               '{"station_id": "' || event_type || '", "sensor_id": "'
+                   || CAST(user_id AS VARCHAR) || '", "timestamp": '
+                   || CAST(epoch_ms(ts) AS VARCHAR) || ', "value": "'
+                   || CASE WHEN event_id % 20 = 0 THEN '<<bad_data>>'
+                           ELSE CAST(value AS VARCHAR) END || '"}' AS payload
+        FROM events
+    )
+    SELECT event_id,
+           json_extract_string(payload, '$.station_id') AS station_id,
+           json_extract_string(payload, '$.sensor_id') AS sensor_id,
+           CAST(json_extract_string(payload, '$.timestamp') AS BIGINT) AS ts_ms,
+           TRY_CAST(json_extract_string(payload, '$.value') AS DOUBLE) AS value_numeric,
+           TRY_CAST(json_extract_string(payload, '$.value') AS DOUBLE) IS NOT NULL
+               AS is_valid
+    FROM enc
+    """,
+)
+def masd_parse_sensor_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's schema-directed JSON decode (S2, consumer.py:100-102)
+    in batch with an oracle: events are re-encoded as the reference's
+    message payloads (deterministically, in BOTH engines), then parsed with
+    ``from_json`` + try-cast validity — the full parse_and_validate path.
+    """
+    from masd_spark.operators.validate import SENSOR_SCHEMA
+
+    ev = with_event_time(load_table(spark, sf_dir, "events"))
+    payload = F.concat(
+        F.lit('{"station_id": "'), F.col("event_type"),
+        F.lit('", "sensor_id": "'), F.col("user_id").cast("string"),
+        F.lit('", "timestamp": '), F.unix_millis("event_time").cast("string"),
+        F.lit(', "value": "'),
+        F.when(F.col("event_id") % 20 == 0, F.lit("<<bad_data>>")).otherwise(
+            F.col("value").cast("string")
+        ),
+        F.lit('"}'),
+    )
+    enc = ev.select("event_id", payload.alias("value"))
+    parsed = enc.select(
+        "event_id",
+        F.from_json(F.col("value").cast("string"), SENSOR_SCHEMA).alias("data"),
+    ).select("event_id", "data.*")
+    v = classify_validity(parsed)
+    return v.select(
+        "event_id",
+        "station_id",
+        "sensor_id",
+        F.col("timestamp").alias("ts_ms"),
+        "value_numeric",
+        "is_valid",
+    )
+
+
 @register("masd_nested_document")
 def masd_nested_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full output-document shape

@@ -539,6 +539,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
+    headline=True,
     oracle="""
     WITH marked AS (
         SELECT user_id, epoch_ms(ts) AS ts_ms,
@@ -582,6 +583,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_join_purchases",
+    headline=True,
     oracle="""
     WITH clicks AS (
         SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'

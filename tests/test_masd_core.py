@@ -13,6 +13,7 @@ ORACLE_QUERIES = [
     "masd_sensor_rollup",
     "masd_all_malformed_groups",
     "masd_try_cast_boundary",
+    "masd_parse_sensor_json",
 ]
 
 

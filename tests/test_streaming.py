@@ -124,6 +124,112 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert dropped == 1
 
 
+def test_session_window_streaming(spark, tmp_path):
+    """Streaming session_window (gap-based sessions in the engine's
+    streaming layer — SURVEY.md §2.9 marks native session windows ABSENT
+    in the reference; batch twin is operators/relational.py:sessionize).
+
+    session_window aggregation only supports append mode: sessions emit
+    once the committed watermark passes their end — a far-future sentinel
+    event flushes them.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from masd_spark.operators.validate import classify_validity, with_event_time_ms
+
+    src = str(tmp_path / "sess_drops")
+    cfg = SimulatorConfig(duration_ms=30_000, seed=3)
+    n = write_json_drops(src, cfg, n_files=1)
+    assert n > 0
+
+    stream = read_file_sensor_stream(spark, src)
+    v = with_event_time_ms(classify_validity(stream)).withWatermark(
+        "event_time", "1 second"
+    )
+    agg = v.groupBy(
+        F.session_window("event_time", "5 seconds"), F.col("station_id")
+    ).agg(F.count("*").alias("n_events"))
+
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.append(batch_df.collect())
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel an hour later -> watermark passes every real session end
+        sentinel = {
+            "station_name": "Z",
+            "station_id": "zz_sentinel",
+            "sensor_id": "0",
+            "timestamp": cfg.start_epoch_ms + 3_600_000,
+            "value": "1.0",
+        }
+        with open(os.path.join(src, "sentinel.json"), "w") as fh:
+            fh.write(_json.dumps(sentinel) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [
+        r
+        for batch in collected
+        for r in batch
+        if r["station_id"] != "zz_sentinel"
+    ]
+    assert rows
+    assert sum(r["n_events"] for r in rows) == n
+    for r in rows:
+        assert r["session_window"]["start"] < r["session_window"]["end"]
+
+
+def test_sink_error_policy(spark, tmp_path):
+    """on_error='fail' propagates a sink failure (checkpoint not advanced
+    past it); on_error='skip' reproduces the reference's log-and-continue
+    (consumer.py:205-206) explicitly."""
+    import pytest as _pytest
+
+    src = str(tmp_path / "err_drops")
+    write_json_drops(src, SimulatorConfig(duration_ms=10_000, seed=5), n_files=1)
+
+    def boom(batch_df, batch_id, _path):
+        raise RuntimeError("sink down")
+
+    agg = sensor_pipeline(
+        read_file_sensor_stream(spark, src), watermark_delay="10 minutes", nest=False
+    )
+    q = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "err_out"),
+        checkpoint_dir=str(tmp_path / "err_ckpt_fail"),
+        available_now=True,
+        on_error="fail",
+        write_batch=boom,
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+
+    q2 = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "err_out2"),
+        checkpoint_dir=str(tmp_path / "err_ckpt_skip"),
+        available_now=True,
+        on_error="skip",
+        write_batch=boom,
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+
+
 def test_checkpoint_recovery(spark, tmp_path):
     """Restarting from the checkpoint processes only new files."""
     src = str(tmp_path / "ckpt_drops")
