@@ -230,6 +230,44 @@ def test_sink_error_policy(spark, tmp_path):
     assert q2.exception() is None
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark removes
+    re-delivered readings (same station/sensor/timestamp) with state
+    bounded by the watermark — the streaming twin of dedup_exact."""
+    import json as _json
+
+    from masd_spark.operators.validate import classify_validity, with_event_time_ms
+
+    src = str(tmp_path / "dup_drops")
+    os.makedirs(src)
+    base = 1_704_067_200_000
+    rows = [
+        {"station_name": "P", "station_id": "p", "sensor_id": str(s),
+         "timestamp": base + i * 1000, "value": "1.5"}
+        for s in range(3)
+        for i in range(10)
+    ]
+    with open(os.path.join(src, "f1.json"), "w") as fh:
+        for r in rows + rows[:15]:  # 15 exact re-deliveries
+            fh.write(_json.dumps(r) + "\n")
+
+    stream = with_event_time_ms(classify_validity(read_file_sensor_stream(spark, src)))
+    deduped = stream.withWatermark("event_time", "10 minutes").dropDuplicatesWithinWatermark(
+        ["station_id", "sensor_id", "timestamp"]
+    )
+
+    collected: list = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, bid: collected.append(df.count()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sum(collected) == len(rows)  # duplicates dropped, originals kept
+
+
 def test_checkpoint_recovery(spark, tmp_path):
     """Restarting from the checkpoint processes only new files."""
     src = str(tmp_path / "ckpt_drops")
