@@ -239,6 +239,32 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+    SELECT s_name, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): the hot-key mitigation must be
+    result-identical to the plain join — so the plain join IS the oracle.
+    """
+    from masd_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(li, supp, ["s_suppkey"], n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
     "scalar_conditionals",
     oracle="""
     SELECT o_orderkey,

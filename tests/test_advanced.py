@@ -20,6 +20,7 @@ ORACLE_QUERIES = [
     "scalar_regex",
     "scalar_arrays",
     "scalar_conditionals",
+    "skew_salted_join",
 ]
 
 
