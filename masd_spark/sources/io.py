@@ -1,0 +1,80 @@
+"""Format-agnostic batch IO beyond the parquet fixtures.
+
+The reference reads only Kafka and writes only MongoDB (SURVEY.md §2.1);
+a general engine needs the standard lake formats. Explicit schemas always
+(inference is a full extra pass at scale); writers partition by the keys
+later queries filter on, so partition pruning does the work of an index.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_READ_OPTIONS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true"},
+    "json": {},
+    "parquet": {},
+    "orc": {},
+}
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: T.StructType,
+    **options: str,
+) -> DataFrame:
+    """Schema-declared read of csv/json/parquet/orc."""
+    opts = {**_READ_OPTIONS.get(fmt, {}), **options}
+    reader = spark.read.format(fmt).schema(schema)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Partitioned write of csv/json/parquet/orc."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def mongo_writer_options(
+    uri: str,
+    database: str,
+    collection: str,
+    write_concern: str = "majority",
+) -> dict[str, str]:
+    """The reference's MongoDB sink configuration
+    (reference: spark-app/consumer.py:194-201, write concern from .env:22).
+    Returns the option dict for ``df.write.format('mongodb')``; the
+    connector JAR is not in this container, so the sink is exercised via
+    the format-agnostic keyed sink (streaming/pipeline.py:start_keyed_sink)
+    with parquet, and this helper documents the production binding:
+
+        (df.write.format("mongodb").mode("append")
+           .options(**mongo_writer_options(uri, db, f"station_{sid}"))
+           .save())
+    """
+    return {
+        "spark.mongodb.connection.uri": uri,
+        "spark.mongodb.database": database,
+        "spark.mongodb.collection": collection,
+        "spark.mongodb.write.writeConcern.w": write_concern,
+    }

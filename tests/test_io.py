@@ -1,0 +1,42 @@
+"""Format round-trips (csv/json/orc) and partitioned writes with
+partition pruning."""
+
+from pyspark.sql import functions as F
+
+from masd_spark.plans.explain import physical_plan
+from masd_spark.sources.io import mongo_writer_options, read_files, write_files
+from masd_spark.sources.tables import TABLE_SCHEMAS, load_table
+from tests.conftest import SF_SMOKE
+
+
+def _nation_rows(spark):
+    return sorted(map(tuple, load_table(spark, SF_SMOKE, "nation").collect()))
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    nation = load_table(spark, SF_SMOKE, "nation")
+    expected = _nation_rows(spark)
+    for fmt in ["csv", "json", "orc"]:
+        out = str(tmp_path / fmt)
+        write_files(nation, out, fmt)
+        back = read_files(spark, out, fmt, TABLE_SCHEMAS["nation"])
+        assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_files(orders, out, "parquet", partition_by=["o_year"])
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1996)
+    plan = physical_plan(back)
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:120], plan
+    n_direct = orders.filter(F.col("o_year") == 1996).count()
+    assert back.count() == n_direct > 0
+
+
+def test_mongo_writer_options_shape():
+    opts = mongo_writer_options("mongodb://rs0/", "masd", "station_perugia")
+    assert opts["spark.mongodb.collection"] == "station_perugia"
+    assert opts["spark.mongodb.write.writeConcern.w"] == "majority"
