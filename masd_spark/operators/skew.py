@@ -3,9 +3,10 @@
 AQE's skew-join handles skewed SHUFFLE partitions automatically (enabled
 in session.py), but it cannot split a single pathological key on the
 build side of a broadcast, nor help aggregations keyed by a hot value.
-Salting is the manual tool: the skewed (large) side gets a deterministic
-salt in [0, n_salts); the small side is replicated n_salts times; the
-join key becomes (key, salt), spreading one hot key over n_salts tasks.
+Salting is the manual tool: the skewed (large) side gets a
+content-independent salt in [0, n_salts); the small side is replicated
+n_salts times; the join key becomes (key, salt), spreading one hot key
+over n_salts tasks.
 
 Cost model: replicates the small side n_salts times — use only when a
 key's row count exceeds what one task should own (monitor via AQE skew
@@ -19,6 +20,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Join types where replicating the small side n_salts times cannot change
+# the result. right/full outer would emit each unmatched small-side copy
+# once per salt (wrong row counts), so they are rejected.
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+             "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+
 
 def salted_join(
     skewed: DataFrame,
@@ -29,11 +36,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the small side replicated.
 
-    The salt is derived from xxhash64 of the skewed side's full row — any
-    distribution works for correctness; hashing the row spreads a hot key
-    evenly without RNG (deterministic across task retries, unlike rand()).
+    The salt must be content-INDEPENDENT: hashing row contents fails in
+    the degenerate-but-common case where a hot key's rows are
+    byte-identical (every duplicate gets the same salt and the key never
+    spreads). Instead the salt derives from physical position —
+    ``monotonically_increasing_id()`` encodes (partition_id << 33 | row
+    offset), so ``pmod(id, n_salts)`` cycles through all salts within
+    every partition. It is deterministic under task retries (Spark replays
+    a partition from the same input split, reproducing the same ids) yet
+    independent of row bytes, so even identical duplicates fan out.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only, got {how!r}: "
+            "replicating the small side breaks right/full outer semantics"
+        )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     skewed_s = skewed.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

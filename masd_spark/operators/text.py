@@ -81,14 +81,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     stop = F.array([F.lit(w) for w in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.array_intersect(toks, stop)).cast("bigint")
+    # Ratios are guarded: empty/whitespace-only docs have n_tokens = 0 and
+    # possibly length 0, and Spark 4's default ANSI mode turns a zero
+    # divisor into DIVIDE_BY_ZERO instead of null — emit null explicitly.
     return (
         df.withColumn("n_chars_obs", F.length(t).cast("bigint"))
         .withColumn("n_tokens", n_tok)
         .withColumn(
             "mean_token_len",
-            F.round((F.length(F.regexp_replace(F.trim(t), r"\s+", ""))) / n_tok, 6),
+            F.when(
+                n_tok > 0,
+                F.round((F.length(F.regexp_replace(F.trim(t), r"\s+", ""))) / n_tok, 6),
+            ),
         )
-        .withColumn("alpha_ratio", F.round(alpha_chars / F.length(t), 6))
+        .withColumn(
+            "alpha_ratio",
+            F.when(F.length(t) > 0, F.round(alpha_chars / F.length(t), 6)),
+        )
         .withColumn("distinct_stopwords", n_stop)
     )
 

@@ -48,7 +48,8 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-        F.percentile_approx("l_quantity", [0.25, 0.75]).alias("qty_quartiles"),
+        F.percentile_approx("l_quantity", 0.25).alias("qty_q25"),
+        F.percentile_approx("l_quantity", 0.75).alias("qty_q75"),
     )
 
 

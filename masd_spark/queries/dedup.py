@@ -27,7 +27,10 @@ _SHINGLE_CACHE: dict = {}
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str):
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per SparkContext lifetime (unlike id(), which
+    # CPython can recycle after a stop/restart and hand back a cache entry
+    # whose checkpointed blocks belong to a dead context).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = shingle_rows(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", 3

@@ -22,17 +22,25 @@ _EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
 @register(
     "text_quality_features",
     oracle=f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+        FROM documents
+    )
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_obs,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           ROUND(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-                 / len(string_split_regex(trim(text), '\\s+')), 6) AS mean_token_len,
-           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS alpha_ratio,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CASE WHEN n_tok > 0 THEN
+               ROUND(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                     / n_tok, 6) END AS mean_token_len,
+           CASE WHEN length(text) > 0 THEN
+               ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) END AS alpha_ratio,
            CAST(len(list_distinct(list_intersect(
                 list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
                 {_EN_STOP_SQL}))) AS BIGINT) AS distinct_stopwords
-    FROM documents
+    FROM q
     """,
 )
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,8 +44,7 @@ def test_approx_aggregates_accuracy(spark):
         rel_err = abs(a["approx_parts"] - e["n_parts"]) / e["n_parts"]
         assert rel_err < 0.1, f"{flag}: HLL error {rel_err:.2%}"
         assert a["approx_median_price"] > 0
-        q25, q75 = a["qty_quartiles"]
-        assert q25 <= q75
+        assert a["qty_q25"] <= a["qty_q75"]
 
 
 def test_streaming_query_deterministic(spark):

@@ -28,3 +28,31 @@ def test_salted_join_matches_plain_join(spark):
     )
 
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """The degenerate skew case: a hot key whose rows are BYTE-IDENTICAL.
+    A content-hash salt maps all of them to one salt (no spread); the
+    position-derived salt must fan them across >= n_salts/2 buckets."""
+    n_salts = 8
+    hot = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.lit("same-payload").alias("v")
+    )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    n_distinct = hot.withColumn("_salt", salt).select("_salt").distinct().count()
+    assert n_distinct >= n_salts // 2, f"hot key spread over only {n_distinct} salts"
+
+
+def test_salted_join_left_join_and_how_guard(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    out = salted_join(left, right, ["k"], n_salts=4, how="left")
+    rows = {(r["k"], r["w"]) for r in out.collect()}
+    assert rows == {(1, "x"), (2, None), (3, None)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, ["k"], how="full_outer")
+    with pytest.raises(ValueError, match="outer"):
+        salted_join(left, right, ["k"], how="right")

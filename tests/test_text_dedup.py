@@ -26,6 +26,22 @@ def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
 
 
+def test_quality_features_empty_and_whitespace_docs(spark):
+    """ANSI divide-by-zero guard: empty / whitespace-only docs must yield
+    n_tokens = 0 and null ratios, not a DIVIDE_BY_ZERO error."""
+    from masd_spark.operators.text import quality_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
+    assert rows[1]["mean_token_len"] is None and rows[2]["mean_token_len"] is None
+    assert rows[1]["alpha_ratio"] is None  # length 0
+    assert rows[2]["alpha_ratio"] == 0.0  # whitespace has length > 0, 0 alpha
+    assert rows[3]["n_tokens"] == 2 and rows[3]["mean_token_len"] == 4.0
+
+
 def test_minhash_recall_against_exact(spark):
     """LSH must find every high-jaccard pair at fixture scale (the planted
     near-dups are >=0.9 jaccard where 16/4 banding has ~certain recall).
