@@ -136,6 +136,64 @@ def cosine_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs via OR-amplified random-hyperplane LSH —
+    the corpus-scale replacement for ``cosine_pairs``'s all-pairs join.
+
+    Plan: each vector gets ``n_tables`` sign-bit bucket ids (map-side
+    expression, plane literals constant-folded — no side table, no extra
+    scan); candidates are pairs sharing a (table, bucket); the pair set is
+    distinct-ed on narrow ids BEFORE vectors are re-attached (arrays never
+    ride the dedup shuffle); candidates get an exact-cosine verification at
+    ``threshold``. Cost: linear bucketing + per-bucket self-joins bounded
+    by bucket occupancy (2^n_planes buckets/table) — never all-pairs.
+    Precision is exact (verification); only recall is approximate:
+    P[candidate] = 1-(1-p^b)^L with p = 1-angle/pi, so near-identical
+    pairs (the dedup regime) are found with ~certainty while low-cosine
+    pairs may be missed. Measured against the exact join in
+    tests/test_similarity.py.
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    lhs = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    rhs = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
+        lhs.join(rhs, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    with_norm = df.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_n")
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na")
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb")
+    )
+    scored = cand.join(a, "id_a").join(b, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot_fixed(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure-python LCG; no
     numpy dependency in the plan, values baked into the expression as

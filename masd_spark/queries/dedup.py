@@ -171,9 +171,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup: embedding pairs with cosine >= 0.35. Exact
-    self-join at fixture scale; LSH-bucketed variant for corpus scale
-    (operators/similarity.py:lsh_bucket).
+    """Semantic near-dup GROUND TRUTH: the exact all-pairs self-join at
+    cosine >= 0.35. Fixture-scale only (O(n^2)) — it exists as the oracle
+    baseline and recall yardstick for ``dedup_embedding_cosine_bucketed``,
+    which is the registered corpus-scale plan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.35, dim=64)
+
+
+# LSH parameters for the bucketed near-dup (shared by the Spark query, the
+# DuckDB oracle generator, and the recall test): 16 OR-ed tables of 4 sign
+# bits, matched to the fixture's similarity band (pairs live in
+# [0.35, 0.51] cosine; p_same_bit = 1-angle/pi ≈ 0.61 at the 0.35 floor,
+# so recall = 1-(1-p^4)^16 ≈ 0.91 there, higher above). Tuning rule for a
+# true near-dup corpus (cos >= 0.85, p >= 0.82): raise n_planes (16) and
+# lower n_tables (8) — recall stays ~0.97 while random-pair collisions
+# drop to ~1e-4 of all pairs, which is where the quadratic term dies.
+_EMB_DIM = 64
+_EMB_PLANES = 4
+_EMB_TABLES = 16
+_EMB_SEED = 42
+_EMB_THRESHOLD = 0.35
+
+
+def _bucketed_cosine_oracle() -> str:
+    """DuckDB twin of the FULL bucketed pipeline: the hyperplanes are
+    deterministic literals, so the oracle recomputes the same sign-bit
+    buckets with list_dot_product, the same candidate join, and the same
+    exact-cosine verification — a value-level hash check, not rows-only.
+    """
+    from masd_spark.operators.similarity import _hyperplanes
+
+    table_selects = []
+    for t in range(_EMB_TABLES):
+        planes = _hyperplanes(_EMB_DIM, _EMB_PLANES, _EMB_SEED + 1000 * t)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+        )
+    buckets_sql = " UNION ALL ".join(table_selects)
+    return f"""
+    WITH buckets AS ({buckets_sql}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b USING (tbl, bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6)
+          >= {_EMB_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_cosine_bucketed", oracle=_bucketed_cosine_oracle())
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup, corpus-scale plan: OR-amplified sign-bit LSH
+    buckets -> per-bucket candidate self-join -> exact-cosine verification
+    (operators/similarity.py:cosine_pairs_bucketed). Linear bucketing +
+    occupancy-bounded joins — no all-pairs stage; the oracle recomputes
+    the identical pipeline in SQL (plane literals shared).
+    """
+    from masd_spark.operators.similarity import cosine_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_bucketed(
+        emb,
+        threshold=_EMB_THRESHOLD,
+        dim=_EMB_DIM,
+        n_planes=_EMB_PLANES,
+        n_tables=_EMB_TABLES,
+        seed=_EMB_SEED,
+    )

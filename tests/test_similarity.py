@@ -14,6 +14,38 @@ def test_ann_cosine_topk_parity(spark):
     compare_query(spark, REGISTRY["ann_cosine_topk"], SF_ORACLE)
 
 
+def test_bucketed_cosine_parity(spark):
+    compare_query(spark, REGISTRY["dedup_embedding_cosine_bucketed"], SF_ORACLE)
+
+
+def test_bucketed_cosine_recall_and_precision(spark):
+    """The bucketed near-dup must (a) return ONLY pairs the exact join
+    returns, with identical scores (precision 1.0 — verification is exact),
+    and (b) find nearly all pairs in the high-cosine regime it targets."""
+    exact = REGISTRY["dedup_embedding_cosine"].fn(spark, SF_ORACLE).cache()
+    bucketed = REGISTRY["dedup_embedding_cosine_bucketed"].fn(spark, SF_ORACLE).cache()
+    # precision: bucketed ⊆ exact (same scores on the shared pair keys)
+    extra = bucketed.join(exact, ["id_a", "id_b", "cos_sim"], "left_anti").count()
+    assert extra == 0, f"bucketed emitted {extra} pairs the exact join lacks"
+    # recall across the fixture's whole band (cos in [0.35, 0.51]): the
+    # (4 planes, 16 tables) setting predicts >= 0.91 at the 0.35 floor.
+    n_exact = exact.count()
+    assert n_exact > 0, "fixture should contain near-dup pairs"
+    found = exact.join(bucketed, ["id_a", "id_b"], "left_semi").count()
+    recall = found / n_exact
+    assert recall >= 0.85, f"recall {recall:.2f} ({found}/{n_exact})"
+
+
+def test_bucketed_cosine_no_nested_loop_plan(spark):
+    """The registered near-dup plan must not contain an all-pairs join:
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    from masd_spark.plans.explain import physical_plan
+
+    df = REGISTRY["dedup_embedding_cosine_bucketed"].fn(spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_lsh_topk_recall(spark):
     """LSH top-k is approximate; recall vs brute force must be non-trivial
     and every returned neighbor must be a genuine bucket-mate with correct
