@@ -127,16 +127,23 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, jaccard >=
     threshold).
 
     Plan: shingle rows self-join on shingle (shuffle keyed by shingle) ->
     per-pair intersection counts with sizes carried map-side -> jaccard
-    filter. Hot shingles create join skew at scale: mitigate by dropping
-    shingles with document-frequency above a cap (they contribute
-    candidates that banding would find anyway) — the fixture corpus has no
-    such stop-shingles, so no cap is applied.
+    filter. Hot shingles create join skew at scale — a single stop-shingle
+    with document frequency d contributes d^2 candidate rows to ONE
+    reducer. ``max_df`` is the mitigation: shingles with df > max_df are
+    excluded from CANDIDATE GENERATION only; verification still counts the
+    intersection over the FULL shingle sets, so every emitted pair carries
+    its true Jaccard. The semantics are therefore: exact scores, recall
+    limited to pairs sharing at least one sub-cap shingle — and the result
+    is bit-identical to the uncapped join whenever max_df >= the corpus's
+    max document frequency (tests pin both properties). Per-shingle join
+    work is bounded by max_df^2.
     """
     sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
     a = sh.select(
@@ -145,7 +152,24 @@ def jaccard_pairs(
     b = sh.select(
         F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
     )
-    pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    if max_df is None:
+        pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+        return _pair_jaccard(pairs, threshold)
+    # df-capped path: candidates from rare shingles only (the df count and
+    # both join sides share the shingle-keyed shuffle), then the minhash-
+    # style verification joins the full sets back by doc id.
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= max_df
+    ).select("shingle")
+    ra = a.select("doc_a", "shingle").join(rare, "shingle")
+    rb = b.select("doc_b", "shingle").join(rare, "shingle")
+    candidates = (
+        ra.join(rb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pairs = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
     return _pair_jaccard(pairs, threshold)
 
 

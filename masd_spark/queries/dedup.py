@@ -105,6 +105,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir))
 
 
+_JACCARD_MAX_DF = 50
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING count(*) <= {_JACCARD_MAX_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the document-frequency cap (max_df=50) that
+    keeps the shingle self-join skew-bounded at corpus scale: stop-shingles
+    never enter candidate generation (per-shingle join work <= max_df^2),
+    while verification still scores the FULL shingle sets.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, k=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir), max_df=_JACCARD_MAX_DF,
+    )
+
+
 def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
     rows_per_band = n_hashes // n_bands
     sig_cols = ", ".join(

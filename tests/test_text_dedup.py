@@ -16,6 +16,7 @@ ORACLE_QUERIES = [
     "text_fingerprint",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
 ]
@@ -24,6 +25,39 @@ ORACLE_QUERIES = [
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_jaccard_max_df_invariance_when_cap_exceeds_corpus(spark):
+    """With max_df >= the corpus's max shingle df, the capped join must be
+    row-identical to the uncapped one (the cap only prunes candidates that
+    a hot shingle would have generated)."""
+    from masd_spark.operators.dedup import jaccard_pairs
+    from masd_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plain = sorted(map(tuple, jaccard_pairs(docs, threshold=0.1).collect()))
+    capped = sorted(
+        map(tuple, jaccard_pairs(docs, threshold=0.1, max_df=10**9).collect())
+    )
+    assert plain == capped and len(plain) > 0
+
+
+def test_jaccard_max_df_bounds_hot_shingle(spark):
+    """Skew fixture: every doc shares one stop-phrase. Uncapped, the hot
+    shingle alone feeds n^2 candidate rows through one reducer and emits
+    all pairs at a low threshold; capped, it never enters the join."""
+    from masd_spark.operators.dedup import jaccard_pairs
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"aaa bbb ccc unique{i} tail{i} end{i}") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    uncapped = jaccard_pairs(docs, threshold=0.01)
+    assert uncapped.count() == n * (n - 1) // 2  # all pairs via the stop-shingle
+    capped = jaccard_pairs(docs, threshold=0.01, max_df=2)
+    assert capped.count() == 0  # hot shingle excluded -> no candidates at all
 
 
 def test_quality_features_empty_and_whitespace_docs(spark):
