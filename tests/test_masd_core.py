@@ -11,9 +11,12 @@ REGISTRY = load_all()
 
 ORACLE_QUERIES = [
     "masd_sensor_rollup",
+    "masd_sliding_rollup",
     "masd_all_malformed_groups",
     "masd_try_cast_boundary",
     "masd_parse_sensor_json",
+    "masd_nested_document_flat",
+    "masd_malformed_envelope",
 ]
 
 

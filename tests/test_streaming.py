@@ -69,6 +69,57 @@ def test_stream_matches_batch_twin(spark, tmp_path):
     assert last_emission == expected
 
 
+def test_sliding_window_stream_matches_batch_twin(spark, tmp_path):
+    """Sliding windows (slide != window) through the STREAMING path: each
+    event lands in window/slide = 4 overlapping windows; the update-mode
+    last emission per key must equal the batch twin with the same slide."""
+    src = str(tmp_path / "slide_drops")
+    n = write_json_drops(src, CFG, n_files=3)
+    assert n > 0
+
+    collected: list = []
+    stream = read_file_sensor_stream(spark, src)
+    agg = sensor_pipeline(
+        stream,
+        window_duration="1 minute",
+        slide_duration="15 seconds",
+        watermark_delay="10 minutes",
+        nest=False,
+    )
+    q = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "slide_out"),
+        checkpoint_dir=str(tmp_path / "slide_ckpt"),
+        available_now=True,
+        write_batch=_collecting_sink(collected),
+    )
+    q.awaitTermination(300)
+
+    last_emission: dict = {}
+    for batch_id, rows in sorted(collected, key=lambda x: x[0]):
+        for r in rows:
+            key = (r["window"]["start"], r["station_id"], r["sensor_id"])
+            last_emission[key] = (r["total_count"], r["valid_count"])
+
+    batch = sensor_pipeline(
+        readings_df(spark, CFG),
+        window_duration="1 minute",
+        slide_duration="15 seconds",
+        nest=False,
+    )
+    expected = {
+        (r["window"]["start"], r["station_id"], r["sensor_id"]): (
+            r["total_count"],
+            r["valid_count"],
+        )
+        for r in batch.collect()
+    }
+    assert last_emission == expected
+    # slide produces strictly more (overlapping) windows than tumbling
+    tumbling = sensor_pipeline(readings_df(spark, CFG), nest=False).count()
+    assert len(expected) > tumbling
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """A row arriving (in a later micro-batch) with event time older than
     the committed watermark is dropped from the aggregation (reference
