@@ -19,6 +19,22 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Round-1 per-query seconds at sf0.1 / local[32] — the explicit regression
+# bar: any headline query slower than 2x its r01 time fails the run loudly
+# (stderr + "regressions" key), per VERDICT r01 item 10.
+R01_BASELINE: dict[str, float] = {
+    "masd_sensor_rollup": 5.935,
+    "q1_pricing_summary": 3.936,
+    "q3_shipping_priority": 3.758,
+    "q5_nation_revenue": 3.101,
+    "sessionize_events": 2.309,
+    "asof_join_purchases": 1.879,
+    "dedup_ngram_jaccard": 10.547,
+    "dedup_minhash_lsh": 5.694,
+    "ann_cosine_topk": 9.389,
+}
+REGRESSION_FACTOR = 2.0
+
 
 def main() -> None:
     sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +63,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # regression check vs the r01 baseline (only meaningful at sf0.1, the
+    # scale the baseline was recorded at)
+    regressions: dict[str, dict[str, float]] = {}
+    if abs(sf - 0.1) < 1e-9:
+        for name, r01 in R01_BASELINE.items():
+            now = timings.get(name)
+            if now is not None and now > REGRESSION_FACTOR * r01:
+                regressions[name] = {"r01": r01, "now": now, "ratio": round(now / r01, 2)}
+        for name, r in regressions.items():
+            print(
+                f"[bench] REGRESSION {name}: {r['now']}s vs r01 {r['r01']}s "
+                f"({r['ratio']}x > {REGRESSION_FACTOR}x bar)",
+                file=sys.stderr,
+            )
+        deltas = {
+            n: round(timings[n] / R01_BASELINE[n], 2)
+            for n in R01_BASELINE
+            if n in timings
+        }
+        print(f"[bench] ratio vs r01 per query: {deltas}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -55,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )

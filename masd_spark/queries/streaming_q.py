@@ -25,23 +25,48 @@ from masd_spark.streaming.pipeline import (
 )
 
 
+_KEY_COLS = ["window_start_ms", "station_id", "station_name", "sensor_id"]
+
+
 @register("streaming_masd_rollup")
 def streaming_masd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline run AS A STREAM (file-drop micro-batches ->
     watermark -> windowed metrics -> foreachBatch), reduced to the last
     emission per (window, station, sensor) — i.e. the document set the
-    keyed sink would hold after an upsert. ``sf_dir`` selects nothing
-    (input is the seeded simulator); kept for the harness signature.
+    keyed sink would hold after an upsert. The upsert reduction is itself
+    Spark-side: micro-batches land in parquet stamped with ``batch_id``,
+    and a window (`row_number` over batch_id desc) keeps the latest row
+    per key — no driver collect() anywhere, the same pattern an upsert
+    sink uses at scale. ``sf_dir`` selects nothing (input is the seeded
+    simulator); kept for the harness signature.
     """
+    from pyspark.sql import Window
+
     workdir = tempfile.mkdtemp(prefix="masd_stream_q_")
     src = os.path.join(workdir, "drops")
+    sink_dir = os.path.join(workdir, "sink")
     try:
         cfg = SimulatorConfig(duration_ms=120_000, seed=13)
         write_json_drops(src, cfg, n_files=3)
-        collected: list = []
 
-        def collect_batch(batch_df: DataFrame, batch_id: int, _path: str) -> None:
-            collected.append((batch_id, batch_df.collect()))
+        def write_batch(batch_df: DataFrame, batch_id: int, _path: str) -> None:
+            (
+                batch_df.select(
+                    F.unix_millis("window.start").alias("window_start_ms"),
+                    "station_id",
+                    "station_name",
+                    "sensor_id",
+                    "total_count",
+                    "valid_count",
+                    "malformed_count",
+                    "avg_val",
+                    "min_val",
+                    "max_val",
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
 
         agg = sensor_pipeline(
             read_file_sensor_stream(spark, src),
@@ -50,43 +75,29 @@ def streaming_masd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = start_keyed_sink(
             agg,
-            path=os.path.join(workdir, "out"),
+            path=sink_dir,
             checkpoint_dir=os.path.join(workdir, "ckpt"),
             available_now=True,
-            write_batch=collect_batch,
+            write_batch=write_batch,
         )
         q.awaitTermination(600)
 
-        last: dict = {}
-        for batch_id, rows in sorted(collected, key=lambda x: x[0]):
-            for r in rows:
-                key = (
-                    r["window"]["start"],
-                    r["station_id"],
-                    r["station_name"],
-                    r["sensor_id"],
-                )
-                last[key] = r
-        out_rows = [
-            {
-                "window_start_ms": int(k[0].timestamp() * 1000),
-                "station_id": k[1],
-                "station_name": k[2],
-                "sensor_id": k[3],
-                "total_count": r["total_count"],
-                "valid_count": r["valid_count"],
-                "malformed_count": r["malformed_count"],
-                "avg_val": None if r["avg_val"] is None else round(r["avg_val"], 6),
-                "min_val": r["min_val"],
-                "max_val": r["max_val"],
-            }
-            for k, r in last.items()
-        ]
-        schema = (
-            "window_start_ms long, station_id string, station_name string, "
-            "sensor_id string, total_count long, valid_count long, "
-            "malformed_count long, avg_val double, min_val double, max_val double"
+        w = Window.partitionBy(*_KEY_COLS).orderBy(F.col("batch_id").desc())
+        latest = (
+            spark.read.parquet(sink_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *_KEY_COLS,
+                "total_count",
+                "valid_count",
+                "malformed_count",
+                F.round("avg_val", 6).alias("avg_val"),
+                "min_val",
+                "max_val",
+            )
         )
-        return spark.createDataFrame(out_rows, schema)
+        # materialize before the tempdir (the parquet source) is removed
+        return latest.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -36,7 +36,34 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == n_direct > 0
 
 
-def test_mongo_writer_options_shape():
+def test_mongo_writer_options_contract():
+    """Option keys must be exactly the MongoDB Spark Connector 10.x
+    writer-level names (unprefixed — the `spark.mongodb.write.` prefix is
+    a SparkConf spelling, not a DataFrameWriter.options() one)."""
+    from masd_spark.sources.io import MONGO_WRITER_OPTION_NAMES
+
     opts = mongo_writer_options("mongodb://rs0/", "masd", "station_perugia")
-    assert opts["spark.mongodb.collection"] == "station_perugia"
-    assert opts["spark.mongodb.write.writeConcern.w"] == "majority"
+    assert set(opts) == MONGO_WRITER_OPTION_NAMES
+    assert opts["connection.uri"] == "mongodb://rs0/"
+    assert opts["database"] == "masd"
+    assert opts["collection"] == "station_perugia"
+    assert opts["writeConcern.w"] == "majority"
+
+
+def test_mongo_keyed_batch_writer_fanout(spark):
+    """The collection-per-key skeleton: one write per distinct key, rows
+    routed to the right collection, only KEYS ever reach the driver."""
+    from masd_spark.sources.io import mongo_keyed_batch_writer
+
+    batch = spark.createDataFrame(
+        [("perugia", 1.0), ("perugia", 2.0), ("terni", 3.0)], ["sid", "v"]
+    )
+    writes: list = []
+    writer = mongo_keyed_batch_writer(
+        "mongodb://rs0/",
+        "masd",
+        key_col="sid",
+        write_fn=lambda df, opts: writes.append((opts["collection"], df.count())),
+    )
+    writer(batch, batch_id=0, _path="")
+    assert writes == [("station_perugia", 2), ("station_terni", 1)]
