@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from masd_spark.operators.text import fingerprint_md5, tokens
+from masd_spark.operators.text import fingerprint_md5, simhash32, tokens
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -171,6 +171,65 @@ def jaccard_pairs(
     )
     pairs = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
     return _pair_jaccard(pairs, threshold)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """All pairs of documents whose 32-bit SimHash fingerprints differ in
+    at most ``max_hamming`` bits — EXACT (not approximate), via pigeonhole
+    blocking: with ``n_bands`` byte-bands and max_hamming < n_bands, any
+    qualifying pair agrees exactly on >= 1 band, so banded equi-join
+    candidates have recall 1.0 and the Hamming verification makes
+    precision 1.0. Cost: one fingerprint aggregation (linear) + band
+    equi-joins bounded by band-value occupancy — never all-pairs. The
+    standard 100 TB near-dup screen when Jaccard-grade fidelity isn't
+    needed.
+    """
+    if not max_hamming < n_bands:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < n_bands, got "
+            f"{max_hamming} >= {n_bands}"
+        )
+    band_bits = 32 // n_bands
+    fp = simhash32(df, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(f"simhash div {2 ** (band_bits * b)} % {2 ** band_bits}").alias(
+                "val"
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bv")
+    ).select(id_col, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    cand = (
+        banded.select(F.col(id_col).alias("doc_a"), "band", "val")
+        .join(banded.select(F.col(id_col).alias("doc_b"), "band", "val"), ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("_ha"))
+    fb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def minhash_signatures(

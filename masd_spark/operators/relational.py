@@ -126,3 +126,36 @@ def asof_join(
         *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    radius: int,
+) -> DataFrame:
+    """Band/range join: all (left, right) pairs with the same keys and
+    ``|left_ts - right_ts| <= radius`` (timestamps and radius in the same
+    integer unit, e.g. epoch-ms).
+
+    A naive theta-join on the interval predicate plans as a nested loop
+    (all pairs per key). The scale shape is bin-and-probe: the right side
+    gets one bin row (``ts div radius``), the left side probes its own bin
+    and both neighbors (3 rows), the join is EQUI on (keys, bin), and the
+    exact interval predicate filters the candidates. Any qualifying pair
+    shares a probed bin (|Δ| <= radius spans at most one bin boundary),
+    and each pair meets exactly once (the right row has one bin) — exact
+    result, no distinct needed, join work bounded by bin occupancy.
+    Inner join only: the probe explosion would triple null-extension rows
+    of an outer join.
+    """
+    r = right.withColumn("_bin", F.expr(f"{right_ts} div {radius}"))
+    probes = F.array(
+        *[F.expr(f"{left_ts} div {radius} + ({d})") for d in (-1, 0, 1)]
+    )
+    joined = left.withColumn("_bin", F.explode(probes)).join(r, [*on, "_bin"])
+    return joined.filter(
+        F.abs(F.col(left_ts) - F.col(right_ts)) <= radius
+    ).drop("_bin")

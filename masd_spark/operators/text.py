@@ -102,6 +102,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style split of text into word /
+# number / punctuation-run pieces with their leading space. Counting these
+# pieces approximates (within ~10-15%) a real BPE token count without a
+# vocab — the standard cheap budget estimator in LLM data pipelines. The
+# pattern is RE2-safe (no lookarounds) so any engine reproduces it.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pieces (see BPE_SPLIT_PATTERN) — vectorized
+    regexp_extract_all + size, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("bigint")
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash fingerprint per document.
 

@@ -203,6 +203,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_oracle(max_hamming: int = 3, n_bands: int = 4) -> str:
+    from masd_spark.queries.text import _simhash_oracle
+
+    band_bits = 32 // n_bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash // {2 ** (band_bits * b)}) % {2 ** band_bits} AS val FROM sim"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sim AS ({_simhash_oracle()}),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, val)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sim sa ON sa.doc_id = c.doc_a
+    JOIN sim sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_pairs_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3 over 32-bit fingerprints) —
+    EXACT via pigeonhole band blocking (4 byte-bands; <=3 differing bits
+    leave >=1 band identical, so the banded equi-join has recall 1.0 and
+    verification keeps precision 1.0). Linear fingerprinting + occupancy-
+    bounded band joins: the cheapest 100 TB near-dup screen.
+    """
+    from masd_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, n_bands=4)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""

@@ -624,3 +624,45 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("event_time").alias("click_ts_ms"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "range_join_clicks_purchases",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS c_ms
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, epoch_ms(ts) AS p_ms, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           count(*) AS n_nearby,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id AND abs(c.c_ms - p.p_ms) <= 1800000
+    GROUP BY 1, 2
+    """,
+)
+def range_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/relational.py:range_join): purchases within
+    +/-30 min of each click by the same user, aggregated per click. The
+    interval predicate runs as a bin-and-probe EQUI join (bin = ts div
+    radius, 3 probe bins) — never the nested-loop theta-join DuckDB's
+    oracle form would naively suggest.
+    """
+    from masd_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.expr("ts div 1000000").alias("c_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("ts div 1000000").alias("p_ms"), "value"
+    )
+    j = range_join(clicks, purchases, ["user_id"], "c_ms", "p_ms", 1_800_000)
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_nearby"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )

@@ -7,11 +7,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from masd_spark.operators.text import (
+    BPE_SPLIT_PATTERN,
     LANG_STOPWORDS,
+    bpe_token_count,
     fingerprint_md5,
     language_id,
     quality_features,
     simhash32,
+    token_count,
 )
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
@@ -56,6 +59,42 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_token_len",
         "alpha_ratio",
         "distinct_stopwords",
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+               len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS n_bpe
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN n_bpe > 0
+                THEN ROUND(CAST(length(text) AS DOUBLE) / n_bpe, 6)
+                END AS chars_per_bpe_token
+    FROM q
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways an LLM pipeline needs it: whitespace words
+    and BPE-ish pieces (GPT-2-style word/number/punct split — the cheap
+    token-budget estimator). Pure regexp column math, no UDF, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(
+            n_bpe > 0, F.round(F.length("text") / n_bpe, 6)
+        ).alias("chars_per_bpe_token"),
     )
 
 

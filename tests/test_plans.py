@@ -76,6 +76,14 @@ def test_masd_rollup_partial_aggregation(spark):
     assert count_exchanges(df) == 1, plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The interval predicate must run as bin-and-probe equi join, never
+    a nested-loop theta join."""
+    df = _q(spark, "range_join_clicks_purchases")
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_events_scan_prunes_columns(spark):
     """json_extract reads only (event_id, props) from the 6-column table."""
     df = _q(spark, "json_extract_events")

@@ -27,6 +27,7 @@ RELATIONAL = [
     "json_extract_events",
     "sessionize_events",
     "asof_join_purchases",
+    "range_join_clicks_purchases",
 ]
 
 

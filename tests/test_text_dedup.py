@@ -19,12 +19,40 @@ ORACLE_QUERIES = [
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_simhash",
+    "text_token_stats",
 ]
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_simhash_pairs_exact_vs_brute_force(spark):
+    """Pigeonhole blocking must be EXACT: the banded pair set equals the
+    all-pairs Hamming filter at smoke scale."""
+    from masd_spark.operators.dedup import simhash_pairs
+    from masd_spark.operators.text import simhash32
+    from masd_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    banded = sorted(map(tuple, simhash_pairs(docs, max_hamming=3).collect()))
+
+    fp = simhash32(docs).collect()
+    brute = sorted(
+        (
+            min(a["doc_id"], b["doc_id"]),
+            max(a["doc_id"], b["doc_id"]),
+            bin(a["simhash"] ^ b["simhash"]).count("1"),
+        )
+        for i, a in enumerate(fp)
+        for b in fp[i + 1:]
+        if bin(a["simhash"] ^ b["simhash"]).count("1") <= 3
+    )
+    assert banded == brute
+    assert len(banded) > 0, "fixture should contain simhash near-dups"
 
 
 def test_jaccard_max_df_invariance_when_cap_exceeds_corpus(spark):
