@@ -259,6 +259,104 @@ def _bucket_array(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: in
     return F.array(*entries)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: the corpus is
+    partitioned into ``n_centroids`` cells by nearest centroid; a query
+    scans only its ``n_probe`` nearest cells and re-ranks candidates with
+    the exact cosine.
+
+    Centroids are a deterministic seeded sample of corpus vectors (the
+    ``n_centroids`` smallest ``xxhash64(id, seed)`` — no RNG, stable under
+    retries); only these few vectors ever reach the driver, where they
+    become plan literals. Assignment is a map-side argmax over literal
+    centroid expressions (``greatest`` on (cos, cid) structs — struct
+    ordering is lexicographic, so ties break to the higher cid
+    deterministically); the candidate join is EQUI on the cell id, bounded
+    by cell occupancy — never corpus x queries. Expected work per query:
+    n_probe/n_centroids of the corpus. At real scale the sample becomes a
+    k-means refinement job and cells become partition keys; the query-side
+    plan is unchanged.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cents: list[tuple[int, list[float], float]] = []
+    for i, r in enumerate(cent_rows):
+        v = [float(x) for x in r[vec_col]]
+        cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))
+
+    def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
+        # HOF dot against a literal centroid (compact expression; see
+        # lsh_bucket for why not the unrolled form here)
+        plane = F.array(*[F.lit(x) for x in cvec])
+        return F.struct(
+            (dot(F.col(vec_col), plane) / (norm_col * F.lit(cnorm))).alias("c"),
+            F.lit(cid).alias("cid"),
+        )
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_n")
+    )
+    assigned = c.withColumn(
+        "_cid",
+        F.greatest(*[_cos_struct(cid, v, nn, F.col("_n")) for cid, v, nn in cents])["cid"],
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm_fixed(F.col(vec_col), dim).alias("_qn"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (dot(F.col("_qvec"), F.array(*[F.lit(x) for x in v]))
+                 / (F.col("_qn") * F.lit(nn))).alias("c"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, v, nn in cents
+        ]
+    )
+    probes = q.select(
+        query_id_col,
+        F.explode(
+            F.slice(F.reverse(F.array_sort(probe_structs)), 1, n_probe)
+        ).alias("_p"),
+    ).select(query_id_col, F.col("_p.cid").alias("_cid"))
+    candidates = (
+        assigned.join(F.broadcast(probes), "_cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .join(F.broadcast(q.select(query_id_col, "_qvec")), query_id_col)
+    )
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_fixed(F.col("_qvec"), F.col(vec_col), dim), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

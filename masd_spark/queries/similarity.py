@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from masd_spark.operators.similarity import brute_force_topk, lsh_topk
+from masd_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
 
@@ -54,6 +54,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an IVF index (16 cells, 4 probes): each
+    query scans ~1/4 of the corpus. No oracle (centroid literals are
+    engine-side); rows-only + recall vs ann_cosine_topk in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10, n_centroids=16, n_probe=4
+    )
 
 
 @register("ann_lsh_topk")

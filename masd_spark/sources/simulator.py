@@ -92,20 +92,30 @@ def readings_df(spark: SparkSession, cfg: SimulatorConfig | None = None) -> Data
 
 
 def write_json_drops(
-    path: str, cfg: SimulatorConfig | None = None, n_files: int = 4
+    path: str, cfg: SimulatorConfig | None = None, n_files: int = 4,
+    split: str = "roundrobin",
 ) -> int:
     """Write readings as n_files JSON-lines files (a file-source stream:
     each file becomes one micro-batch with maxFilesPerTrigger=1). Returns
-    the row count. Rows are split round-robin so every file spans the full
-    time range — exercising multi-trigger window updates.
+    the row count. ``split='roundrobin'`` makes every file span the full
+    time range — exercising multi-trigger window updates;
+    ``split='time'`` cuts contiguous slices of the (stable) time-sorted
+    rows — batches arrive in event-time order, as an order-sensitive
+    stateful operator (streaming/stateful.py) requires.
     """
     import os
 
     rows = generate_readings(cfg)
     os.makedirs(path, exist_ok=True)
     buckets: list[list[dict]] = [[] for _ in range(n_files)]
-    for i, r in enumerate(rows):
-        buckets[i % n_files].append(r)
+    if split == "time":
+        rows_sorted = sorted(rows, key=lambda r: r["timestamp"])  # stable
+        chunk = (len(rows_sorted) + n_files - 1) // n_files
+        for i in range(n_files):
+            buckets[i] = rows_sorted[i * chunk:(i + 1) * chunk]
+    else:
+        for i, r in enumerate(rows):
+            buckets[i % n_files].append(r)
     for i, bucket in enumerate(buckets):
         with open(os.path.join(path, f"drop_{i:03d}.json"), "w") as fh:
             for r in bucket:

@@ -46,6 +46,24 @@ def test_bucketed_cosine_no_nested_loop_plan(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_ivf_topk_recall(spark):
+    """IVF scans n_probe/n_centroids of the corpus; scores must agree with
+    the exact query on overlapping pairs and recall must clear the
+    fraction-scanned floor by a wide margin (near neighbors concentrate in
+    the probed cells)."""
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).cache()
+    approx = REGISTRY["ann_ivf_topk"].fn(spark, SF_ORACLE).cache()
+    overlap = exact.join(approx, ["query_id", "vec_id"], "inner")
+    n_exact = exact.count()
+    assert n_exact > 0
+    mismatched = overlap.filter(
+        F.abs(exact["cos_sim"] - approx["cos_sim"]) > 1e-9
+    ).count()
+    assert mismatched == 0
+    recall = overlap.count() / n_exact
+    assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
+
+
 def test_lsh_topk_recall(spark):
     """LSH top-k is approximate; recall vs brute force must be non-trivial
     and every returned neighbor must be a genuine bucket-mate with correct

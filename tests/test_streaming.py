@@ -241,6 +241,56 @@ def test_session_window_streaming(spark, tmp_path):
         assert r["session_window"]["start"] < r["session_window"]["end"]
 
 
+def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
+    """applyInPandasWithState custom operator: per-sensor EWMA carried
+    across micro-batches in GroupState must equal the sequential fold over
+    the full (time-ordered) reading history."""
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.sources.simulator import generate_readings
+    from masd_spark.streaming.stateful import streaming_sensor_ewma
+
+    cfg = SimulatorConfig(duration_ms=30_000, seed=11)
+    src = str(tmp_path / "ewma_drops")
+    n = write_json_drops(src, cfg, n_files=3, split="time")
+    assert n > 0
+
+    stream = classify_validity(read_file_sensor_stream(spark, src))
+    out = streaming_sensor_ewma(stream, alpha=0.3)
+
+    collected: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, bid: collected.append((bid, df.collect()))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    last: dict = {}
+    for bid, rows in sorted(collected, key=lambda x: x[0]):
+        for r in rows:
+            last[(r["station_id"], r["sensor_id"])] = (r["n_valid"], r["ewma"])
+
+    expected: dict = {}
+    for r in sorted(generate_readings(cfg), key=lambda r: r["timestamp"]):
+        if r["value"] == "<<bad_data>>":
+            continue
+        k = (r["station_id"], r["sensor_id"])
+        n_prev, ew = expected.get(k, (0, None))
+        v = float(r["value"])
+        ew = v if ew is None else 0.3 * v + 0.7 * ew
+        expected[k] = (n_prev + 1, ew)
+
+    assert set(last) == set(expected)
+    for k, (n_exp, ew_exp) in expected.items():
+        n_got, ew_got = last[k]
+        assert n_got == n_exp, k
+        assert abs(ew_got - ew_exp) < 1e-9, k
+
+
 def test_sink_error_policy(spark, tmp_path):
     """on_error='fail' propagates a sink failure (checkpoint not advanced
     past it); on_error='skip' reproduces the reference's log-and-continue
