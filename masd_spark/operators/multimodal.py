@@ -80,6 +80,43 @@ def decode_audio(payload: bytes):
         ) from exc
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 8,
+    stride: int = 8,
+) -> DataFrame:
+    """Frame sampling: fixed-length byte slices at ``stride`` offsets from
+    each payload — the 1->N row-expansion shape a real video frame-sampler
+    uses (one input row yields many frame rows), via mapInPandas with
+    Arrow batches. Map-side only: frames are emitted in the same task that
+    read the payload, nothing shuffles. A real decoder replaces the slice
+    with codec output; the plan is unchanged.
+    """
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j, off in enumerate(
+                    range(0, max(len(b) - frame_len + 1, 0), stride)
+                ):
+                    ids.append(did)
+                    idxs.append(j)
+                    frames.append(b[off:off + frame_len])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return narrow.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def byte_stats_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Deterministic fake 'decoder': per-payload byte statistics via
     mapInPandas (Arrow batches of binary values -> pandas -> typed rows).

@@ -44,6 +44,40 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, md5(text) || md5(reverse(text)) AS payload_hex
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT) AS frame_idx,
+           substr(payload_hex, j * 16 + 1, 16) AS frame_hex
+    FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video payloads: the mapInPandas 1->N
+    expansion emits real binary frame rows; the oracle reproduces each
+    8-byte frame as the matching 16-char slice of the payload's hex
+    (payload bytes ARE md5 material on both sides), so the frame CONTENT
+    is value-checked, not just counted.
+    """
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    videos = docs.filter((F.col("doc_id") % 3) == 2)
+    frames = frame_sample(attach_binary_payload(videos), frame_len=8, stride=8)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
 @register("multimodal_byte_features")
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decode feature extraction through the real mapInPandas Arrow

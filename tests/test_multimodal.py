@@ -44,3 +44,29 @@ def test_byte_features_match_reference(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00" * 16)
+
+
+def test_frame_sample_parity(spark):
+    compare_query(spark, REGISTRY["multimodal_frame_sample"], SF_ORACLE)
+
+
+def test_frame_sample_bytes_match_reference(spark):
+    """The 1->N expansion must emit the exact payload slices: 4 frames of
+    8 bytes per 32-byte video payload, in order."""
+    from masd_spark.operators.multimodal import attach_binary_payload, frame_sample
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    videos = docs.filter((docs.doc_id % 3) == 2).limit(3)
+    texts = {r["doc_id"]: r["text"] for r in videos.collect()}
+    frames = frame_sample(attach_binary_payload(videos), frame_len=8, stride=8)
+    got: dict = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for doc_id, text in texts.items():
+        payload = (
+            hashlib.md5(text.encode()).digest()
+            + hashlib.md5(text[::-1].encode()).digest()
+        )
+        expected = {j: payload[j * 8:(j + 1) * 8] for j in range(4)}
+        assert got[doc_id] == expected

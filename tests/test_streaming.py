@@ -241,6 +241,48 @@ def test_session_window_streaming(spark, tmp_path):
         assert r["session_window"]["start"] < r["session_window"]["end"]
 
 
+def test_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: a streaming source joined to a broadcast
+    dimension — per-batch hash join against the static side, no stream
+    state. Row routing must match the batch twin exactly."""
+    src = str(tmp_path / "enrich_drops")
+    cfg = SimulatorConfig(duration_ms=20_000, seed=9)
+    n = write_json_drops(src, cfg, n_files=2)
+    assert n > 0
+
+    dim = spark.createDataFrame(
+        [("perugia", "PG"), ("foligno", "PG"), ("spoleto", "PG2")],
+        ["station_id", "province"],
+    )
+    stream = read_file_sensor_stream(spark, src)
+    enriched = stream.join(F.broadcast(dim), "station_id")
+
+    counts: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.groupBy("province").count().collect():
+            counts[r["province"]] = counts.get(r["province"], 0) + r["count"]
+
+    q = (
+        enriched.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = {
+        r["province"]: r["count"]
+        for r in readings_df(spark, cfg)
+        .join(F.broadcast(dim), "station_id")
+        .groupBy("province")
+        .count()
+        .collect()
+    }
+    assert counts == expected and sum(counts.values()) == n
+
+
 def test_stateful_ewma_matches_sequential_fold(spark, tmp_path):
     """applyInPandasWithState custom operator: per-sensor EWMA carried
     across micro-batches in GroupState must equal the sequential fold over
