@@ -666,3 +666,48 @@ def range_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nearby"),
         _dec_sum(F.col("value")).alias("sum_value"),
     )
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 50000)
+"""
+
+
+@register("subquery_exists_filter", oracle=_EXISTS_SQL)
+def subquery_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+    them into left-semi and left-anti hash joins (asserted in
+    test_plans.py), so the predicate runs at join speed, never as a
+    per-row re-scan. Identical ANSI text runs on both engines.
+    """
+    from masd_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@register("subquery_scalar_above_avg", oracle=_SCALAR_SUBQ_SQL)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter — plans as a one-row
+    broadcast (subquery result reused across all partitions, the fact
+    table scanned once).
+    """
+    from masd_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)

@@ -84,6 +84,15 @@ def test_range_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_exists_subqueries_decorrelate_to_joins(spark):
+    """EXISTS/NOT EXISTS must decorrelate into semi/anti joins — no
+    per-row subquery re-execution."""
+    df = _q(spark, "subquery_exists_filter")
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
 def test_events_scan_prunes_columns(spark):
     """json_extract reads only (event_id, props) from the 6-column table."""
     df = _q(spark, "json_extract_events")

@@ -28,6 +28,8 @@ RELATIONAL = [
     "sessionize_events",
     "asof_join_purchases",
     "range_join_clicks_purchases",
+    "subquery_exists_filter",
+    "subquery_scalar_above_avg",
 ]
 
 

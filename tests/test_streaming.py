@@ -241,6 +241,84 @@ def test_session_window_streaming(spark, tmp_path):
         assert r["session_window"]["start"] < r["session_window"]["end"]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition (purchase within 10 min after the click) — state
+    on both sides is bounded by the watermark + interval. Result must
+    equal the batch twin of the same join."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    base = 1_704_067_200_000
+    clicks = [
+        {"user_id": u, "ts": base + i * 60_000}
+        for u in range(3)
+        for i in range(10)
+    ]
+    purchases = [
+        {"user_id": u, "ts": base + i * 90_000 + 5_000, "amount": float(u * 100 + i)}
+        for u in range(3)
+        for i in range(7)
+    ]
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    for d, rows in [(cdir, clicks), (pdir, purchases)]:
+        os.makedirs(d)
+        mid = len(rows) // 2
+        for i, chunk in enumerate([rows[:mid], rows[mid:]]):
+            with open(os.path.join(d, f"f{i}.json"), "w") as fh:
+                for r in chunk:
+                    fh.write(_json.dumps(r) + "\n")
+
+    def src(d, schema, tcol):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withColumn(tcol, F.timestamp_millis(F.col("ts")))
+            .withWatermark(tcol, "1 minute")
+        )
+
+    c = src(cdir, "user_id long, ts long", "c_time").withColumnRenamed(
+        "ts", "c_ts"
+    )
+    p = src(pdir, "user_id long, ts long, amount double", "p_time").withColumnRenamed(
+        "ts", "p_ts"
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "c_time <= p_time AND p_time <= c_time + interval 10 minutes"
+        ) & (c["user_id"] == p["user_id"]),
+    ).select(c["user_id"], "c_ts", "p_ts", "amount")
+
+    collected: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: collected.append(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["c_ts"], r["p_ts"], r["amount"])
+        for batch in collected
+        for r in batch
+    )
+
+    expected = sorted(
+        (c_["user_id"], c_["ts"], p_["ts"], p_["amount"])
+        for c_ in clicks
+        for p_ in purchases
+        if c_["user_id"] == p_["user_id"]
+        and c_["ts"] <= p_["ts"] <= c_["ts"] + 600_000
+    )
+    assert got == expected and len(expected) > 0
+
+
 def test_stream_static_broadcast_join(spark, tmp_path):
     """Stream-static enrichment: a streaming source joined to a broadcast
     dimension — per-batch hash join against the static side, no stream
