@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         advanced,
         streaming_q,
+        pipeline,
     )
 
     return REGISTRY

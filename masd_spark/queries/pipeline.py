@@ -1,0 +1,139 @@
+"""End-to-end LLM data-prep pipeline: the composition proof.
+
+One registered query chains the engine's text operators the way a real
+training-data pipeline does — quality filter -> language filter -> exact
+dedup -> near-dup removal -> token budget — and the DuckDB oracle
+recomputes the ENTIRE chain, so the composition (not just each operator)
+is value-checked. Every stage is a shuffle-bounded DataFrame transform;
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.dedup import dedup_exact, jaccard_pairs
+from masd_spark.operators.text import (
+    BPE_SPLIT_PATTERN,
+    bpe_token_count,
+    language_id,
+    quality_features,
+)
+from masd_spark.queries import register
+from masd_spark.queries.text import _lex_values_sql
+from masd_spark.sources.tables import load_table
+
+MIN_TOKENS = 5
+MIN_ALPHA = 0.5
+
+_PIPELINE_SQL = f"""
+    WITH q AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+               CASE WHEN length(text) > 0 THEN
+                   ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              AS DOUBLE) / length(text), 6) END AS alpha
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id, text FROM q
+        WHERE n_tok >= {MIN_TOKENS} AND alpha >= {MIN_ALPHA}
+    ),
+    lex(lang_cand, tok) AS (VALUES {{lex_values}}),
+    toked AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM qual
+    ),
+    votes AS (
+        SELECT doc_id, lang_cand, count(*) AS votes
+        FROM toked JOIN lex USING (tok) GROUP BY doc_id, lang_cand
+    ),
+    best AS (
+        SELECT doc_id, lang_cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, lang_cand) AS rn
+        FROM votes
+    ),
+    en AS (
+        SELECT q.doc_id, q.text
+        FROM qual q JOIN best b ON q.doc_id = b.doc_id
+        WHERE b.rn = 1 AND b.lang_cand = 'en'
+    ),
+    fp AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM en
+    ),
+    keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+    kept AS (
+        SELECT d.doc_id, d.text
+        FROM fp d JOIN keep k ON d.doc_id = k.doc_id AND d.f = k.f
+    ),
+    ktoks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM kept
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                     for i in range(1, len(ts) - 1)])) AS shingle
+        FROM ktoks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_inter AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    )
+    SELECT k.doc_id,
+           CAST(len(regexp_extract_all(k.text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_b FROM pairs)
+"""
+
+
+@register(
+    "pipeline_llm_dataprep",
+    oracle=_PIPELINE_SQL.format(lex_values=_lex_values_sql()),
+)
+def pipeline_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> quality filter (>=5 tokens, alpha >= 0.5) -> English
+    only (stopword-vote language ID) -> exact dedup (keep smallest id per
+    fingerprint) -> near-dup removal (drop the larger id of every 3-gram
+    Jaccard >= 0.5 pair) -> per-survivor BPE-ish token count. Five stages,
+    five bounded shuffles, zero driver round-trips.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qual = (
+        quality_features(docs)
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS) & (F.col("alpha_ratio") >= MIN_ALPHA)
+        )
+        .select("doc_id", "text")
+    )
+    en = (
+        language_id(qual)
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id")
+        .join(qual, "doc_id")
+    )
+    deduped = dedup_exact(en)
+    near_dup_victims = jaccard_pairs(deduped, k=3, threshold=0.5).select("doc_b")
+    survivors = deduped.join(
+        near_dup_victims, deduped.doc_id == near_dup_victims.doc_b, "left_anti"
+    )
+    return survivors.select(
+        "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
+    )

@@ -21,7 +21,15 @@ ORACLE_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_simhash",
     "text_token_stats",
+    "pipeline_llm_dataprep",
 ]
+
+
+def test_pipeline_retains_rows(spark):
+    """The composed pipeline must keep a meaningful survivor set (guards
+    against a stage silently filtering everything)."""
+    n = REGISTRY["pipeline_llm_dataprep"].fn(spark, SF_ORACLE).count()
+    assert n > 50, n
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
