@@ -102,6 +102,28 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Cleaning / scrubbing regexes (RE2-safe, shared verbatim with the DuckDB
+# oracle). Order matters: tags out first, then PII masks, then whitespace.
+HTML_TAG_RE = r"<[^>]+>"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"[0-9][0-9 ()+.-]{6,}[0-9]"
+MULTI_WS_RE = r"\s+"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Pre-training scrub: strip markup tags, mask emails and long digit
+    runs (phone/account-shaped PII) with typed placeholders, collapse
+    whitespace. Pure chained regexp_replace — codegen'd, linear, no
+    shuffle; the standard cleaning stage before quality scoring.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, LONG_DIGITS_RE, "<NUMBER>")
+    c = F.regexp_replace(c, MULTI_WS_RE, " ")
+    return F.trim(c)
+
+
 # BPE-ish pre-tokenizer: the GPT-2-style split of text into word /
 # number / punctuation-run pieces with their leading space. Counting these
 # pieces approximates (within ~10-15%) a real BPE token count without a

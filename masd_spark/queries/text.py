@@ -8,8 +8,13 @@ from pyspark.sql import functions as F
 
 from masd_spark.operators.text import (
     BPE_SPLIT_PATTERN,
+    EMAIL_RE,
+    HTML_TAG_RE,
     LANG_STOPWORDS,
+    LONG_DIGITS_RE,
+    MULTI_WS_RE,
     bpe_token_count,
+    clean_text,
     fingerprint_md5,
     language_id,
     quality_features,
@@ -95,6 +100,70 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             n_bpe > 0, F.round(F.length("text") / n_bpe, 6)
         ).alias("chars_per_bpe_token"),
+    )
+
+
+@register(
+    "text_clean_scrub",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               '<p class="x">' || text || '</p> Contact user' ||
+               CAST(doc_id AS VARCHAR) || '@mail.example.com or +39 075 55' ||
+               lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now.' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw, '{HTML_TAG_RE}', ' ', 'g'),
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{LONG_DIGITS_RE}', '<NUMBER>', 'g'),
+               '{MULTI_WS_RE}', ' ', 'g')) AS cleaned,
+           contains(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw, '{HTML_TAG_RE}', ' ', 'g'),
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{LONG_DIGITS_RE}', '<NUMBER>', 'g'),
+               '{MULTI_WS_RE}', ' ', 'g')), '<EMAIL>') AS has_email_mask,
+           contains(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw, '{HTML_TAG_RE}', ' ', 'g'),
+                       '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{LONG_DIGITS_RE}', '<NUMBER>', 'g'),
+               '{MULTI_WS_RE}', ' ', 'g')), '<NUMBER>') AS has_number_mask
+    FROM dirty
+    """,
+)
+def text_clean_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning / PII-scrub stage: markup stripped, emails and long digit
+    runs masked with typed placeholders, whitespace collapsed. The fixture
+    text is clean, so deterministic dirt (tags + an email + a phone
+    number derived from doc_id) is injected identically in both engines
+    and the scrubbed output is hash-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.col("text"),
+            F.lit("</p> Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +39 075 55"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" now."),
+        ).alias("raw"),
+    )
+    cleaned = clean_text("raw")
+    return dirty.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        cleaned.contains("<EMAIL>").alias("has_email_mask"),
+        cleaned.contains("<NUMBER>").alias("has_number_mask"),
     )
 
 

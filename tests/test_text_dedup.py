@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_simhash",
     "text_token_stats",
+    "text_clean_scrub",
     "pipeline_llm_dataprep",
 ]
 
