@@ -296,3 +296,66 @@ def scalar_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped"),
         F.greatest(F.col("o_totalprice") - 100000.0, F.lit(0.0)).alias("excess"),
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           l_quantity AS measure_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long reshaping): three measure columns melt into
+    (measure, value) rows — a single-pass Expand node, no shuffle, 3x the
+    rows map-side. The inverse of pivot_value_by_event_type.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "measure_value",
+    ).withColumn(
+        "measure",
+        F.regexp_replace("measure", "^l_", ""),
+    )
+
+
+@register(
+    "scalar_higher_order",
+    oracle="""
+    WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           array_to_string(list_transform(words, w -> upper(w)), ',') AS upper_words,
+           CAST(len(list_filter(words, w -> length(w) > 5)) AS BIGINT) AS n_long_words,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT) AS total_chars
+    FROM w
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate
+    lambdas evaluated JVM-side per row (interpreted but no Python, no
+    shuffle). Outputs joined strings / scalars per the repo's
+    portable-hash convention.
+    """
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.array_join(F.transform(words, lambda w: F.upper(w)), ",").alias(
+            "upper_words"
+        ),
+        F.size(F.filter(words, lambda w: F.length(w) > 5))
+        .cast("bigint")
+        .alias("n_long_words"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )

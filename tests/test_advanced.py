@@ -21,6 +21,8 @@ ORACLE_QUERIES = [
     "scalar_arrays",
     "scalar_conditionals",
     "skew_salted_join",
+    "unpivot_lineitem_measures",
+    "scalar_higher_order",
 ]
 
 
