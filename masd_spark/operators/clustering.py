@@ -1,0 +1,108 @@
+"""Iterative clustering over embedding columns — the engine's
+iterative-algorithm pattern (driver-controlled loop, executor-side work).
+
+Lloyd's k-means with a deterministic seeded-sample init. Each iteration
+is ONE distributed pass: map-side nearest-centroid assignment against
+centroid literals (no shuffle for the argmin) + one aggregation keyed by
+cluster id (k * dim running sums — partial map-side combine, so the
+shuffle carries k rows per task, not vectors). Only the k centroid
+vectors ever cross to the driver between iterations — the loop state is
+kilobytes at any corpus size, which is what makes a driver loop the
+right shape here (vs. the anti-pattern of collecting DATA rows).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from masd_spark.functions.vectors import dot
+
+
+def _assign_expr(cents: list[list[float]], vec_col: str):
+    """Map-side argmin over squared L2 distance to centroid literals.
+    ||v - c||^2 = ||v||^2 - 2<v,c> + ||c||^2; ||v||^2 is constant per row,
+    so argmin needs only (-2<v,c> + ||c||^2) — one HOF dot per centroid.
+    greatest() over (negated score, cid) structs gives a deterministic
+    argmin with ties to the higher cid.
+    """
+    structs = []
+    for cid, c in enumerate(cents):
+        c_norm2 = sum(x * x for x in c)
+        score = -2.0 * dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) + F.lit(
+            c_norm2
+        )
+        structs.append(F.struct((-score).alias("s"), F.lit(cid).alias("cid")))
+    return F.greatest(*structs)["cid"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit k-means (n_iter Lloyd steps, seeded-sample init) and return the
+    final assignment: (id, cluster bigint, dist2 double).
+
+    Deterministic init (smallest ``xxhash64(id, seed)`` sample) and
+    deterministic argmin; centroid UPDATES average doubles across
+    partitions, so the last bits of centroids can vary run-to-run — tests
+    assert the robust invariants (inertia monotonically non-increasing,
+    full coverage) rather than exact centroid bits.
+    """
+    init_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("_h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(n_iter):
+        assigned = df.select(
+            F.col(vec_col), _assign_expr(cents, vec_col).alias("_cid")
+        )
+        sums = assigned.groupBy("_cid").agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        )
+        updated = list(cents)  # empty clusters keep their old centroid
+        for r in sums.collect():
+            updated[r["_cid"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+        cents = updated
+
+    v_norm2 = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    best = None
+    for cid, c in enumerate(cents):
+        c_norm2 = sum(x * x for x in c)
+        d2 = (
+            v_norm2
+            - 2.0 * dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+            + F.lit(c_norm2)
+        )
+        s = F.struct((-d2).alias("s"), F.lit(cid).alias("cid"), d2.alias("d2"))
+        best = s if best is None else F.greatest(best, s)
+    return df.select(
+        F.col(id_col),
+        best["cid"].cast("bigint").alias("cluster"),
+        F.greatest(best["d2"], F.lit(0.0)).alias("dist2"),
+    )
+
+
+def kmeans_inertia(assigned: DataFrame) -> float:
+    """Sum of squared distances (the k-means objective)."""
+    return assigned.agg(F.sum("dist2")).collect()[0][0] or 0.0

@@ -68,6 +68,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("cluster_kmeans_embeddings")
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm category: 5 Lloyd iterations of k-means (k=8)
+    over the embeddings, returning per-cluster sizes. Driver loop carries
+    only the k centroid vectors between passes; each pass is map-side
+    assignment + one k-row-per-task aggregation. No oracle (float
+    averaging order varies run-to-run in the last bits); invariants
+    (monotone inertia, full coverage) pinned in tests/test_similarity.py.
+    """
+    from masd_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, dim=EMBEDDING_DIM, k=8, n_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10: random-hyperplane LSH buckets (6 planes) +

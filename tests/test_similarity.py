@@ -46,6 +46,27 @@ def test_bucketed_cosine_no_nested_loop_plan(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_kmeans_inertia_decreases_and_covers(spark):
+    """Lloyd's algorithm invariants: the objective is monotonically
+    non-increasing with iterations, every vector is assigned, and cluster
+    ids stay in range."""
+    from masd_spark.operators.clustering import kmeans_assign, kmeans_inertia
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    n = emb.count()
+    inertias = []
+    for it in [1, 3, 5]:
+        assigned = kmeans_assign(emb, dim=64, k=8, n_iter=it)
+        inertias.append(kmeans_inertia(assigned))
+    assert inertias[0] >= inertias[1] >= inertias[2] - 1e-6, inertias
+
+    final = kmeans_assign(emb, dim=64, k=8, n_iter=5)
+    assert final.count() == n
+    clusters = {r["cluster"] for r in final.select("cluster").distinct().collect()}
+    assert clusters <= set(range(8)) and len(clusters) >= 2
+
+
 def test_ivf_topk_recall(spark):
     """IVF scans n_probe/n_centroids of the corpus; scores must agree with
     the exact query on overlapping pairs and recall must clear the
