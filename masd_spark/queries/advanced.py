@@ -359,3 +359,30 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+@register(
+    "agg_collect_sorted_orders",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list surfaced portably: per-customer order keys gathered,
+    sorted NUMERICALLY, then joined to one string (raw arrays don't hash
+    across engines; sorting after collect makes the result order-
+    independent of partitioning). The grouped-gather every feature
+    pipeline uses for sequence construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keys_sorted = F.array_sort(F.collect_list("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.transform(keys_sorted, lambda x: x.cast("string")), ","
+        ).alias("order_keys"),
+    )

@@ -23,6 +23,7 @@ ORACLE_QUERIES = [
     "skew_salted_join",
     "unpivot_lineitem_measures",
     "scalar_higher_order",
+    "agg_collect_sorted_orders",
 ]
 
 
