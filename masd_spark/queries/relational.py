@@ -711,3 +711,35 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@register(
+    "orderby_nulls_last_limit",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null,
+           o_totalprice
+    FROM orders
+    ORDER BY status_or_null NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def orderby_nulls_last_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort with explicit null ordering — a real cross-engine trap: Spark
+    ASC defaults to NULLS FIRST, DuckDB to NULLS LAST, so portable sorts
+    must state it. Unique tiebreaker keeps the LIMIT deterministic;
+    TakeOrderedAndProject does the work per-partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            "o_orderkey",
+        )
+        .limit(50)
+    )

@@ -36,6 +36,32 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == n_direct > 0
 
 
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Lakehouse schema evolution: files written before a column existed
+    read back as nulls under the superset schema (explicit schema, no
+    mergeSchema inference pass needed)."""
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    v1.write.mode("append").parquet(out)
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], ["id", "name", "score"]
+    )
+    v2.write.mode("append").parquet(out)
+
+    superset = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(superset).parquet(out)
+    rows = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+
 def test_mongo_writer_options_contract():
     """Option keys must be exactly the MongoDB Spark Connector 10.x
     writer-level names (unprefixed — the `spark.mongodb.write.` prefix is

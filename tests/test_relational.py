@@ -30,6 +30,7 @@ RELATIONAL = [
     "range_join_clicks_purchases",
     "subquery_exists_filter",
     "subquery_scalar_above_avg",
+    "orderby_nulls_last_limit",
 ]
 
 

@@ -489,6 +489,45 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert sum(collected) == len(rows)  # duplicates dropped, originals kept
 
 
+def test_complete_mode_emits_full_state(spark, tmp_path):
+    """Complete output mode: every trigger emits the ENTIRE aggregation
+    state (vs update's changed-rows); the final batch must equal the batch
+    twin outright."""
+    src = str(tmp_path / "complete_drops")
+    cfg = SimulatorConfig(duration_ms=30_000, seed=21)
+    n = write_json_drops(src, cfg, n_files=2)
+    assert n > 0
+
+    from masd_spark.operators.validate import classify_validity, with_event_time_ms
+
+    stream = with_event_time_ms(classify_validity(read_file_sensor_stream(spark, src)))
+    agg = stream.groupBy("station_id").agg(F.count("*").alias("n_events"))
+
+    batches: list = []
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: batches.append(sorted(map(tuple, df.collect())))
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "complete_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    expected = sorted(
+        map(
+            tuple,
+            classify_validity(readings_df(spark, cfg))
+            .groupBy("station_id")
+            .agg(F.count("*").alias("n_events"))
+            .collect(),
+        )
+    )
+    assert batches and batches[-1] == expected
+    assert sum(r[1] for r in batches[-1]) == n
+
+
 def test_checkpoint_recovery(spark, tmp_path):
     """Restarting from the checkpoint processes only new files."""
     src = str(tmp_path / "ckpt_drops")
