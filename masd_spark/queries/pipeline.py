@@ -137,3 +137,95 @@ def pipeline_llm_dataprep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
     )
+
+
+def _md5_bucket_sql(expr: str, n_digits: int = 4) -> str:
+    """Portable hex-digits -> integer (DuckDB has no conv()): positional
+    strpos expansion over the first n_digits of md5(expr)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_digits - 1 - i)}"
+        for i in range(n_digits)
+    )
+    return f"({terms})"
+
+
+@register(
+    "pipeline_train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_md5_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                     THEN 'train'
+                WHEN {_md5_bucket_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                     THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by content-independent hash of the id
+    — reproducible across runs, engines, and cluster sizes (no RNG, no
+    sample()); the property a training pipeline actually needs from its
+    split. Bucket = first 4 hex digits of md5(id) mod 100.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+PACK_BUDGET_TOKENS = 2048
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS n_tok
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents fill fixed token-budget packs in
+    deterministic (source, doc_id) order — pack_id = cumulative tokens
+    BEFORE this doc, integer-divided by the budget. One window shuffle
+    keyed by source; the downstream concat job groups by (source,
+    pack_id) with no further ordering dependency.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", bpe_token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        cum_before.alias("_cum"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"_cum div {PACK_BUDGET_TOKENS}").cast("bigint").alias("pack_id"),
+    )

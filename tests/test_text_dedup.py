@@ -23,6 +23,8 @@ ORACLE_QUERIES = [
     "text_token_stats",
     "text_clean_scrub",
     "pipeline_llm_dataprep",
+    "pipeline_train_test_split",
+    "pipeline_sequence_packing",
 ]
 
 
