@@ -229,3 +229,49 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"_cum div {PACK_BUDGET_TOKENS}").cast("bigint").alias("pack_id"),
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                     for i in range(1, len(ts) - 1)])) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_benchmark_hits
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % 97 != 0
+    GROUP BY s.doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram-overlap check):
+    flag training documents sharing any 3-gram shingle with the held-out
+    benchmark set (stand-in: every 97th doc). The benchmark shingle set is
+    small by construction -> BROADCAST to the shingle-keyed doc side; one
+    scan, no shingle-keyed shuffle of the corpus. Returns contaminated doc
+    ids with their hit counts — the removal itself is a left_anti join on
+    this result.
+    """
+    from masd_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3, materialize=False)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_benchmark_hits"))
+    )

@@ -249,3 +249,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content fingerprint (normalized md5) — the exact-dedup key."""
     docs = load_table(spark, sf_dir, "documents")
     return fingerprint_md5(docs).select("doc_id", "fingerprint")
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(ts) >= 3 THEN len(ts) - 2 ELSE 0 END AS n_total,
+               CASE WHEN len(ts) >= 3 THEN
+                   len(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                      for i in range(1, len(ts) - 1)]))
+               ELSE 0 END AS n_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_total AS BIGINT) AS n_shingles,
+           CASE WHEN n_total > 0
+                THEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 6)
+                END AS repetition_ratio
+    FROM s
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-rules quality signal):
+    1 - distinct/total 3-gram shingles. High ratio = boilerplate/looping
+    text. Pure per-row array math — no explode, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from masd_spark.operators.text import tokens, word_shingles
+
+    with_toks = docs.withColumn("_toks", tokens("text"))
+    n_total = F.greatest(F.size("_toks") - 2, F.lit(0)).cast("bigint")
+    n_distinct = F.size(word_shingles("_toks", 3)).cast("bigint")
+    return with_toks.select(
+        "doc_id",
+        n_total.alias("n_shingles"),
+        F.when(
+            n_total > 0,
+            F.round(1.0 - n_distinct.cast("double") / n_total, 6),
+        ).alias("repetition_ratio"),
+    )

@@ -25,6 +25,8 @@ ORACLE_QUERIES = [
     "pipeline_llm_dataprep",
     "pipeline_train_test_split",
     "pipeline_sequence_packing",
+    "pipeline_decontaminate",
+    "text_repetition_score",
 ]
 
 
