@@ -386,3 +386,27 @@ def agg_collect_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(keys_sorted, lambda x: x.cast("string")), ","
         ).alias("order_keys"),
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median / continuous percentiles (vs the approx_aggregates
+    t-digest path): both engines interpolate linearly, so values agree to
+    rounding. Exact percentiles need a full sort per group — the approx
+    variant is the 100 TB default; this is the ground truth.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+    )

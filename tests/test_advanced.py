@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "unpivot_lineitem_measures",
     "scalar_higher_order",
     "agg_collect_sorted_orders",
+    "agg_exact_percentiles",
 ]
 
 
