@@ -117,6 +117,37 @@ def frame_sample(
     return narrow.mapInPandas(sample, FRAME_SCHEMA)
 
 
+def resize_payload(
+    df: DataFrame,
+    target_bytes: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: downsample each payload to ``target_bytes`` by
+    stride sampling (the 1-D analog of nearest-neighbor image resize) via
+    mapInPandas — one output row per input, map-side, binary in / binary
+    out. A real resize swaps the stride slice for the codec call; schema,
+    batching, and plan are identical.
+    """
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) <= target_bytes:
+                    out.append(b)
+                else:
+                    stride = len(b) // target_bytes
+                    out.append(bytes(b[i * stride] for i in range(target_bytes)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "resized": out})
+
+    return narrow.mapInPandas(resize, "doc_id long, resized binary")
+
+
 def byte_stats_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Deterministic fake 'decoder': per-payload byte statistics via
     mapInPandas (Arrow batches of binary values -> pandas -> typed rows).

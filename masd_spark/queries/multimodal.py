@@ -78,6 +78,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, md5(text) || md5(reverse(text)) AS ph
+        FROM documents
+    )
+    -- stride-2 sampling of the 32-byte payload -> 16 bytes: hex chars at
+    -- positions 4i+1..4i+2 for i in 0..15
+    SELECT doc_id,
+           array_to_string([substr(ph, 4*i + 1, 2) for i in range(0, 16)], '')
+               AS resized_hex
+    FROM p
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.py:resize_payload): payloads
+    downsampled 32 -> 16 bytes by stride sampling through the mapInPandas
+    binary-in/binary-out path; the oracle reproduces the sampled bytes as
+    hex-slice arithmetic, so resized CONTENT is value-checked.
+    """
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.multimodal import resize_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_payload(attach_binary_payload(docs), target_bytes=16)
+    return resized.select(
+        "doc_id", F.lower(F.hex("resized")).alias("resized_hex")
+    )
+
+
 @register("multimodal_byte_features")
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-decode feature extraction through the real mapInPandas Arrow

@@ -50,6 +50,10 @@ def test_frame_sample_parity(spark):
     compare_query(spark, REGISTRY["multimodal_frame_sample"], SF_ORACLE)
 
 
+def test_resize_parity(spark):
+    compare_query(spark, REGISTRY["multimodal_resize"], SF_ORACLE)
+
+
 def test_frame_sample_bytes_match_reference(spark):
     """The 1->N expansion must emit the exact payload slices: 4 frames of
     8 bytes per 32-byte video payload, in order."""
