@@ -106,3 +106,51 @@ def kmeans_assign(
 def kmeans_inertia(assigned: DataFrame) -> float:
     """Sum of squared distances (the k-means objective)."""
     return assigned.agg(F.sum("dist2")).collect()[0][0] or 0.0
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex starts labeled with its own id; each round every vertex takes
+    the min label over itself and its neighbors; converged when no label
+    changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — a handful). Per round: one join + one aggregation, all
+    distributed; the driver sees only the changed-count. Labels are
+    localCheckpoint'ed per round so the loop's lineage cannot grow
+    unboundedly (the same cache-bypass discipline as the shingle set).
+
+    The canonical dedup post-step: pair edges from any near-dup detector
+    in, (doc -> component representative) out; keeping one doc per
+    component is then a groupBy.
+    """
+    bidir = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")))
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor = bidir.join(
+            labels.withColumnRenamed("id", "_a"), "_a"
+        ).select(F.col("_b").alias("id"), "component")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

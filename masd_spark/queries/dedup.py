@@ -337,3 +337,58 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         n_tables=_EMB_TABLES,
         seed=_EMB_SEED,
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_inter AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    ),
+    bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    Jaccard>=0.5 pair graph via iterative min-label propagation
+    (operators/clustering.py) — transitive chains a>b>c collapse into one
+    component where greedy pair-dropping would not. Singletons keep their
+    own id; the oracle computes the same closure with a recursive CTE.
+    """
+    from masd_spark.operators.clustering import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir)
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")

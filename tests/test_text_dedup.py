@@ -27,6 +27,7 @@ ORACLE_QUERIES = [
     "pipeline_sequence_packing",
     "pipeline_decontaminate",
     "text_repetition_score",
+    "dedup_components",
 ]
 
 
@@ -66,6 +67,38 @@ def test_simhash_pairs_exact_vs_brute_force(spark):
     )
     assert banded == brute
     assert len(banded) > 0, "fixture should contain simhash near-dups"
+
+
+def test_connected_components_match_union_find(spark):
+    """Min-label propagation must equal a driver-side union-find on the
+    same edge set (transitive chains collapse correctly)."""
+    from masd_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], ["doc_id"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            verts, edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        ).collect()
+    }
+    parent = {v: v for v in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
 
 
 def test_jaccard_max_df_invariance_when_cap_exceeds_corpus(spark):
