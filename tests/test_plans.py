@@ -93,6 +93,29 @@ def test_exists_subqueries_decorrelate_to_joins(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
 
 
+def test_simhash_pairs_no_nested_loop(spark):
+    """Pigeonhole banding must plan as equi joins on (band, val)."""
+    df = _q(spark, "dedup_simhash")
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is small by construction and must reach
+    the corpus side as a broadcast, not a shuffle."""
+    df = _q(spark, "pipeline_decontaminate")
+    assert count_broadcast_joins(df) >= 1, physical_plan(df)
+
+
+def test_sliding_rollup_partial_aggregation(spark):
+    """Sliding windows keep the partial+final agg shape — the window
+    explosion happens map-side before the single shuffle."""
+    df = _q(spark, "masd_sliding_rollup")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1, plan
+
+
 def test_events_scan_prunes_columns(spark):
     """json_extract reads only (event_id, props) from the 6-column table."""
     df = _q(spark, "json_extract_events")
