@@ -153,4 +153,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge after {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (rounds needed "
+            "= graph diameter)"
+        )
     return labels

@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 # Join types where replicating the small side n_salts times cannot change
 # the result. right/full outer would emit each unmatched small-side copy
 # once per salt (wrong row counts), so they are rejected.
+# 'cross' is deliberately NOT accepted: salted_join always joins on
+# using-columns [*on, '_salt'], which would silently turn a requested cross
+# join into an inner equi-join.
 _SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
-             "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+             "leftsemi", "semi", "left_anti", "leftanti", "anti"}
 
 
 def salted_join(

@@ -115,12 +115,18 @@ def mongo_keyed_batch_writer(
     def write_batch(batch_df: DataFrame, batch_id: int, _path: str) -> None:
         from pyspark.sql import functions as F
 
-        keyed = batch_df.withColumn("_k", F.col(key_col))
-        keys = [r["_k"] for r in keyed.select("_k").distinct().collect()]
-        for k in sorted(keys):
-            write(
-                keyed.filter(F.col("_k") == k).drop("_k"),
-                mongo_writer_options(uri, database, f"{collection_prefix}{k}"),
-            )
+        # foreachBatch DataFrames are NOT auto-cached: without persist the
+        # batch lineage would recompute once for the distinct-keys collect
+        # and once more per key written.
+        keyed = batch_df.withColumn("_k", F.col(key_col)).persist()
+        try:
+            keys = [r["_k"] for r in keyed.select("_k").distinct().collect()]
+            for k in sorted(keys):
+                write(
+                    keyed.filter(F.col("_k") == k).drop("_k"),
+                    mongo_writer_options(uri, database, f"{collection_prefix}{k}"),
+                )
+        finally:
+            keyed.unpersist()
 
     return write_batch

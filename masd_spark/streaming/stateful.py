@@ -44,12 +44,16 @@ def streaming_sensor_ewma(readings: DataFrame, alpha: float = 0.3) -> DataFrame:
             n, ew = state.get
         else:
             n, ew = 0, None
-        for pdf in pdf_iter:
-            valid = pdf[pdf["is_valid"]].sort_values("timestamp", kind="stable")
-            for v in valid["value_numeric"]:
-                v = float(v)
-                ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
-                n += 1
+        # Arrow may split one group's batch slice into several chunks
+        # (arrow.maxRecordsPerBatch); the fold is order-sensitive, so
+        # materialize the whole slice and sort ONCE before folding.
+        chunks = [pdf for pdf in pdf_iter]
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        valid = batch[batch["is_valid"]].sort_values("timestamp", kind="stable")
+        for v in valid["value_numeric"]:
+            v = float(v)
+            ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
+            n += 1
         state.update((n, ew))
         yield pd.DataFrame(
             [{"station_id": key[0], "sensor_id": key[1], "n_valid": n, "ewma": ew}]
