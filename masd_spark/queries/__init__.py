@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         streaming_q,
         pipeline,
+        sampling,
     )
 
     return REGISTRY

@@ -1,0 +1,104 @@
+"""Oracle parity + invariants for the deterministic sampling family."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.operators.sampling import (
+    cap_per_group,
+    hash_sample,
+    upsample_mixture,
+)
+from masd_spark.queries import load_all
+from masd_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+ORACLE_QUERIES = [
+    "sample_hash_documents",
+    "sample_stratified_lang",
+    "sample_cap_per_source",
+    "sample_upsample_mixture",
+    "filter_quality_quantile",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_hash_sample_monotone_and_deterministic(spark):
+    """sample(0.1) ⊆ sample(0.3) over the same key+salt, and a rerun
+    returns the identical id set (the property df.sample() lacks)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.1)
+        .select("doc_id")
+        .collect()
+    }
+    assert small <= big
+    assert small == again  # partitioning-independent
+    n = docs.count()
+    assert 0.05 * n < len(small) < 0.15 * n  # roughly the asked-for rate
+
+
+def test_cap_per_group_bounds_every_group(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    capped = cap_per_group(docs, "source", "doc_id", cap=7)
+    per_group = capped.groupBy("source").count().collect()
+    assert per_group and all(r["count"] <= 7 for r in per_group)
+    # groups smaller than the cap are untouched
+    assert capped.count() == docs.groupBy("source").count().agg(
+        F.sum(F.least(F.col("count"), F.lit(7)))
+    ).collect()[0][0]
+
+
+def test_upsample_expected_copy_counts(spark):
+    """Integer weights replicate exactly; fractional weights land within a
+    loose tolerance of the expected rate; weight-0/unlisted strata drop."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = upsample_mixture(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 0.5, "src2": 0.0}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    base = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts["src0"] == 3 * base["src0"]  # exact integer replication
+    assert 0.2 * base["src1"] <= counts.get("src1", 0) <= 0.8 * base["src1"]
+    assert "src2" not in counts and set(counts) <= {"src0", "src1"}
+    # copy ids are 1..n per key
+    max_copy = out.filter(F.col("source") == "src0").agg(F.max("copy_id")).collect()[0][0]
+    assert max_copy == 3
+
+
+def test_upsample_rejects_negative_weight(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError):
+        upsample_mixture(docs, "doc_id", "source", {"src0": -1.0})
+
+
+def test_sampling_plans_have_no_corpus_shuffle(spark):
+    """hash_sample and upsample_mixture must not shuffle the corpus:
+    broadcast joins only (stratified thresholds / mixture weights)."""
+    from masd_spark.plans.explain import physical_plan
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for df in (
+        hash_sample(docs, "doc_id", 0.25),
+        upsample_mixture(docs, "doc_id", "source", {"src0": 2.0}),
+    ):
+        plan = physical_plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
