@@ -1,0 +1,85 @@
+"""Document chunking — the context-window splitter of an LLM pipeline.
+
+The reference has no long-document handling (sensor messages are tiny);
+a training/RAG pipeline needs documents cut into fixed token-budget
+chunks with configurable overlap, and dedup applied at CHUNK granularity
+(boilerplate paragraphs repeat across pages even when whole documents
+differ).
+
+Scale shapes: chunking is a row-local explode — tokens never leave the
+row, output is proportional to corpus token count, no shuffle.
+Chunk-level dedup adds exactly one shuffle keyed by chunk fingerprint
+(same cost class as exact doc dedup, on ~(doc_len/chunk) x more, much
+smaller rows). Whitespace tokenization mirrors operators/text.py; the
+fingerprint is md5 so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of ``chunk_size``
+    tokens, consecutive chunks sharing ``overlap`` tokens (stride =
+    chunk_size - overlap). Emits one row per chunk: the input columns
+    minus ``text_col`` plus chunk_index (0-based), n_chunk_tokens,
+    chunk_text. Empty/whitespace-only documents produce no chunks; the
+    final chunk may be short (no padding).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("_toks"), F.lit(step))
+    chunk = F.slice("_toks", F.col("_start"), chunk_size)
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("_toks", toks)
+        .select(
+            *[c for c in df.columns if c != text_col],
+            "_toks",
+            F.posexplode(starts).alias("chunk_index", "_start"),
+        )
+        .withColumn("chunk_index", F.col("chunk_index").cast("bigint"))
+        .withColumn("n_chunk_tokens", F.size(chunk).cast("bigint"))
+        .withColumn("chunk_text", F.array_join(chunk, " "))
+        .drop("_toks", "_start")
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 8,
+) -> DataFrame:
+    """Chunk-level exact dedup (the paragraph-dedup move): fingerprint
+    non-overlapping ``chunk_size``-token chunks, keep only the FIRST
+    occurrence of each fingerprint corpus-wide (ordered by (id, index)),
+    and report per-document survival: n_chunks, n_kept_chunks.
+
+    One shuffle keyed by the chunk fingerprint; reconstruction of the
+    deduplicated text is array_join of surviving chunks downstream.
+    """
+    chunks = chunk_documents(df, id_col, text_col, chunk_size, overlap=0)
+    fp = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy("_fp").orderBy(id_col, "chunk_index")
+    return (
+        chunks.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept_chunks"),
+        )
+    )

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_q,
         pipeline,
         sampling,
+        chunking,
     )
 
     return REGISTRY
