@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         sampling,
         chunking,
+        tpch_extra,
     )
 
     return REGISTRY
