@@ -42,16 +42,16 @@ def hash_bucket(key: Column, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % BUCKETS
 
 
-def md5_bucket_sql(expr: str, salt: str = "") -> str:
+def md5_bucket_sql(expr: str, salt: str = "", modulus: int = BUCKETS) -> str:
     """DuckDB twin of :func:`hash_bucket` (DuckDB has no conv(): positional
-    strpos expansion over the first 4 hex digits), mod BUCKETS."""
+    strpos expansion over the first 4 hex digits), mod ``modulus``."""
     arg = f"'{salt}' || {expr}" if salt else expr
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
         f" * {16 ** (3 - i)}"
         for i in range(4)
     )
-    return f"(({terms}) % {BUCKETS})"
+    return f"(({terms}) % {modulus})"
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:

@@ -1,0 +1,93 @@
+"""Sketch harness queries: oracle-exact CMS, accuracy-pinned HLL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_bucket_sql,
+    cms_build,
+    cms_estimate,
+)
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+_UID = "CAST(user_id AS VARCHAR)"
+_BUCKET_CASE = (
+    "CASE i "
+    + " ".join(
+        f"WHEN {i} THEN {cms_bucket_sql(_UID, i, CMS_WIDTH)}"
+        for i in range(CMS_DEPTH)
+    )
+    + " END"
+)
+
+
+@register(
+    "sketch_cms_user_counts",
+    oracle=f"""
+    WITH seeds(i) AS (VALUES (0), (1), (2)),
+    probes AS (
+        SELECT user_id, i, {_BUCKET_CASE} AS bucket
+        FROM events, seeds
+    ),
+    cells AS (
+        SELECT i, bucket, count(*) AS cnt FROM probes GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    kp AS (
+        SELECT user_id, i, {_BUCKET_CASE} AS bucket
+        FROM keys, seeds
+    ),
+    est AS (
+        SELECT user_id, min(cnt) AS cms_n
+        FROM kp JOIN cells USING (i, bucket) GROUP BY 1
+    ),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+    SELECT e.user_id, e.exact_n, CAST(est.cms_n AS BIGINT) AS cms_n
+    FROM exact e JOIN est USING (user_id)
+    """,
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch ({d}x{w}, md5 hashes) over event user_ids, point
+    estimates vs exact counts per user. The sketch state is {d}x{w}
+    counters regardless of input size — cell-wise additive, so per-shard
+    partial sketches merge by sum (Spark's partial+final agg does this
+    for free); the estimate join broadcasts the tiny sketch. Estimates
+    upper-bound exact counts; collisions show as cms_n > exact_n. DuckDB
+    recomputes the identical grid — value-checked, not statistically
+    checked.
+    """.format(d=CMS_DEPTH, w=CMS_WIDTH)
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(sketch, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    return exact.join(est, "user_id").select(
+        "user_id", "exact_n", F.col("cms_estimate").alias("cms_n")
+    )
+
+
+@register("sketch_hll_user_distinct", oracle=None)
+def sketch_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via Spark's native Apache
+    DataSketches HLL bindings, plus an 'ALL' row whose sketch is the
+    hll_union_agg MERGE of the per-type sketches — the few-KB mergeable
+    state that replaces exact distinct at 100 TB (exact needs a full
+    key shuffle; sketches ship partial state). Estimates are
+    engine-specific (no DuckDB twin): accuracy vs exact distinct and
+    merge-consistency are pinned in tests/test_sketches.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    typed = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("hll_users")
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("hll_users"),
+    )
+    return typed.unionAll(merged)

@@ -1,0 +1,82 @@
+"""Oracle parity, bounds, merge, and accuracy checks for sketches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.operators.sketches import cms_build, cms_estimate
+from masd_spark.queries import load_all
+from masd_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+
+def test_cms_oracle_parity(spark):
+    compare_query(spark, REGISTRY["sketch_cms_user_counts"], SF_ORACLE)
+
+
+def test_cms_never_underestimates(spark):
+    out = REGISTRY["sketch_cms_user_counts"].fn(spark, SF_ORACLE)
+    assert out.filter(F.col("cms_n") < F.col("exact_n")).count() == 0
+    # with 150 keys in 128 buckets some collision must overestimate —
+    # proves the estimate is a real sketch read, not exact counting
+    assert out.filter(F.col("cms_n") > F.col("exact_n")).count() > 0
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    """Sketch(half A) + Sketch(half B), summed cell-wise, must equal
+    Sketch(all) — the property that lets shards sketch independently."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    a = cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = (
+        a.unionAll(b)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(ev, "user_id")
+    diff = (
+        merged.join(whole, ["sketch_row", "bucket"], "full")
+        .filter(
+            (merged["cnt"].isNull())
+            | (whole["cnt"].isNull())
+            | (merged["cnt"] != whole["cnt"])
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    from masd_spark.plans.explain import physical_plan
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    sketch = cms_build(ev, "user_id")
+    est = cms_estimate(sketch, ev.select("user_id").distinct(), "user_id")
+    assert "BroadcastHashJoin" in physical_plan(est)
+
+
+def test_hll_estimates_accurate_and_merge_consistent(spark):
+    """Each per-type estimate within 5% of exact distinct; the 'ALL' row
+    (union of per-type sketches) within 5% of global exact distinct and
+    equal to a directly-built global sketch's estimate."""
+    ev = load_table(spark, SF_ORACLE, "events")
+    out = {
+        r["event_type"]: r["hll_users"]
+        for r in REGISTRY["sketch_hll_user_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(out[t] - n) <= max(1, 0.05 * n), (t, out[t], n)
+    n_all = ev.select("user_id").distinct().count()
+    assert abs(out["ALL"] - n_all) <= max(1, 0.05 * n_all)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    assert out["ALL"] == direct
