@@ -101,3 +101,57 @@ def streaming_masd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return latest.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register("streaming_heavy_hitters")
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-station top-3 sensors by valid-reading count via the
+    custom-stateful heavy-hitters operator (GroupState twin here — the
+    transformWithStateInPandas MapState version needs protobuf, absent in
+    this container; tests pin both to the same batch-twin semantics).
+    Last emission per station after the seeded availableNow stream
+    drains, which tests prove equals the batch top-k over full history.
+    """
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.streaming.stateful import streaming_station_heavy_hitters_gs
+
+    workdir = tempfile.mkdtemp(prefix="masd_hh_q_")
+    src = os.path.join(workdir, "drops")
+    sink_dir = os.path.join(workdir, "sink")
+    try:
+        cfg = SimulatorConfig(duration_ms=120_000, seed=13)
+        write_json_drops(src, cfg, n_files=3)
+
+        stream = classify_validity(read_file_sensor_stream(spark, src))
+        out = streaming_station_heavy_hitters_gs(stream, k=3)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("station_id", "rank").orderBy(
+            F.col("batch_id").desc()
+        )
+        latest = (
+            spark.read.parquet(sink_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("station_id", "rank", "sensor_id", "n_valid")
+        )
+        return latest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -553,3 +553,98 @@ def test_checkpoint_recovery(spark, tmp_path):
     # no new files -> restart emits nothing new
     second = run_once()
     assert sum(len(rows) for _b, rows in second) == 0
+
+
+def _run_heavy_hitters(spark, tmp_path, op, extra_confs=None):
+    """Drive a heavy-hitters streaming operator over file drops and return
+    (final emitted top-k per station, batch-twin expectation)."""
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.sources.simulator import generate_readings
+
+    saved = {}
+    for key, val in (extra_confs or {}).items():
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
+    try:
+        cfg = SimulatorConfig(duration_ms=30_000, seed=13)
+        src = str(tmp_path / "hh_drops")
+        n = write_json_drops(src, cfg, n_files=3)
+        assert n > 0
+
+        stream = classify_validity(read_file_sensor_stream(spark, src))
+        out = op(stream, k=3)
+
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.append((bid, df.collect()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+    last: dict = {}  # station -> {rank: (sensor, n_valid)}
+    for bid, rows in sorted(collected, key=lambda x: x[0]):
+        per_station: dict = {}
+        for r in rows:
+            per_station.setdefault(r["station_id"], {})[r["rank"]] = (
+                r["sensor_id"],
+                r["n_valid"],
+            )
+        last.update(per_station)
+
+    counts: dict = {}
+    for r in generate_readings(cfg):
+        if r["value"] == "<<bad_data>>":
+            continue
+        counts.setdefault(r["station_id"], {}).setdefault(r["sensor_id"], 0)
+        counts[r["station_id"]][r["sensor_id"]] += 1
+    expected = {
+        st: {
+            i + 1: (s, c)
+            for i, (s, c) in enumerate(
+                sorted(cs.items(), key=lambda t: (-t[1], t[0]))[:3]
+            )
+        }
+        for st, cs in counts.items()
+    }
+    return last, expected
+
+
+def test_group_state_heavy_hitters(spark, tmp_path):
+    """applyInPandasWithState heavy-hitters twin: final running top-k must
+    equal the batch twin over the full history."""
+    from masd_spark.streaming.stateful import streaming_station_heavy_hitters_gs
+
+    last, expected = _run_heavy_hitters(
+        spark, tmp_path, streaming_station_heavy_hitters_gs
+    )
+    assert last == expected
+
+
+def test_transform_with_state_heavy_hitters(spark, tmp_path):
+    """transformWithStateInPandas MapState operator (needs protobuf for
+    the TWS state protocol + RocksDB state store; skips where absent)."""
+    pytest.importorskip("google.protobuf")
+    from masd_spark.streaming.stateful import streaming_station_heavy_hitters
+
+    last, expected = _run_heavy_hitters(
+        spark,
+        tmp_path,
+        streaming_station_heavy_hitters,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+        },
+    )
+    assert last == expected
