@@ -1,0 +1,108 @@
+"""Time-series regularization: resampling, gap fill, gap detection.
+
+The reference aggregates sensor readings into fixed windows but emits
+NOTHING for windows with no data (consumer.py's windowed agg only sees
+arriving rows) — downstream consumers of a telemetry table usually need a
+dense, regular grid with explicit carried-forward values. These operators
+densify in pure DataFrame algebra; everything is reproducible in ANSI SQL
+(the DuckDB oracle recomputes the same grids).
+
+Scale shapes: the grid explode is bounded by (span / step) rows per key —
+output-proportional, computed from a 3-column agg, never a cross join
+against a calendar table. Fill + gap detection are single window passes
+keyed by the series key: one shuffle each, partial-agg friendly. Skewed
+series (one key spanning years at second granularity) surface as big
+per-key grids — cap with the ``max_buckets`` guard rather than OOMing a
+task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    value_col: str,
+    step_ms: int,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Resample each key's series onto a regular ``step_ms`` grid spanning
+    its own [min, max] bucket range, averaging observations within a
+    bucket and FORWARD-FILLING empty buckets from the last observed value.
+
+    Returns key_cols + bucket_ms, value_filled (6-dp rounded), is_observed.
+    The first buckets of a key are observed by construction (grid starts
+    at the key's first observation). A key whose grid would exceed
+    ``max_buckets`` buckets raises — that's a data bug (mixed units,
+    corrupt timestamp), not a resampling job.
+    """
+    # exact integer bucket floor (double division could misround at
+    # bucket boundaries for large epoch values)
+    bucket = F.col(ts_ms_col) - (F.col(ts_ms_col) % step_ms)
+    observed = (
+        df.withColumn("_b", bucket)
+        .groupBy(*key_cols, "_b")
+        .agg(F.avg(value_col).alias("_v"))
+    )
+    spans = observed.groupBy(*key_cols).agg(
+        F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
+    )
+    too_big = spans.filter(
+        (F.col("_mx") - F.col("_mn")) / step_ms >= max_buckets
+    )
+    if too_big.limit(1).count() > 0:
+        bad = too_big.select(*key_cols).limit(3).collect()
+        raise ValueError(
+            f"resample span exceeds max_buckets={max_buckets} for keys {bad}; "
+            "suspect timestamp corruption or wrong step_ms"
+        )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step_ms))
+        ).alias("bucket_ms"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(
+            observed.withColumnRenamed("_b", "bucket_ms"),
+            [*key_cols, "bucket_ms"],
+            "left",
+        )
+        .withColumn("is_observed", F.col("_v").isNotNull())
+        .withColumn(
+            "value_filled", F.round(F.last("_v", ignorenulls=True).over(w), 6)
+        )
+        .drop("_v")
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    min_gap_ms: int,
+) -> DataFrame:
+    """Report every gap of at least ``min_gap_ms`` between consecutive
+    observations of a key: key_cols + gap_start_ms (last seen), gap_end_ms
+    (next seen), gap_ms. One window pass over the key-partitioned sort —
+    the monitoring query behind 'sensor went dark for an hour'.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_ms_col)
+    return (
+        df.select(
+            *key_cols,
+            F.col(ts_ms_col).alias("gap_start_ms"),
+            F.lead(ts_ms_col).over(w).alias("gap_end_ms"),
+        )
+        .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
+        .filter(F.col("gap_ms") >= min_gap_ms)
+    )

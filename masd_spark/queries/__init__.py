@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         chunking,
         tpch_extra,
         sketches,
+        timeseries_q,
     )
 
     return REGISTRY
