@@ -210,3 +210,56 @@ def language_id(
             F.coalesce(F.col("votes"), F.lit(0)).cast("bigint").alias("lang_votes"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document (keyword extraction).
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    always positive); ranking is on the 6-dp ROUNDED score (ties break by
+    term asc) so ranks are reproducible across engines computing the same
+    formula. Scale shape: one shuffle for (doc, term) counts; document
+    frequencies aggregate from those counts (partial+final, no second
+    corpus pass) and come back as a BROADCAST term->idf dim — term
+    vocabulary is sublinear in corpus size; the corpus-size scalar N rides
+    a 1-row broadcast cross join, never a driver round-trip. Top-k is one
+    window over the doc-keyed counts.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        id_col, F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(
+        F.count("*").cast("double").alias("_n")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1).alias("idf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("_tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("_tfidf").alias("tfidf"),
+        )
+    )

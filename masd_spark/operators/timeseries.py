@@ -106,3 +106,53 @@ def detect_gaps(
         .withColumn("gap_ms", F.col("gap_end_ms") - F.col("gap_start_ms"))
         .filter(F.col("gap_ms") >= min_gap_ms)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    value_col: str,
+    window_ms: int,
+    min_obs: int = 10,
+    numerics: str = "native",
+) -> DataFrame:
+    """Anomaly score: each observation's z-score against the TRAILING
+    ``window_ms`` of its own series (frame excludes the current row, so a
+    spike can't mask itself). Rows with fewer than ``min_obs`` prior
+    observations or non-positive variance get null z. One RANGE-frame
+    window pass over the key-partitioned time sort — single shuffle, no
+    self-join.
+
+    ``numerics='native'`` uses Spark's stddev_samp (Welford; the
+    production path — last-ULP results are engine/fold-order specific).
+    ``numerics='portable'`` derives mean/stddev from DECIMAL(18,6)-
+    quantized window sums, so any engine computing the same formula on
+    the same frame gets bit-identical doubles — the repo's standard
+    cross-engine parity trick (see queries/__init__.py); a test pins the
+    two modes to ~1e-9 agreement.
+    """
+    if min_obs < 2:
+        raise ValueError("min_obs must be >= 2 (sample stddev needs n > 1)")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_ms_col)
+        .rangeBetween(-window_ms, -1)
+    )
+    n = F.count("*").over(w)
+    if numerics == "portable":
+        vq = F.col(value_col).cast("decimal(18,6)")
+        s1 = F.sum(vq).over(w).cast("double")
+        s2 = F.sum(vq * vq).over(w).cast("double")
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        z = F.when(
+            n >= min_obs,
+            F.when(var > 0, (F.col(value_col) - s1 / n) / F.sqrt(var)),
+        )
+    elif numerics == "native":
+        m = F.avg(value_col).over(w)
+        sd = F.stddev_samp(value_col).over(w)
+        z = F.when(n >= min_obs, F.when(sd > 0, (F.col(value_col) - m) / sd))
+    else:
+        raise ValueError(f"numerics must be 'native' or 'portable', got {numerics!r}")
+    return df.withColumn("z", z)

@@ -294,3 +294,46 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - n_distinct.cast("double") / n_total, 6),
         ).alias("repetition_ratio"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toked WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT term,
+               ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0))
+                   + 1.0 AS idf
+        FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, ROUND(tf.tf * idf.idf, 6) AS tfidf
+        FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document. The idf dim
+    (term vocabulary, sublinear in corpus size) is built from the tf
+    counts themselves and BROADCAST back — one shuffle for (doc, term)
+    counts, one window for top-k; the corpus-size scalar rides a 1-row
+    broadcast cross join, never a driver round-trip.
+    """
+    from masd_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_k=3)

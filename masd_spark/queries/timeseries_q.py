@@ -86,3 +86,62 @@ def ts_detect_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts div 1000000").alias("ts_ms")
     )
     return detect_gaps(ev, ["user_id"], "ts_ms", min_gap_ms=_GAP_MS)
+
+
+_ZS_WINDOW_MS = 6 * _HOUR_MS
+
+
+@register(
+    "ts_rolling_zscore",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_ms(ts) AS ts_ms, min(value) AS value
+        FROM events GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT event_type, ts_ms, value,
+               CAST(value AS DECIMAL(18,6)) AS vq
+        FROM e
+    ),
+    w AS (
+        SELECT event_type, ts_ms, value,
+               count(*) OVER fr AS n,
+               CAST(sum(vq) OVER fr AS DOUBLE) AS s1,
+               CAST(sum(vq * vq) OVER fr AS DOUBLE) AS s2
+        FROM q
+        WINDOW fr AS (PARTITION BY event_type ORDER BY ts_ms
+                      RANGE BETWEEN {_ZS_WINDOW_MS} PRECEDING
+                            AND 1 PRECEDING)
+    )
+    SELECT event_type, ts_ms, value,
+           CASE WHEN n >= 10
+                THEN CASE WHEN (s2 - s1 * s1 / n) / (n - 1) > 0
+                          THEN ROUND((value - s1 / n)
+                               / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+                     END
+           END AS z
+    FROM w
+    """,
+)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each event's z-score against the
+    prior 6h of its own event_type series (frame excludes the current
+    row). Ties on (type, ms) are collapsed with an exact min() first so
+    the series — and therefore every engine's fold order — is
+    deterministic; the portable-numerics mode derives mean/std from
+    decimal-quantized sums for bit-exact cross-engine parity. One
+    groupBy + one RANGE-frame window pass, no self-join.
+    """
+    from masd_spark.operators.timeseries import rolling_zscore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts div 1000000").alias("ts_ms"), "value")
+        .groupBy("event_type", "ts_ms")
+        .agg(F.min("value").alias("value"))
+    )
+    out = rolling_zscore(
+        ev, ["event_type"], "ts_ms", "value",
+        window_ms=_ZS_WINDOW_MS, min_obs=10, numerics="portable",
+    )
+    return out.select("event_type", "ts_ms", "value", F.round("z", 6).alias("z"))

@@ -28,7 +28,21 @@ ORACLE_QUERIES = [
     "pipeline_decontaminate",
     "text_repetition_score",
     "dedup_components",
+    "text_tfidf_top_terms",
 ]
+
+
+def test_tfidf_favors_rare_terms(spark):
+    """A term unique to one doc must outrank a corpus-wide stopword-ish
+    term with the same in-doc count — the idf axis is live."""
+    rows = [(0, "zyzzyva zyzzyva common common"), (1, "common common common"),
+            (2, "common filler words"), (3, "common more words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from masd_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(df, top_k=2).collect()
+    top0 = {r["rank"]: r["term"] for r in out if r["doc_id"] == 0}
+    assert top0[1] == "zyzzyva"  # tf=2, df=1 beats tf=2 'common' (df=4)
 
 
 def test_pipeline_retains_rows(spark):

@@ -12,9 +12,64 @@ from tests.oracle import compare_query
 REGISTRY = load_all()
 
 
-@pytest.mark.parametrize("name", ["ts_resample_ffill_hourly", "ts_detect_gaps"])
+@pytest.mark.parametrize(
+    "name", ["ts_resample_ffill_hourly", "ts_detect_gaps", "ts_rolling_zscore"]
+)
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_rolling_zscore_native_matches_portable(spark):
+    """The production (Welford stddev) and parity (decimal-sum) numerics
+    must agree to float noise — they are the same statistic."""
+    from masd_spark.operators.timeseries import rolling_zscore
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("event_type", F.expr("ts div 1000000").alias("ts_ms"), "value")
+        .groupBy("event_type", "ts_ms")
+        .agg(F.min("value").alias("value"))
+    )
+    kw = dict(window_ms=6 * 3_600_000, min_obs=10)
+    nat = rolling_zscore(ev, ["event_type"], "ts_ms", "value", **kw)
+    por = rolling_zscore(
+        ev, ["event_type"], "ts_ms", "value", numerics="portable", **kw
+    )
+    j = nat.withColumnRenamed("z", "z_nat").join(
+        por.withColumnRenamed("z", "z_por"), ["event_type", "ts_ms", "value"]
+    )
+    stats = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("z_nat").isNull().cast("int")).alias("null_nat"),
+        F.sum(F.col("z_por").isNull().cast("int")).alias("null_por"),
+        F.max(F.abs(F.col("z_nat") - F.col("z_por"))).alias("max_diff"),
+        F.sum(F.col("z_nat").isNotNull().cast("int")).alias("n_scored"),
+    ).collect()[0]
+    assert stats["null_nat"] == stats["null_por"]
+    assert stats["n_scored"] > 0, "fixture produced no scored rows"
+    assert stats["max_diff"] < 1e-9
+
+
+def test_rolling_zscore_frame_excludes_current_row(spark):
+    """A lone spike after a flat warm-up must score, and its own value
+    cannot deflate the trailing stats: flat prefix => sd==0 => null z for
+    flat rows, while the spike row scores against the flat window only if
+    variance>0 — inject slight jitter to pin the exact z."""
+    rows = [("k", i * 1000, 10.0 + (0.5 if i % 2 else -0.5)) for i in range(20)]
+    rows.append(("k", 20_000, 100.0))
+    df = spark.createDataFrame(rows, "key string, ts_ms long, value double")
+    from masd_spark.operators.timeseries import rolling_zscore
+
+    out = rolling_zscore(
+        df, ["key"], "ts_ms", "value", window_ms=60_000, min_obs=10
+    )
+    spike = out.filter(F.col("value") == 100.0).collect()[0]
+    # trailing 20 obs: mean 10, sample sd of +-0.5 alternation
+    import statistics
+
+    vals = [v for _, _, v in rows[:20]]
+    expect = (100.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert spike["z"] == pytest.approx(expect, rel=1e-9)
 
 
 def test_resample_grid_is_dense_and_filled(spark):
