@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
         sampling,
         chunking,
         tpch_extra,
+        tpch_full,
         sketches,
         timeseries_q,
     )

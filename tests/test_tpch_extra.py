@@ -15,6 +15,20 @@ QUERIES = [
     "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    # tpch_full.py — the sweep-completing 13
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipping_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
 ]
 
 
@@ -45,6 +59,38 @@ def test_q6_filters_pushed_to_scan(spark):
     (cols,) = scan_read_schema(df)
     assert "l_extendedprice" in cols
     assert "l_returnflag" not in cols  # pruned
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The EXISTS must execute as one LEFT SEMI join on the order key —
+    never a per-row subquery or an inner join + distinct."""
+    from masd_spark.plans.explain import physical_plan
+
+    plan = physical_plan(REGISTRY["q4_order_priority"].fn(spark, SF_ORACLE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_q21_decorrelation_scans_fact_twice_not_four_times(spark):
+    """Canonical Q21 has THREE lineitem references (l1, l2-exists,
+    l3-not-exists). The per-order aggregate decorrelation must not
+    multiply fact scans: at most two lineitem scan nodes in the physical
+    plan (lines + late_pairs branches), not one per quantifier."""
+    from masd_spark.plans.explain import physical_plan
+
+    plan = physical_plan(REGISTRY["q21_waiting_suppliers"].fn(spark, SF_ORACLE))
+    n_scans = plan.count("lineitem.parquet")
+    assert n_scans <= 2, f"{n_scans} lineitem scans\n{plan}"
+
+
+def test_q17_avg_join_reuses_part_key_partitioning(spark):
+    """The decorrelated per-part AVG joins back on the same key it
+    aggregated on — Catalyst must not insert an extra exchange between
+    the agg and the probe beyond the initial key shuffle."""
+    from masd_spark.plans.explain import count_exchanges
+
+    df = REGISTRY["q17_small_quantity_revenue"].fn(spark, SF_ORACLE)
+    # partkey shuffle (x2 branches collapse via reuse), final 1-row agg
+    assert count_exchanges(df) <= 4
 
 
 def test_q19_disjunction_pushes_implied_predicates(spark):
