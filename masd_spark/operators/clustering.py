@@ -160,3 +160,84 @@ def connected_components(
             "= graph diameter)"
         )
     return labels
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-cluster the
+    embeddings, then find near-duplicate pairs (cosine >= ``threshold``)
+    ONLY within each cluster and drop the higher id of every pair
+    (keep-first, same policy as exact dedup).
+
+    Returns (id, cluster, keep boolean) for every input row.
+
+    Scale shape: the pairwise stage is an EQUI-join on cluster id, so
+    cost is sum over clusters of c_i^2, never corpus^2 — and k grows
+    with the corpus to hold c_i bounded (the published SemDeDup recipe).
+    Precision is exact (real cosine on every candidate); recall is
+    bounded by co-clustering — a cross-cluster near-dup pair is missed
+    by construction, which is the accepted trade. Because the candidate
+    pair set is a SUBSET of the all-pairs set and the drop rule is
+    monotone ("exists a smaller-id neighbor"), every id dropped here is
+    also dropped by the exact O(n^2) dedup — asserted in
+    tests/test_similarity.py.
+    """
+    from masd_spark.functions.vectors import dot_fixed, norm_fixed
+
+    assigned = kmeans_assign(
+        df, dim=dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
+    ).select(id_col, "cluster")
+    with_norm = (
+        df.join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col(vec_col),
+            norm_fixed(F.col(vec_col), dim).alias("_n"),
+        )
+        .localCheckpoint(eager=True)  # reused by both join sides + output
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                dot_fixed(F.col("_va"), F.col("_vb"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        with_norm.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -263,3 +263,33 @@ def tfidf_top_terms(
             F.col("_tfidf").alias("tfidf"),
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus-wide n-gram occurrence counts -> (ngram, n_occurrences).
+
+    Built as posexplode(tokens) + window lead (the shingle_rows rule:
+    exploding an array-of-ngrams expression re-runs the tokenizer per
+    element — measured O(tokens^2); the row-wise lead form splits once
+    per doc and stays in codegen). Two shuffles: the per-doc window sort,
+    then the global count keyed by ngram — the count is partial+final, so
+    hot n-grams (Zipf head) combine map-side before they shuffle.
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError("n must be >= 2 (unigrams: count tokens() directly)")
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = toked.select(
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("ngram")
+    ).filter(F.col("ngram").isNotNull())
+    return grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))

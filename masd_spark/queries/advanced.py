@@ -410,3 +410,42 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 400.0 THEN 11
+                     ELSE floor((value - 0.0) / ((400.0 - 0.0) / 10)) + 1
+                END AS BIGINT) AS bucket,
+           count(*) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per event type: width_bucket over [0, 400) in
+    10 bins plus the under/overflow buckets (0 and 11; the fixture's
+    value range [0.01, 490] exercises overflow). One partial+final agg —
+    the profile-every-column primitive that runs over raw data before any
+    pipeline decisions. The oracle spells out width_bucket's arithmetic
+    (DuckDB lacks it); bin width 40 is float-exact so the bucket math
+    cannot straddle engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0.0), F.lit(400.0), F.lit(10))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

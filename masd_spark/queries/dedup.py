@@ -392,3 +392,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst_col="doc_b",
     )
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register("dedup_semantic_clusters")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (no_oracle: k-means centroids are
+    engine-side floats): cluster embeddings (k=8), drop the higher id of
+    every intra-cluster pair with cosine >= 0.35, report per-cluster
+    keep/drop counts. The pairwise stage is an equi-join on cluster id —
+    sum of per-cluster squares, never corpus^2; k scales with corpus to
+    bound cluster size. Subset-of-exact-dedup and recall are pinned in
+    tests/test_similarity.py.
+    """
+    from masd_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    verdicts = semantic_dedup(emb, dim=64, threshold=_EMB_THRESHOLD, k=8, n_iter=5)
+    return (
+        verdicts.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("cluster")
+    )

@@ -337,3 +337,39 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, id_col="doc_id", text_col="text", top_k=3)
+
+
+@register(
+    "corpus_ngram_topk",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS ngram
+        FROM t
+    )
+    SELECT ngram, count(*) AS n_occurrences
+    FROM grams GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """,
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-20 bigrams by occurrence count — the
+    boilerplate detector of a training-data pipeline (viral header/footer
+    lines surface here before any dedup runs). Map-side partial counts
+    absorb the Zipf head before the ngram shuffle; top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    from masd_spark.operators.text import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_counts(docs, n=2)
+        .orderBy(F.col("n_occurrences").desc(), "ngram")
+        .limit(20)
+    )

@@ -25,6 +25,7 @@ ORACLE_QUERIES = [
     "scalar_higher_order",
     "agg_collect_sorted_orders",
     "agg_exact_percentiles",
+    "histogram_event_values",
 ]
 
 

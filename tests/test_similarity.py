@@ -104,3 +104,43 @@ def test_lsh_topk_recall(spark):
     assert mismatched == 0
     recall = n_overlap / n_exact
     assert recall >= 0.2, f"LSH recall {recall:.2f} suspiciously low"
+
+
+def test_semantic_dedup_subset_of_exact_and_recall(spark):
+    """Monotone drop rule: every id semantic-dedup drops must also be
+    dropped by the exact all-pairs dedup (precision 1.0 by construction);
+    recall (dropped/exact-dropped) is bounded by co-clustering — pin a
+    floor so a degenerate clustering (everything its own cluster => no
+    drops) fails loudly."""
+    from masd_spark.operators.clustering import semantic_dedup
+    from masd_spark.operators.similarity import cosine_pairs
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    verdicts = semantic_dedup(emb, dim=64, threshold=0.35, k=8, n_iter=5)
+    sem_dropped = {
+        r["vec_id"] for r in verdicts.filter(~F.col("keep")).collect()
+    }
+    exact_dropped = {
+        r["id_b"]
+        for r in cosine_pairs(emb, threshold=0.35, dim=64)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    assert sem_dropped <= exact_dropped, sem_dropped - exact_dropped
+    assert exact_dropped, "fixture has no near-dup pairs at 0.35"
+    recall = len(sem_dropped) / len(exact_dropped)
+    assert recall >= 0.3, f"co-clustering recall collapsed: {recall:.2f}"
+
+
+def test_semantic_dedup_verdict_covers_all_rows(spark):
+    """Every input id appears exactly once with a boolean verdict."""
+    from masd_spark.operators.clustering import semantic_dedup
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    verdicts = semantic_dedup(emb, dim=64, threshold=0.35, k=8, n_iter=5)
+    assert verdicts.count() == emb.count()
+    assert verdicts.select("vec_id").distinct().count() == emb.count()
+    assert verdicts.filter(F.col("keep").isNull()).count() == 0

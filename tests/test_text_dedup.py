@@ -29,6 +29,7 @@ ORACLE_QUERIES = [
     "text_repetition_score",
     "dedup_components",
     "text_tfidf_top_terms",
+    "corpus_ngram_topk",
 ]
 
 
