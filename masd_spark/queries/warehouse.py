@@ -13,9 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from masd_spark.operators.bloom import bloom_semi_join
 from masd_spark.operators.cdc import scd2_intervals
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
+
+
+def _dec_sum(col: str):
+    """Order-independent double sum via DECIMAL(18,6) (parity recipe)."""
+    return F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -150,4 +156,49 @@ def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filtered semi-join: urgent-order line items
+# --------------------------------------------------------------------------
+
+@register(
+    "bloom_semi_join_lineitem",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line items of urgent orders via a Bloom-pre-filtered semi-join.
+
+    Models the non-broadcastable-dimension case (dim carries a
+    shuffle_hash hint standing in for "too big to broadcast"): without
+    the bloom stage the semi-join shuffles ALL of lineitem; with it, the
+    broadcast bitset (8 KB here, size-independent of dim row count)
+    drops ~80% of fact rows inside the scan stage, before the exchange.
+    False positives are removed by the exact join — the result is
+    bit-identical to the plain semi-join (the oracle). Plan shape
+    asserted in tests/test_warehouse.py.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .hint("shuffle_hash")
+    )
+    joined = bloom_semi_join(
+        lineitem, urgent, "l_orderkey", "o_orderkey", n_bits=1 << 16, n_hashes=3
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        _dec_sum("l_quantity").alias("sum_qty"),
     )

@@ -102,3 +102,57 @@ def test_fuzzy_join_resolves_vowel_dropped_names(spark):
     assert n > 0
     wrong = mode0.filter(F.col("matched_nation") != F.col("true_nation"))
     assert wrong.count() == 0
+
+
+def test_bloom_semi_join_parity(spark):
+    compare_query(spark, REGISTRY["bloom_semi_join_lineitem"], SF_ORACLE)
+
+
+def test_bloom_filter_runs_before_join_exchange(spark):
+    """The whole point of the bloom stage: the probe filter must sit in
+    the fact scan stage, BELOW the semi-join's shuffle exchange (Catalyst
+    happily reorders it above when the bitset arrives via a cross join —
+    see operators/bloom.py)."""
+    from masd_spark.plans.explain import physical_plan
+    from tests.conftest import SF_SMOKE
+
+    plan = physical_plan(REGISTRY["bloom_semi_join_lineitem"].fn(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    idx_join = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    idx_exch = next(
+        i for i, l in enumerate(lines)
+        if i > idx_join and "Exchange hashpartitioning(l_orderkey" in l
+    )
+    idx_bloom = next(
+        i for i, l in enumerate(lines)
+        if "Filter" in l and "element_at" in l and "xxhash64" in l
+    )
+    idx_scan = next(
+        i for i, l in enumerate(lines) if "FileScan" in l and "lineitem" in l
+    )
+    assert idx_join < idx_exch < idx_bloom < idx_scan, plan[:2000]
+
+
+def test_bloom_no_false_negatives_and_selective(spark):
+    """Every true member passes the bit test (no false negatives — the
+    exactness guarantee); non-members mostly fail (selectivity sanity,
+    deterministic given xxhash64)."""
+    from masd_spark.operators.bloom import (
+        _WORDS_COL, bloom_build, bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    n_bits, k = 1 << 14, 3
+    members = spark.range(0, 1000).withColumnRenamed("id", "key")
+    words = bloom_build(members, "key", n_bits, k).collect()[0][0]
+    probe = (
+        spark.range(0, 10000)
+        .withColumnRenamed("id", "key")
+        .withColumn(_WORDS_COL, F.lit(words))
+    )
+    passed = probe.filter(bloom_might_contain("key", n_bits, k))
+    n_members_passed = passed.filter(F.col("key") < 1000).count()
+    assert n_members_passed == 1000  # zero false negatives
+    fp = passed.filter(F.col("key") >= 1000).count()
+    # load factor 3*1000/16384 -> fpp ~ (1-e^-0.183)^3 ~ 0.5%; allow 4x
+    assert fp <= 0.02 * 9000, fp
