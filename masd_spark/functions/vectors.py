@@ -80,3 +80,30 @@ def norm_fixed(a: Column, dim: int) -> Column:
 
 def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
     return dot_fixed(a, b, dim) / (norm_fixed(a, dim) * norm_fixed(b, dim))
+
+
+# --- int8 scalar quantization -------------------------------------------
+# Per-vector symmetric quantization: q_i = round(x_i * 127/max|x|). Cosine
+# is invariant to per-vector positive scaling, so cos(q_a, q_b) tracks
+# cos(a, b) up to rounding noise — 4x smaller vectors (int8 at rest) and
+# integer dot products in the hot loop. Quantized values are carried as
+# array<bigint> in-flight (storage would pack to tinyint/binary); every
+# step below is exact integer or IEEE-deterministic double math, so the
+# whole pipeline is bit-reproducible cross-engine (oracle-checkable).
+
+
+def quantize_int8(a: Column) -> Column:
+    """array<float> -> array<bigint> with values in [-127, 127]; an
+    all-zero vector quantizes to all zeros (scale guard)."""
+    ma = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(ma > 0, F.lit(127.0) / ma).otherwise(F.lit(0.0))
+    return F.transform(
+        a, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def dot_fixed_long(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled integer dot product (codegen straight-line, exact)."""
+    return _unrolled_sum(
+        [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    )

@@ -144,3 +144,32 @@ def test_semantic_dedup_verdict_covers_all_rows(spark):
     assert verdicts.count() == emb.count()
     assert verdicts.select("vec_id").distinct().count() == emb.count()
     assert verdicts.filter(F.col("keep").isNull()).count() == 0
+
+
+def test_quantized_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_quantized_topk"], SF_ORACLE)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 cosine must track exact cosine closely — top-10 recall >= 0.9
+    (measured 1.0 on the fixture; the margin absorbs future fixtures)."""
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE)
+    quant = REGISTRY["ann_quantized_topk"].fn(spark, SF_ORACLE)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    q = {(r.query_id, r.vec_id) for r in quant.collect()}
+    assert e, "exact baseline empty"
+    assert len(e & q) / len(e) >= 0.9
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    """Quantized values stay in [-127, 127]; max-|x| element hits ±127;
+    the all-zero vector quantizes to zeros (no NaN/overflow path)."""
+    from masd_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "id int, v array<float>",
+    ).select("id", quantize_int8(F.col("v")).alias("q"))
+    got = {r.id: r.q for r in df.collect()}
+    assert got[1] == [64, -127, 32]
+    assert got[2] == [0, 0, 0]
