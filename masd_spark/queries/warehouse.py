@@ -202,3 +202,48 @@ def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         _dec_sum("l_quantity").alias("sum_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data layout: range-sorted parquet -> row-group pruning
+# --------------------------------------------------------------------------
+
+@register(
+    "layout_range_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 100000
+    GROUP BY o_orderstatus
+    """,
+)
+def layout_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the range-sorted layout: orders are rewritten
+    range-clustered + sorted on o_totalprice, then a price-band query
+    runs against the clustered copy. The answer is layout-independent
+    (== the oracle on the original table); what the layout buys is that
+    the BETWEEN filter prunes files and row groups whose min/max stats
+    miss the band — footer-level invariants asserted in
+    tests/test_layout.py. The rewrite itself is one range shuffle.
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from masd_spark.sources.layout import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"masd_layout_{tag}")
+    write_range_sorted(orders, path, "o_totalprice", n_files=8)
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(F.col("o_totalprice").between(50000, 100000))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )

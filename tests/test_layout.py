@@ -1,0 +1,70 @@
+"""Layout invariants for range-sorted parquet writes: disjoint per-file
+key ranges, monotone row-group stats, and actual row-group skippability
+under a band predicate — all read from the real parquet footers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.queries import load_all
+from masd_spark.sources.layout import row_group_stats, write_range_sorted
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+
+def test_layout_query_parity(spark):
+    compare_query(spark, REGISTRY["layout_range_pruned_scan"], SF_ORACLE)
+
+
+@pytest.fixture(scope="module")
+def sorted_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "orders_sorted")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    write_range_sorted(orders, path, "o_totalprice", n_files=8)
+    return path
+
+
+def test_files_own_disjoint_ranges(sorted_path):
+    """repartitionByRange must give each file a disjoint slice of the
+    key domain (file name order == partition order == range order)."""
+    stats = row_group_stats(sorted_path, "o_totalprice")
+    per_file: dict[str, list] = {}
+    for fname, rg, mn, mx in stats:
+        per_file.setdefault(fname, []).append((rg, mn, mx))
+    files = sorted(per_file)
+    assert len(files) >= 2, "fixture too small to range-partition"
+    prev_max = None
+    for fname in files:
+        groups = sorted(per_file[fname])
+        fmin, fmax = groups[0][1], groups[-1][2]
+        assert fmin <= fmax
+        if prev_max is not None:
+            assert prev_max <= fmin, (fname, prev_max, fmin)
+        prev_max = fmax
+        # within-file: sortWithinPartitions => row-group stats monotone
+        for (_, amn, amx), (_, bmn, bmx) in zip(groups, groups[1:]):
+            assert amx <= bmn, (fname, amx, bmn)
+
+
+def test_band_predicate_skips_row_groups(sorted_path):
+    """A selective band over the sort key must miss most row groups'
+    [min,max] windows — the stats-level fact behind scan pruning."""
+    stats = row_group_stats(sorted_path, "o_totalprice")
+    lo, hi = 50000.0, 60000.0
+    overlapping = [s for s in stats if not (s[3] < lo or s[2] > hi)]
+    assert len(stats) >= 8
+    assert len(overlapping) < len(stats) / 2, (
+        f"{len(overlapping)}/{len(stats)} row groups overlap the band"
+    )
+
+
+def test_scan_filter_pushdown_on_clustered_copy(spark, sorted_path):
+    """The band filter must reach the parquet scan of the clustered copy
+    (PushedFilters), which is what turns footer stats into skipped IO."""
+    from masd_spark.plans.explain import has_pushed_filter
+
+    df = spark.read.parquet(sorted_path).filter(
+        F.col("o_totalprice").between(50000, 60000)
+    )
+    assert has_pushed_filter(df, "o_totalprice")
