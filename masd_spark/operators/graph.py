@@ -1,0 +1,91 @@
+"""Distributed graph algorithms over edge DataFrames.
+
+Companion to the label-propagation connected components in
+``operators/clustering.py``: PageRank is the other canonical iterative
+graph kernel, and its Spark shape is the template for any fixed-point
+computation — the edge set NEVER moves to the driver, each iteration is
+one join + one aggregation over DataFrames, and per-iteration
+``localCheckpoint`` truncates lineage so N iterations don't compile an
+N-deep plan (the measured cache-bypass/lineage pathologies are in
+ARCHITECTURE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge DataFrame.
+
+    Nodes are every id appearing as ``src`` or ``dst``. Each iteration:
+
+        rank'(v) = (1-d)/N + d * (dangling_mass/N
+                                  + sum_{u->v} rank(u) * w(u,v)/W(u))
+
+    where W(u) is u's total out-weight and dangling_mass is the rank held
+    by nodes with no out-edges (redistributed uniformly, so total rank
+    stays 1 — asserted in tests). Scale shape per iteration: one equi-join
+    ranks |x| edges on ``src`` (both sides can be pre-partitioned on the
+    node id; the edge side's partitioning is reused every iteration), one
+    groupBy ``dst``, plus two scalar aggregates (dangling mass) — no
+    driver-side graph state, only the convergence loop counter lives in
+    Python.
+    """
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    # Normalized transition weights (out-weight via a window over _src —
+    # same partitioning as the per-iteration join, and avoids a
+    # self-join lineage ambiguity), checkpointed once: every iteration
+    # reuses this exact DataFrame and its partitioning.
+    from pyspark.sql import Window
+
+    total_out = F.sum("_w").over(Window.partitionBy("_src"))
+    trans = (
+        e.select("_src", "_dst", (F.col("_w") / total_out).alias("_p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    has_out = trans.select(F.col("_src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            trans.join(ranks, trans["_src"] == ranks["node"])
+            .select(F.col("_dst").alias("node"), (F.col("rank") * F.col("_p")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

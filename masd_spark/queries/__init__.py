@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
         sketches,
         timeseries_q,
         warehouse,
+        graph_q,
     )
 
     return REGISTRY

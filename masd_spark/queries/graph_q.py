@@ -1,0 +1,72 @@
+"""Graph queries: the nation-level trade network and PageRank over it.
+
+The edge build is a pure relational pipeline (oracled); the iterative
+kernel is rows-only (float fixed-point has no single-query SQL twin) and
+is pinned against an independent numpy implementation in
+tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.operators.graph import pagerank
+from masd_spark.queries import register
+from masd_spark.sources.tables import load_table
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed nation->nation edges weighted by line items shipped from
+    a supplier nation (dst) to a customer nation (src)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+@register(
+    "graph_trade_edges",
+    oracle="""
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(count(*) AS BIGINT) AS weight
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def graph_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-to-nation trade graph: one fact|x|fact equi-join on the
+    order key (the only real shuffle), dimension lookups broadcast, then
+    a 25x25-bounded aggregation. The edge list feeds the iterative
+    kernels (PageRank below, components in operators/clustering.py).
+    """
+    return _trade_edges(spark, sf_dir)
+
+
+@register("graph_pagerank_trade")
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 iterations, d=0.85) over the trade graph:
+    which nation's suppliers sit most central in the purchase flow.
+    Iterative fixed point -> no single-query SQL oracle; the kernel is
+    value-pinned against an independent numpy reference and conserves
+    total rank (tests/test_graph.py). Rank rounded to 6 decimals for a
+    deterministic, portable surface.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    ranks = pagerank(edges, n_iter=10, damping=0.85, weight="weight")
+    return ranks.select(
+        F.col("node").cast("long").alias("nationkey"),
+        F.round("rank", 6).alias("pagerank"),
+    )

@@ -247,3 +247,47 @@ def layout_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@register(
+    "layout_zorder_pruned_scan",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 300
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column band query against a z-ordered rewrite of orders.
+    The Morton layout keeps row-group min/max windows narrow on BOTH
+    o_custkey and o_totalprice, so either band prunes row groups — a
+    lexicographic sort only serves its leading column
+    (tests/test_layout.py measures both layouts' footer windows).
+    Result is layout-independent (== oracle on the original table).
+    """
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from masd_spark.sources.layout import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"masd_zorder_{tag}")
+    write_zordered(orders, path, "o_custkey", "o_totalprice", n_files=8)
+    z = spark.read.parquet(path)
+    return (
+        z.filter(
+            F.col("o_custkey").between(100, 300)
+            & F.col("o_totalprice").between(50000, 150000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )

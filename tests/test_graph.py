@@ -1,0 +1,72 @@
+"""Graph kernel checks: edge-build parity, PageRank vs an independent
+numpy reference, rank conservation, dangling-node handling."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from masd_spark.operators.graph import pagerank
+from masd_spark.queries import load_all
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare_query
+
+REGISTRY = load_all()
+
+
+def test_trade_edges_parity(spark):
+    compare_query(spark, REGISTRY["graph_trade_edges"], SF_ORACLE)
+
+
+def _numpy_pagerank(edges, n_iter, d):
+    """Independent dense reference: edges = [(src, dst, w)]."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for s, t, w in edges:
+        P[idx[s], idx[t]] += w
+    out_w = P.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[out_w == 0].sum()
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out_w[i] > 0:
+                contrib += r[i] * P[i] / out_w[i]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_on_trade_graph(spark):
+    edges_df = REGISTRY["graph_trade_edges"].fn(spark, SF_ORACLE)
+    edges = [(r.src, r.dst, r.weight) for r in edges_df.collect()]
+    want = _numpy_pagerank(edges, n_iter=10, d=0.85)
+    got = {
+        r.nationkey: r.pagerank
+        for r in REGISTRY["graph_pagerank_trade"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_pagerank_conserves_total_rank(spark):
+    edges_df = REGISTRY["graph_trade_edges"].fn(spark, SF_ORACLE)
+    ranks = pagerank(edges_df, n_iter=5, weight="weight")
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9, total
+
+
+def test_pagerank_dangling_sink_absorbs_then_redistributes(spark):
+    """A pure sink (no out-edges) must collect rank from its sources and
+    hand it back uniformly — not leak it (total stays 1)."""
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src int, dst int"
+    )
+    ranks = pagerank(edges, n_iter=20)
+    got = {r.node: r["rank"] for r in ranks.collect()}
+    want = _numpy_pagerank([(1, 3, 1.0), (2, 3, 1.0)], 20, 0.85)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert got[3] > got[1] == got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -68,3 +68,57 @@ def test_scan_filter_pushdown_on_clustered_copy(spark, sorted_path):
         F.col("o_totalprice").between(50000, 60000)
     )
     assert has_pushed_filter(df, "o_totalprice")
+
+
+@pytest.fixture(scope="module")
+def zordered_path(spark, tmp_path_factory):
+    from masd_spark.sources.layout import write_zordered
+
+    path = str(tmp_path_factory.mktemp("layout") / "orders_z")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    write_zordered(orders, path, "o_custkey", "o_totalprice", n_files=8)
+    return path
+
+
+def _mean_window(path, col):
+    stats = row_group_stats(path, col)
+    lo = min(s[2] for s in stats)
+    hi = max(s[3] for s in stats)
+    span = float(hi) - float(lo)
+    return sum((float(s[3]) - float(s[2])) / span for s in stats) / len(stats)
+
+
+def test_zorder_query_parity(spark):
+    compare_query(spark, REGISTRY["layout_zorder_pruned_scan"], SF_ORACLE)
+
+
+def test_zorder_narrows_both_columns(zordered_path, sorted_path):
+    """Z-layout: BOTH columns' mean row-group stat windows are fractions
+    of the domain. Price-sorted layout: price windows are tight but
+    custkey windows span nearly everything — the measured fact that
+    makes z-order worth a shuffle when two filter columns matter."""
+    z_cust = _mean_window(zordered_path, "o_custkey")
+    z_price = _mean_window(zordered_path, "o_totalprice")
+    s_cust = _mean_window(sorted_path, "o_custkey")
+    s_price = _mean_window(sorted_path, "o_totalprice")
+    assert z_cust <= 0.65, z_cust
+    assert z_price <= 0.40, z_price
+    assert s_price <= 0.25, s_price   # leading sort column: tight
+    assert s_cust >= 0.80, s_cust     # non-sort column: unclustered
+def test_zvalue_bit_interleave_exact(spark):
+    """Morton math: zvalue(a, b) interleaves bits exactly."""
+    from masd_spark.sources.layout import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a long, b long"
+    ).select("a", "b", zvalue("a", "b", 16).alias("z"))
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b), (r.a, r.b, r.z)

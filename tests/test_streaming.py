@@ -648,3 +648,102 @@ def test_transform_with_state_heavy_hitters(spark, tmp_path):
         },
     )
     assert last == expected
+
+
+def test_stream_stream_left_outer_join_emits_nulls_on_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched left rows must
+    be emitted null-extended — but only once the watermark passes their
+    join-window expiry (state eviction), not eagerly. Staged far-future
+    sentinel files advance the watermark so eviction is deterministic;
+    the final multiset must equal the batch left-join twin."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = 1_704_067_200_000
+    clicks = [
+        {"user_id": u, "ts": base + i * 60_000} for u in range(3) for i in range(5)
+    ]
+    purchases = [
+        {"user_id": 0, "ts": base + i * 60_000 + 5_000, "amount": float(i)}
+        for i in range(5)
+    ]
+    sent_c = [{"user_id": 99, "ts": base + 100 * 60_000}]
+    sent_p = [{"user_id": 99, "ts": base + 100 * 60_000, "amount": 0.0}]
+    sent2_c = [{"user_id": 98, "ts": base + 200 * 60_000}]
+    sent2_p = [{"user_id": 98, "ts": base + 200 * 60_000, "amount": 0.0}]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def w(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    for i, (cs, ps) in enumerate(
+        [(clicks, purchases), (sent_c, sent_p), (sent2_c, sent2_p)]
+    ):
+        w(os.path.join(cdir, f"f{i}.json"), cs)
+        w(os.path.join(pdir, f"f{i}.json"), ps)
+        _time.sleep(0.05)  # distinct mtimes -> deterministic trigger order
+
+    def src(d, schema, tcol):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withColumn(tcol, F.timestamp_millis(F.col("ts")))
+            .withWatermark(tcol, "1 minute")
+        )
+
+    c = src(cdir, "user_id long, ts long", "c_time").withColumnRenamed("ts", "c_ts")
+    p = src(pdir, "user_id long, ts long, amount double", "p_time").withColumnRenamed(
+        "ts", "p_ts"
+    )
+    joined = c.join(
+        p,
+        F.expr("c_time <= p_time AND p_time <= c_time + interval 10 minutes")
+        & (c["user_id"] == p["user_id"]),
+        "left_outer",
+    ).select(c["user_id"], "c_ts", "p_ts", "amount")
+
+    collected: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: collected.append(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["c_ts"], r["p_ts"], r["amount"])
+        for batch in collected
+        for r in batch
+    )
+
+    all_clicks = clicks + sent_c + sent2_c
+    all_purch = purchases + sent_p + sent2_p
+    expected = []
+    for c_ in all_clicks:
+        matches = [
+            p_
+            for p_ in all_purch
+            if p_["user_id"] == c_["user_id"]
+            and c_["ts"] <= p_["ts"] <= c_["ts"] + 600_000
+        ]
+        if matches:
+            expected.extend(
+                (c_["user_id"], c_["ts"], p_["ts"], p_["amount"]) for p_ in matches
+            )
+        else:
+            expected.append((c_["user_id"], c_["ts"], None, None))
+    # Python sorts None < int fails; sort with key handling None
+    keyf = lambda t: (t[0], t[1], t[2] is not None, t[2] or 0, t[3] or 0.0)
+    assert sorted(got, key=keyf) == sorted(expected, key=keyf)
+    nulls = [t for t in got if t[2] is None]
+    assert len(nulls) == 10  # users 1,2: all five clicks unmatched
