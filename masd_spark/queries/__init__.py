@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         timeseries_q,
         warehouse,
         graph_q,
+        analytics,
     )
 
     return REGISTRY

@@ -449,3 +449,38 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(min(med), 6) AS median_value,
+           ROUND(median(ad), 6) AS mad
+    FROM d GROUP BY 1
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the outlier-robust
+    spread statistic (a z-score built on mean/std is itself dragged by
+    the outliers it should flag; median/MAD is not). Inherently two
+    passes (the second median is over deviations from the first): two
+    group-aggs + one broadcastable join of per-group medians back onto
+    the fact rows. Exact interpolated medians on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    return d.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(F.median("ad"), 6).alias("mad"),
+    )

@@ -373,3 +373,59 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "ngram")
         .limit(20)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot))
+                    AS DECIMAL(18,8)) AS lp
+        FROM toks t JOIN freq f USING (tok)
+    )
+    SELECT doc_id,
+           ROUND(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY 1
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: mean ln p(token)
+    under the corpus's own unigram distribution — the cheap fluency /
+    outlier signal (gibberish and off-domain docs score low) that stands
+    in for model perplexity in a first-pass quality gate. Two shuffles
+    (token frequency agg; token->freq equi-join, skew-bounded by the
+    corpus vocabulary) + per-doc re-agg. Per-token logprobs are
+    decimal-quantized before summing so the fold is order-independent
+    and cross-engine exact (parity recipe).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("n"))
+            .cast("decimal(18,8)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
