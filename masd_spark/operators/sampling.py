@@ -161,3 +161,27 @@ def upsample_mixture(
         .withColumn(copy_col, F.col(copy_col).cast("bigint"))
         .drop("_base", "_extra_below", "_n")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame, key_col: str, weight_col: Column, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row gets score ln(u)/w with u hash-derived from
+    its key (never an RNG — same [[hash_bucket]] discipline as the other
+    samplers), and the k largest scores win; inclusion probability is
+    proportional to weight. Rank ties are broken by key, and u comes
+    from the bucket midpoint so it is strictly inside (0,1). One
+    TakeOrdered-style top-k — no shuffle beyond it, reproducible across
+    runs, partitionings, and engines.
+    """
+    u = (hash_bucket(F.col(key_col), salt).cast("double") + F.lit(0.5)) / BUCKETS
+    score = F.round(F.log(u) / weight_col.cast("double"), 9)
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows) — a global row_number window would
+    # instead sort everything in ONE partition.
+    return (
+        df.withColumn("_es_score", score)
+        .orderBy(F.col("_es_score").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -6,7 +6,7 @@ notes are in each docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.queries import register
@@ -120,4 +120,141 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return act.groupBy("cohort_day", "day_offset").agg(
         F.count("*").alias("n_users")
+    )
+
+
+@register(
+    "streak_longest_daily",
+    oracle=f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // {_DAY_MS} AS day FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS len,
+               min(day) AS start_day
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, len AS longest_streak_days, start_day AS streak_start_day
+    FROM streaks
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, start_day) = 1
+    """,
+)
+def streak_longest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands shape (day minus per-user day-rank is constant
+    within a run of consecutive days). One distinct + two windows over
+    the SAME user partitioning (exchange reused) + one agg: no
+    self-join against a calendar, output one row per user regardless of
+    history length. Earliest streak wins length ties (deterministic).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts div 1000000) div {_DAY_MS}").alias("day")
+    )
+    days = e.distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    return (
+        streaks.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.col("start_day").alias("streak_start_day"),
+        )
+    )
+
+
+# 2024-01-15T00:00:00Z — splits the fixture's 30-day window in half.
+_PSI_SPLIT_MS = 1_705_276_800_000
+
+
+@register(
+    "drift_psi_value_dist",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               CASE WHEN value < 0 THEN 0
+                    WHEN value >= 400 THEN 11
+                    ELSE CAST(floor(value / 40) AS BIGINT) + 1 END AS bucket,
+               (epoch_ms(ts) < {_PSI_SPLIT_MS}) AS in_a
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, bucket,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS cb
+        FROM e GROUP BY 1, 2
+    ),
+    probs AS (
+        SELECT event_type, bucket, ca, cb,
+               sum(ca) OVER (PARTITION BY event_type) AS na,
+               sum(cb) OVER (PARTITION BY event_type) AS nb,
+               count(*) OVER (PARTITION BY event_type) AS nbuckets
+        FROM counts
+    ),
+    terms AS (
+        SELECT event_type,
+               CAST(((ca + 1.0) / (na + nbuckets) - (cb + 1.0) / (nb + nbuckets))
+                    * ln(((ca + 1.0) / (na + nbuckets))
+                         / ((cb + 1.0) / (nb + nbuckets)))
+                    AS DECIMAL(18,8)) AS term
+        FROM probs
+    )
+    SELECT event_type, ROUND(CAST(sum(term) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY 1
+    """,
+)
+def drift_psi_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the value distribution
+    of each event type in the first half of the window vs the second
+    (fixed bins, Laplace-smoothed over buckets observed in either
+    period). PSI is THE production gate for 'did this feed silently
+    change' — cheap enough to run on every ingest batch: one
+    partial+final agg to a 12-bucket-per-type grid, window sums over
+    that tiny grid, nothing else touches the fact table. Per-bucket
+    terms are decimal-quantized so the fold is order-independent
+    (cross-engine exact).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CASE WHEN value < 0 THEN 0 WHEN value >= 400 THEN 11 "
+            "ELSE CAST(floor(value / 40) AS BIGINT) + 1 END"
+        ).alias("bucket"),
+        (F.expr("ts div 1000000") < _PSI_SPLIT_MS).alias("in_a"),
+    )
+    counts = ev.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("cb"),
+    )
+    wt = Window.partitionBy("event_type")
+    probs = counts.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+        F.count("*").over(wt).alias("nbuckets"),
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + F.col("nbuckets"))
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + F.col("nbuckets"))
+    terms = probs.select(
+        "event_type",
+        ((pa - pb) * F.log(pa / pb)).cast("decimal(18,8)").alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("psi")
     )

@@ -6,7 +6,7 @@ exact n-gram Jaccard; the DuckDB oracles recompute the full pipelines
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.dedup import (
@@ -416,4 +416,83 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
         )
         .orderBy("cluster")
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_inter AS DOUBLE)
+                    / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    ),
+    bidir AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+    ),
+    comp AS (
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+        FROM reach GROUP BY src
+    )
+    SELECT c.doc_id, c.component,
+           first_value(c.doc_id) OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+           ) AS canonical_doc_id,
+           (c.doc_id = first_value(c.doc_id) OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+           )) AS is_canonical
+    FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of dedup: inside every near-dup component, elect ONE
+    canonical survivor (longest document, doc_id tiebreak) and mark the
+    rest as drops — pairs -> components -> survivorship is the full
+    production pipeline (a pair list alone can't be acted on; greedy
+    pair-dropping is order-dependent). Election is a first_value window
+    over the component partitioning — one extra shuffle on component id
+    after the label propagation, deterministic by construction.
+    """
+    from masd_spark.operators.clustering import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir)
+    )
+    comp = connected_components(
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), "component")
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    canon = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "component",
+        canon.alias("canonical_doc_id"),
+        (F.col("doc_id") == canon).alias("is_canonical"),
     )

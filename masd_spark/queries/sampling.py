@@ -159,3 +159,39 @@ def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_pct") >= 0.2)
         .withColumn("quality_pct", F.round("quality_pct", 6))
     )
+
+
+@register(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               ROUND(ln(({md5_bucket_sql("CAST(doc_id AS VARCHAR)", salt="es:")}
+                          + 0.5) / 10000.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS es_score
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_score
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY es_score DESC, doc_id) <= 100
+    """,
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 100-doc sample via deterministic Efraimidis-
+    Spirakis: longer documents are proportionally likelier, yet the
+    draw is pure hash math — reproducible across runs, partitionings,
+    and engines (oracle recomputes the identical scores), monotone
+    under reruns, no RNG seed plumbing. The top-k is per-partition
+    heaps, not a global sort.
+    """
+    from masd_spark.operators.sampling import weighted_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_topk_sample(
+        docs, "doc_id", F.col("n_chars"), k=100, salt="es:"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("_es_score").alias("es_score"),
+    )

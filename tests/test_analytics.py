@@ -104,3 +104,86 @@ def test_unigram_logprob_ranks_rare_tokens_lower(spark):
         F.min("avg_logprob").alias("lo"), F.max("avg_logprob").alias("hi")
     ).collect()[0]
     assert stats.lo < stats.hi
+
+
+EXTRA = [
+    "streak_longest_daily",
+    "sample_weighted_es",
+    "drift_psi_value_dist",
+    "dedup_survivorship",
+]
+
+
+@pytest.mark.parametrize("name", EXTRA)
+def test_extra_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_streak_bounded_by_active_days(spark):
+    df = REGISTRY["streak_longest_daily"].fn(spark, SF_ORACLE)
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    active = (
+        ev.select("user_id", F.expr("(ts div 1000000) div 86400000").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_days"))
+    )
+    j = df.join(active, "user_id")
+    assert j.filter(F.col("longest_streak_days") > F.col("n_days")).count() == 0
+    assert j.filter(F.col("longest_streak_days") < 1).count() == 0
+    assert df.count() == active.count()
+
+
+def test_weighted_sample_is_biased_toward_weight(spark):
+    """Exactly k rows, deterministic across calls, and the length-weighted
+    draw's mean n_chars exceeds the corpus mean."""
+    a = REGISTRY["sample_weighted_es"].fn(spark, SF_ORACLE)
+    b = REGISTRY["sample_weighted_es"].fn(spark, SF_ORACLE)
+    rows_a = sorted((r.doc_id, r.es_score) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.es_score) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 100
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = a.agg(F.avg("n_chars")).collect()[0][0]
+    assert sample_mean > corpus_mean
+
+
+def test_psi_nonnegative_and_stationary_fixture_small(spark):
+    """Every PSI term is (p-q)ln(p/q) >= 0, so PSI >= 0; the fixture's
+    halves are draws from one distribution, so PSI sits under the 0.1
+    'no significant drift' rule-of-thumb."""
+    rows = REGISTRY["drift_psi_value_dist"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.psi < 0.1, (r.event_type, r.psi)
+
+
+def test_survivorship_one_canonical_per_component(spark):
+    df = REGISTRY["dedup_survivorship"].fn(spark, SF_ORACLE).cache()
+    try:
+        per_comp = df.groupBy("component").agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count("*").alias("n"),
+        )
+        assert per_comp.filter(F.col("n_canon") != 1).count() == 0
+        # canonical row holds the component's max n_chars
+        docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        j = df.join(docs, "doc_id")
+        mx = j.groupBy("component").agg(F.max("n_chars").alias("mx"))
+        bad = (
+            j.filter(F.col("is_canonical"))
+            .join(mx, "component")
+            .filter(F.col("n_chars") != F.col("mx"))
+        )
+        assert bad.count() == 0
+    finally:
+        df.unpersist()
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from masd_spark.plans.explain import has_take_ordered
+    from tests.conftest import SF_SMOKE
+
+    assert has_take_ordered(REGISTRY["sample_weighted_es"].fn(spark, SF_SMOKE))
