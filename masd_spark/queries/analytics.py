@@ -258,3 +258,39 @@ def drift_psi_value_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type").agg(
         F.round(F.sum("term").cast("double"), 6).alias("psi")
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_per_key,
+           ROUND(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99,
+           ROUND(quantile_cont(cnt, 0.50), 6) AS p50
+    FROM per_key
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the lineitem order key — the number
+    you check BEFORE picking a join strategy at 100 TB (a top1_share
+    near 1/n_partitions means one reducer owns a partition's worth of
+    one key -> salt or AQE skew-join; a flat p99/p50 means plain hash
+    partitioning is fine). One partial+final count per key, then a
+    six-number summary — cost is one shuffle of key counts, output is
+    one row regardless of scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top1_share"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.percentile("cnt", F.lit(0.50)), 6).alias("p50"),
+    )

@@ -275,3 +275,54 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_benchmark_hits"))
     )
+
+
+N_FOLDS = 5
+
+
+@register(
+    "pipeline_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               {_md5_bucket_sql("'fold:' || CAST(doc_id AS VARCHAR)")}
+                   % {N_FOLDS} AS fold
+        FROM documents
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def pipeline_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by salted content hash:
+    fold membership is a pure function of the id — reproducible across
+    engines and cluster sizes, disjoint and exhaustive by construction,
+    and independent of the train/test split's buckets (different salt).
+    Per-(fold, lang) counts surface stratification balance; the
+    assignment itself is shuffle-free column math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % N_FOLDS
+    )
+    return (
+        docs.select(fold.alias("fold"), "lang", "doc_id")
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -187,3 +187,34 @@ def test_weighted_sample_plan_is_take_ordered(spark):
     from tests.conftest import SF_SMOKE
 
     assert has_take_ordered(REGISTRY["sample_weighted_es"].fn(spark, SF_SMOKE))
+
+
+EXTRA2 = ["pipeline_kfold_assignment", "diag_key_skew"]
+
+
+@pytest.mark.parametrize("name", EXTRA2)
+def test_extra2_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_kfold_disjoint_and_exhaustive(spark):
+    df = REGISTRY["pipeline_kfold_assignment"].fn(spark, SF_ORACLE)
+    rows = df.collect()
+    folds = {r.fold for r in rows}
+    assert folds == set(range(5))
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # every fold gets a non-trivial share (hash balance sanity)
+    per_fold = {}
+    for r in rows:
+        per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n_docs
+    assert min(per_fold.values()) >= 0.1 * docs.count() / 5
+
+
+def test_key_skew_summary_consistent(spark):
+    r = REGISTRY["diag_key_skew"].fn(spark, SF_ORACLE).collect()[0]
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    assert r.n_rows == li.count()
+    assert 0 < r.top1_share <= 1.0
+    assert r.p99 >= r.p50 >= 1.0
+    assert r.max_per_key >= r.p99
