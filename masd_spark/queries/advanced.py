@@ -484,3 +484,95 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("med"), 6).alias("median_value"),
         F.round(F.median("ad"), 6).alias("mad"),
     )
+
+
+@register(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting with mergeable state: per-(type, bucket)
+    roaring-style bitmaps via bitmap_construct_agg — unlike HLL this is
+    exact, and unlike count(DISTINCT) the state merges associatively
+    (bitmap_or_agg), so per-shard partials combine without a re-shuffle
+    of raw keys; per-key state is bits, not a hash set. The 'ALL' row is
+    the OR-merge of the per-type bitmaps — the same few-KB-state
+    mergeability story as the HLL query, but hash-checkable against
+    DuckDB's plain count(DISTINCT).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    buckets = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bn")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("b")
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(b)")).alias("n_users")
+    )
+    merged = (
+        buckets.groupBy("bn")
+        .agg(F.expr("bitmap_or_agg(b)").alias("b"))
+        .agg(F.sum(F.expr("bitmap_count(b)")).alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionAll(merged)
+
+
+_SESSION_GAP_MS = 21_600_000
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                            >= {_SESSION_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) + {_SESSION_GAP_MS} AS session_end_ms
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window in BATCH mode (the same operator the
+    streaming pipeline uses, so batch backfills and live sessions share
+    one definition). Event times are ms-truncated before windowing so
+    the engine's µs gap comparisons match the oracle's ms math; note the
+    boundary semantics differ from the hand-rolled sessionize operator:
+    half-open windows [t, t+gap) make diff == gap START a new session
+    (oracle condition >=, vs > in sessionize_events) — both definitions
+    are legitimate; pinning both here makes the difference explicit.
+    window.end is last-event + gap by definition.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+    )
+    s = ev.groupBy(
+        "user_id",
+        F.session_window("event_time", f"{_SESSION_GAP_MS} milliseconds"),
+    ).agg(F.count("*").alias("n_events"))
+    return s.select(
+        "user_id",
+        "n_events",
+        F.unix_millis("session_window.start").alias("session_start_ms"),
+        F.unix_millis("session_window.end").alias("session_end_ms"),
+    )

@@ -131,9 +131,10 @@ def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dimension is broadcast, so the probe side streams map-side with
     no shuffle — at 100 TB this is a linear scan; cost is
     |probe| x |dim| levenshtein evals, bounded by the small dim, all
-    JVM-side (built-in levenshtein, no Python). The only shuffle is the
-    final per-key argmin window; a known-small dim could instead use
-    min_by in one partial+final agg.
+    JVM-side (built-in levenshtein, no Python). The argmin is
+    min(struct(dist, name)) — a partial+final aggregate, so the shuffle
+    carries one candidate per probe key per map task (a row_number
+    window would shuffle and sort EVERY scored candidate).
     """
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -151,11 +152,14 @@ def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_nation",
         F.levenshtein("dirty_name", "matched_nation").cast("long").alias("dist"),
     )
-    w = Window.partitionBy("c_custkey").orderBy("dist", "matched_nation")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    best = scored.groupBy("c_custkey", "dirty_name").agg(
+        F.min(F.struct("dist", "matched_nation")).alias("_best")
+    )
+    return best.select(
+        "c_custkey",
+        "dirty_name",
+        F.col("_best.matched_nation").alias("matched_nation"),
+        F.col("_best.dist").alias("dist"),
     )
 
 

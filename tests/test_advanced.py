@@ -26,6 +26,9 @@ ORACLE_QUERIES = [
     "agg_collect_sorted_orders",
     "agg_exact_percentiles",
     "histogram_event_values",
+    "agg_mad_robust",
+    "agg_bitmap_exact_distinct",
+    "session_window_native",
 ]
 
 
@@ -66,3 +69,19 @@ def test_streaming_query_deterministic(spark):
         if r[4] != r[5] + r[6]  # total != valid + malformed
     ]
     assert not bad
+
+
+def test_session_window_native_boundary_vs_sessionize(spark):
+    """The native session_window and the hand-rolled sessionize agree on
+    session COUNTS except where a gap equals exactly the threshold
+    (half-open vs closed boundary) — on this fixture no µs-exact 6h gap
+    exists, so total session counts match."""
+    from pyspark.sql import functions as F
+
+    native = REGISTRY["session_window_native"].fn(spark, SF_ORACLE)
+    rolled = REGISTRY["sessionize_events"].fn(spark, SF_ORACLE)
+    assert native.count() == rolled.count()
+    # per-user session multiset of n_events identical
+    a = sorted((r.user_id, r.n_events) for r in native.collect())
+    b = sorted((r.user_id, r.n_events) for r in rolled.collect())
+    assert a == b
