@@ -295,3 +295,94 @@ def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit: the "expectations" layer
+# --------------------------------------------------------------------------
+
+@register(
+    "dq_audit_core",
+    oracle="""
+    SELECT 'orders_fk_customer' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           CAST((SELECT count(*) FROM (
+                     SELECT c_custkey FROM customer
+                     GROUP BY 1 HAVING count(*) > 1))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'events_user_not_null',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST((SELECT count(*) FROM documents
+                 WHERE text IS NULL OR length(trim(text)) = 0) AS BIGINT),
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+    """,
+)
+def dq_audit_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the core tables: referential
+    integrity (anti-joins), key uniqueness, null/empty rates — one row
+    per check, (violations, checked). Each FK check is a LEFT ANTI hash
+    join (at scale: broadcast when the parent's keys fit, else one
+    key-shuffle; never a correlated per-row probe); uniqueness is a
+    groupBy-HAVING. This is the audit an ingest gate runs before
+    promoting a batch — kept as ONE query so the whole suite is a
+    single job with shared scan reuse.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        return (
+            violations.agg(F.count("*").alias("n_violations"))
+            .crossJoin(checked.agg(F.count("*").alias("n_checked")))
+            .select(
+                F.lit(name).alias("check_name"), "n_violations", "n_checked"
+            )
+        )
+
+    fk_orders = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    fk_lineitem = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    dup_cust = (
+        customer.groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    null_users = events.filter(F.col("user_id").isNull())
+    empty_docs = documents.filter(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+    )
+    return (
+        check("orders_fk_customer", fk_orders, orders)
+        .unionAll(check("lineitem_fk_orders", fk_lineitem, lineitem))
+        .unionAll(check("customer_pk_unique", dup_cust, customer))
+        .unionAll(check("events_user_not_null", null_users, events))
+        .unionAll(check("documents_text_nonempty", empty_docs, documents))
+    )

@@ -156,3 +156,34 @@ def test_bloom_no_false_negatives_and_selective(spark):
     fp = passed.filter(F.col("key") >= 1000).count()
     # load factor 3*1000/16384 -> fpp ~ (1-e^-0.183)^3 ~ 0.5%; allow 4x
     assert fp <= 0.02 * 9000, fp
+
+
+def test_dq_audit_parity(spark):
+    compare_query(spark, REGISTRY["dq_audit_core"], SF_ORACLE)
+
+
+def test_dq_audit_shape_and_counts(spark):
+    rows = {r.check_name: r for r in REGISTRY["dq_audit_core"].fn(spark, SF_ORACLE).collect()}
+    assert set(rows) == {
+        "orders_fk_customer",
+        "lineitem_fk_orders",
+        "customer_pk_unique",
+        "events_user_not_null",
+        "documents_text_nonempty",
+    }
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    assert rows["orders_fk_customer"].n_checked == orders.count()
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+
+
+def test_dq_fk_check_detects_planted_orphans(spark):
+    """The anti-join check shape actually fires: planting orphan FKs in a
+    synthetic child table yields exactly that violation count."""
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, 98)], "id long, fk long"
+    )
+    orphans = child.join(parent, child.fk == parent.pk, "left_anti")
+    assert orphans.count() == 2
+    assert {r.fk for r in orphans.collect()} == {98, 99}
