@@ -187,3 +187,25 @@ def test_dq_fk_check_detects_planted_orphans(spark):
     orphans = child.join(parent, child.fk == parent.pk, "left_anti")
     assert orphans.count() == 2
     assert {r.fk for r in orphans.collect()} == {98, 99}
+
+
+def test_scd2_single_shuffle_two_windows(spark):
+    """The docstring's scale claim, asserted: both window passes reuse
+    ONE exchange on the dimension key."""
+    from masd_spark.plans.explain import count_exchanges, physical_plan
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["scd2_customer_priority"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) == 1, physical_plan(df)
+    assert physical_plan(df).count("Window") == 2
+
+
+def test_fuzzy_join_is_partial_agg_not_window(spark):
+    """Argmin must plan as partial+final min(struct), never a full-row
+    sort window."""
+    from masd_spark.plans.explain import physical_plan
+    from tests.conftest import SF_SMOKE
+
+    plan = physical_plan(REGISTRY["fuzzy_join_nations"].fn(spark, SF_SMOKE))
+    assert "partial_min" in plan
+    assert "Window" not in plan
