@@ -115,3 +115,29 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark, src_path: str, dst_path: str, target_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a parquet directory into ~``target_bytes``-sized files.
+
+    The small-files problem is the quiet killer of big scans: every file
+    costs a task, a footer read, and scheduler overhead, so a table that
+    accumulated thousands of tiny micro-batch outputs scans 10-100x
+    slower than the same bytes in right-sized files. Output file count =
+    ceil(total_bytes / target_bytes) from the ACTUAL on-disk footprint
+    (no guessing), written via repartition (round-robin, even sizes —
+    coalesce would merge unevenly and can collapse parallelism upstream).
+    Returns the file count written. Maintenance pass: one shuffle of the
+    data being compacted, embarrassingly parallel across partitions of a
+    partitioned table.
+    """
+    import math
+    from pathlib import Path
+
+    total = sum(f.stat().st_size for f in Path(src_path).glob("*.parquet"))
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

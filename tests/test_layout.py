@@ -122,3 +122,25 @@ def test_zvalue_bit_interleave_exact(spark):
 
     for r in df.collect():
         assert r.z == ref(r.a, r.b), (r.a, r.b, r.z)
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """2000 rows scattered over ~64 tiny files compact to the computed
+    target count with the exact same row multiset."""
+    from masd_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+    import pathlib
+
+    n_small = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n_small >= 32
+    total = sum(f.stat().st_size for f in pathlib.Path(src).glob("*.parquet"))
+    n_out = compact_files(spark, src, dst, target_bytes=max(1, total // 4))
+    files = list(pathlib.Path(dst).glob("*.parquet"))
+    assert len(files) == n_out <= 5
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert sorted(r.id for r in back.collect()) == list(range(2000))
