@@ -294,3 +294,150 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99"),
         F.round(F.percentile("cnt", F.lit(0.50)), 6).alias("p50"),
     )
+
+
+@register(
+    "stat_daily_value_correlation",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch_ms(ts) // {_DAY_MS} AS day, event_type,
+               CAST(value AS DECIMAL(18,6)) AS vq
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    daily AS (
+        SELECT day, event_type,
+               CAST(round((CAST(sum(vq) AS DOUBLE) / count(*)) * 1000000)
+                    AS BIGINT) AS m6
+        FROM e GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT day,
+               max(CASE WHEN event_type = 'click' THEN m6 END) AS x,
+               max(CASE WHEN event_type = 'purchase' THEN m6 END) AS y
+        FROM daily GROUP BY 1
+        HAVING max(CASE WHEN event_type = 'click' THEN m6 END) IS NOT NULL
+           AND max(CASE WHEN event_type = 'purchase' THEN m6 END) IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS pearson_r
+    FROM s
+    """,
+)
+def stat_daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between the daily mean values of two event
+    series (click vs purchase), paired by day. Portable-numerics
+    construction: daily means come from decimal-quantized sums (exact),
+    are snapped to integer micro-units, and the five correlation sums
+    are exact BIGINTs — the only floating point is the final closed-form
+    ratio over identical integer inputs, so both engines emit identical
+    bits. Two aggs + a 30-row reduction; the fact table is touched once.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.expr(f"(ts div 1000000) div {_DAY_MS}").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("vq"),
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.round((F.sum("vq").cast("double") / F.count("*")) * 1e6)
+        .cast("bigint")
+        .alias("m6")
+    )
+    pairs = (
+        daily.groupBy("day")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("m6"))).alias("x"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("m6"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * F.col("sx")) * (n * F.col("syy") - sy * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_days"), F.round(num / den, 6).alias("pearson_r")
+    )
+
+
+@register(
+    "stat_chi2_type_by_dow",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, (epoch_ms(ts) // {_DAY_MS}) % 7 AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_t,
+               sum(o) OVER (PARTITION BY dow) AS col_t,
+               sum(o) OVER () AS grand
+        FROM obs
+    ),
+    terms AS (
+        SELECT CAST(round(
+                   power(o - CAST(row_t AS DOUBLE) * col_t / grand, 2)
+                   / (CAST(row_t AS DOUBLE) * col_t / grand) * 100000000)
+               AS BIGINT) AS t8,
+               event_type, dow
+        FROM tot
+    )
+    SELECT ROUND(CAST(sum(t8) AS DOUBLE) / 100000000, 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+)
+def stat_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for event type x day-of-week
+    (integer epoch-day mod 7 — calendar-free). Cell terms are computed
+    in double from exact integer marginals (identical bits both
+    engines), snapped to 1e-8 integer units, and summed exactly — the
+    order-independent fold recipe. One count-grid agg over the fact
+    table, window sums over the 35-cell grid, one-row output: the
+    'is this feed's weekly mix drifting' test at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"((ts div 1000000) div {_DAY_MS}) % 7").alias("dow"),
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("grand")
+    t8 = F.round(F.pow(F.col("o") - exp, 2) / exp * 1e8).cast("bigint")
+    terms = tot.select("event_type", "dow", t8.alias("t8"))
+    return terms.agg(
+        F.round(F.sum("t8").cast("double") / 1e8, 6).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+    )

@@ -10,7 +10,7 @@ keyed history tables (SCD2), dirty-key conformance against a dimension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from masd_spark.operators.bloom import bloom_semi_join

@@ -218,3 +218,46 @@ def test_key_skew_summary_consistent(spark):
     assert 0 < r.top1_share <= 1.0
     assert r.p99 >= r.p50 >= 1.0
     assert r.max_per_key >= r.p99
+
+
+EXTRA3 = ["stat_daily_value_correlation", "stat_chi2_type_by_dow"]
+
+
+@pytest.mark.parametrize("name", EXTRA3)
+def test_extra3_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_pearson_matches_numpy(spark):
+    """The quantized-sums closed form must agree with numpy's corrcoef on
+    the same daily means (quantization noise is ~1e-6 on the means)."""
+    import numpy as np
+
+    r = REGISTRY["stat_daily_value_correlation"].fn(spark, SF_ORACLE).collect()[0]
+    assert -1.0 <= r.pearson_r <= 1.0
+    ev = (
+        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("(ts div 1000000) div 86400000").alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.avg("value").alias("m"))
+    )
+    rows = ev.collect()
+    by_day = {}
+    for row in rows:
+        by_day.setdefault(row.day, {})[row.event_type] = row.m
+    xs = [v["click"] for v in by_day.values() if len(v) == 2]
+    ys = [v["purchase"] for v in by_day.values() if len(v) == 2]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(r.pearson_r - want) < 1e-4
+    assert r.n_days == len(xs)
+
+
+def test_chi2_nonnegative_with_right_dof(spark):
+    r = REGISTRY["stat_chi2_type_by_dow"].fn(spark, SF_ORACLE).collect()[0]
+    assert r.chi2 >= 0.0
+    assert r.dof == (5 - 1) * (7 - 1)
