@@ -4,9 +4,11 @@ The reference declares its one input schema explicitly and never infers
 (reference: spark-app/consumer.py:39-45). We keep that discipline for every
 fixture table: explicit schemas mean no footer-inference job, stable column
 pruning, and a deliberate decision about the one awkward column —
-``events.ts`` is ns-precision parquet, which Spark 4 cannot represent as a
-timestamp; we read it as a raw long (nanoseconds since epoch) and derive a
-microsecond ``event_time`` with :func:`with_event_time`.
+``events.ts``: the fixture has shipped it both as ns-physical parquet and
+as µs TIMESTAMP parquet across driver regenerations, so :func:`load_table`
+normalizes it to a raw long (nanoseconds since epoch) and every operator
+derives times from that one contract (``event_time`` via
+:func:`with_event_time`).
 
 At 100 TB these readers change only in path layout (partitioned directories
 instead of single files); explicit schemas skip schema-merge jobs across
@@ -100,11 +102,12 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # ts read as raw ns-long; see module docstring.
+    # ts is µs-precision naive parquet; declared NTZ, normalized to the
+    # package-wide ns-long contract inside load_table (see module docstring).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -131,9 +134,26 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table with its declared schema."""
+    """Read one fixture table with its declared schema.
+
+    ``events.ts`` is normalized here — and ONLY here — to the package-wide
+    contract "``ts`` is nanoseconds-since-epoch as a long". The fixture has
+    shipped both as ns-physical-long and as µs TIMESTAMP parquet across
+    regenerations; every downstream operator (``ts DIV 1_000_000`` → ms,
+    :func:`with_event_time` → µs timestamp) is insulated from that choice
+    by this one projection. The cast runs inside whole-stage codegen on
+    top of the scan; column pruning still reaches the reader.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    if name == "events":
+        # NTZ → epoch under the session's pinned UTC zone, so the value is
+        # the same naive instant DuckDB's epoch_ms/epoch_us read from the
+        # identical column.
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def with_event_time(events: DataFrame, ts_col: str = "ts", out_col: str = "event_time") -> DataFrame:

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from masd_spark.queries import load_all
+from masd_spark.sources.tables import load_table
 from tests.conftest import SF_ORACLE
 from tests.oracle import compare_query
 
@@ -121,7 +122,7 @@ def test_extra_oracle_parity(spark, name):
 
 def test_streak_bounded_by_active_days(spark):
     df = REGISTRY["streak_longest_daily"].fn(spark, SF_ORACLE)
-    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    ev = load_table(spark, SF_ORACLE, "events")
     active = (
         ev.select("user_id", F.expr("(ts div 1000000) div 86400000").alias("d"))
         .distinct()
@@ -236,7 +237,7 @@ def test_pearson_matches_numpy(spark):
     r = REGISTRY["stat_daily_value_correlation"].fn(spark, SF_ORACLE).collect()[0]
     assert -1.0 <= r.pearson_r <= 1.0
     ev = (
-        spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+        load_table(spark, SF_ORACLE, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
         .select(
             F.expr("(ts div 1000000) div 86400000").alias("day"),
