@@ -311,3 +311,61 @@ def minhash_lsh_pairs(
     )
     pairs = candidates.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
     return _pair_jaccard(pairs, threshold)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-style, lossless).
+
+    Order each doc's shingles by global rarity (document frequency asc,
+    shingle asc — one canonical total order for the whole corpus) and keep
+    only the first ``|x| - ceil(t*|x|) + 1`` as the doc's *prefix*. Two
+    sets with Jaccard >= t must overlap in at least ceil(t*max(|x|,|y|))
+    elements, so they cannot disagree on BOTH prefixes — a shared prefix
+    shingle is a necessary condition, and candidate generation joins
+    prefixes only. Verification then scores candidates on the FULL sets,
+    so every emitted pair carries its true Jaccard and the result is
+    bit-identical to the brute-force shingle join (pinned in tests).
+
+    Scale shape vs plain ``jaccard_pairs``: the candidate join touches
+    ~(1-t) of each doc's shingles, and because the canonical order puts
+    RARE shingles first, prefixes systematically avoid the high-df
+    shingles that cause quadratic reducer blowup — the skew cap falls out
+    of the ordering instead of needing a max_df cutoff (and without the
+    cap's recall caveat). df ranking and prefix selection reuse one
+    shingle-keyed + one doc-keyed shuffle.
+    """
+    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_df", "shingle")
+        ),
+    )
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(float(threshold)) * F.col("set_size")) + 1
+    )
+    prefix = ranked.filter(F.col("_rn") <= prefix_len)
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    candidates = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("size_a")
+    )
+    sh_b = sh.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
+    )
+    pairs = candidates.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+    return _pair_jaccard(pairs, threshold)

@@ -441,3 +441,92 @@ def stat_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity: brand co-occurrence within orders
+# --------------------------------------------------------------------------
+
+@register(
+    "basket_brand_affinity",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    brand AS (SELECT p_brand, count(*) AS n_b FROM items GROUP BY 1),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               count(*) AS n_pair
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        WHERE a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ba.n_b AS BIGINT) AS n_a,
+           CAST(bb.n_b AS BIGINT) AS n_b,
+           ROUND(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(n_pair AS DOUBLE) / ba.n_b, 6) AS confidence_a_to_b,
+           ROUND(CAST(n_pair AS DOUBLE) * n.n_orders
+                 / (CAST(ba.n_b AS DOUBLE) * bb.n_b), 6) AS lift
+    FROM pair
+    JOIN brand ba ON brand_a = ba.p_brand
+    JOIN brand bb ON brand_b = bb.p_brand
+    CROSS JOIN n
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: support / confidence / lift for every pair
+    of part brands co-occurring in an order. Baskets are DISTINCT
+    (order, brand) rows — the brand dimension joins in via broadcast, the
+    pair enumeration is an equi-self-join on the order key (work bounded
+    by basket_size^2 per order, never brands^2 globally), and the margins
+    attach via two broadcast joins plus a broadcast scalar for the basket
+    total — no driver-side math. At 100 TB the only big shuffle is the
+    distinct on (order, brand), which AQE coalesces; hot brands don't skew
+    the pair join because it's keyed on the ORDER, not the brand.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    total = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    brand = items.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ba = brand.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    bb = brand.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_b2"))
+    return (
+        pair.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.col("n_a"),
+            F.col("n_b2").alias("n_b"),
+            F.round(F.col("n_pair") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders") / (F.col("n_a") * F.col("n_b2")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -496,3 +496,47 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.alias("canonical_doc_id"),
         (F.col("doc_id") == canon).alias("is_canonical"),
     )
+
+
+_PREFIX_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_inter), 6)
+          >= {_PREFIX_THRESHOLD}
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered Jaccard pairs at threshold 0.4. The
+    prefix filter is LOSSLESS — candidates only need to share one of each
+    doc's rarest (1-t) fraction of shingles — so the oracle is the plain
+    brute-force shingle join: the optimized plan must reproduce it
+    bit-for-bit. Unlike the max_df cap (dedup_ngram_jaccard_capped), the
+    skew bound here costs no recall: hot shingles are simply never in
+    anyone's prefix. (operators/dedup.py:prefix_filter_pairs)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from masd_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        docs,
+        k=3,
+        threshold=_PREFIX_THRESHOLD,
+        shingles=_shared_shingles(spark, sf_dir),
+    )

@@ -70,3 +70,52 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("nationkey"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH und AS (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                        greatest(c.c_nationkey, s.s_nationkey) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e1.v = e2.u
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    membership AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ),
+    nodes AS (
+        SELECT u AS node FROM und UNION SELECT v FROM und
+    )
+    SELECT n.node AS nationkey,
+           CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_triangles
+    FROM nodes n
+    LEFT JOIN (SELECT node, count(*) AS cnt FROM membership GROUP BY 1) m
+      ON n.node = m.node
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts in the undirected trade graph —
+    clustering-structure analysis on the same edge list PageRank uses.
+    The kernel (operators/graph.py:triangle_counts) orients edges
+    low-id -> high-id and closes wedges with two hash joins, so each
+    triangle is enumerated exactly once and no all-pairs stage exists;
+    at production scale the orientation key swaps to (degree, id) to
+    bound wedge fan-out on hub nodes (docstring there).
+    """
+    from masd_spark.operators.graph import triangle_counts
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    out = triangle_counts(edges)
+    return out.select(F.col("node").cast("long").alias("nationkey"), "n_triangles")

@@ -161,3 +161,26 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+
+
+@register("emb_pca_top_component")
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via distributed
+    power iteration (operators/clustering.py:pca_top_component): each
+    step is one codegen'd full scan + a d-column aggregate; the driver
+    holds only the 64 loadings. Iterative float fixed point -> no
+    single-query SQL oracle; the direction is pinned against numpy's
+    eigendecomposition to 1e-6 cosine in tests/test_similarity.py, and
+    loadings are rounded to 6 decimals for a portable surface. Output:
+    one row per coordinate plus the shared eigenvalue and sample size.
+    """
+    from masd_spark.operators.clustering import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, eig, n = pca_top_component(emb, dim=EMBEDDING_DIM, vec_col="embedding")
+    rows = [
+        (i, round(x, 6), round(eig, 6), n) for i, x in enumerate(v)
+    ]
+    return spark.createDataFrame(
+        rows, "component_idx bigint, loading double, eigenvalue double, n_rows bigint"
+    )

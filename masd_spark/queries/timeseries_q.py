@@ -3,7 +3,7 @@ value-checked against DuckDB recomputing the identical grids."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.timeseries import detect_gaps, resample_gap_fill
@@ -145,3 +145,78 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_ms=_ZS_WINDOW_MS, min_obs=10, numerics="portable",
     )
     return out.select("event_type", "ts_ms", "value", F.round("z", 6).alias("z"))
+
+
+@register(
+    "ts_ohlc_hourly_bars",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value
+        FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               ts_ms - (ts_ms % {_HOUR_MS}) AS bar_ms, ts_ms, event_id, value,
+               row_number() OVER (PARTITION BY event_type,
+                                               ts_ms - (ts_ms % {_HOUR_MS})
+                                  ORDER BY ts_ms, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                                               ts_ms - (ts_ms % {_HOUR_MS})
+                                  ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT event_type, bar_ms,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last
+    value by (time, event_id) — a total order, so bars are deterministic
+    under ties — plus high/low/count and a decimal-quantized mean.
+
+    Plan: ONE shuffle on (event_type, bar) feeds both window passes and
+    the final aggregation (same partitioning, Spark reuses the exchange).
+    Open/close never collect per-bar arrays: first/last fall out of
+    row_number over the shared sort. Bars are time-bucketed, so at 100 TB
+    the shuffle keys are (type x hour) — naturally bounded and uniform;
+    the raw double values cross engines bit-exactly, only the mean needs
+    the decimal-sum parity recipe.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id",
+        "value",
+    )
+    bar = (F.col("ts_ms") - F.col("ts_ms") % _HOUR_MS).alias("bar_ms")
+    keyed = ev.select("event_type", bar, "ts_ms", "event_id", "value")
+    wa = Window.partitionBy("event_type", "bar_ms").orderBy("ts_ms", "event_id")
+    wd = Window.partitionBy("event_type", "bar_ms").orderBy(
+        F.col("ts_ms").desc(), F.col("event_id").desc()
+    )
+    marked = keyed.select(
+        "event_type",
+        "bar_ms",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "bar_ms").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_value"),
+    )

@@ -10,7 +10,7 @@ keyed history tables (SCD2), dirty-key conformance against a dimension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.bloom import bloom_semi_join
@@ -385,4 +385,150 @@ def dq_audit_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("customer_pk_unique", dup_cust, customer))
         .unionAll(check("events_user_not_null", null_users, events))
         .unionAll(check("documents_text_nonempty", empty_docs, documents))
+    )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert: base snapshot + change feed -> reconciled snapshot
+# --------------------------------------------------------------------------
+
+_MERGE_CUTOFF = "2000-01-01"
+
+
+@register(
+    "merge_upsert_latest_order",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+               o_orderstatus AS last_status, o_totalprice AS last_total,
+               epoch_ms(o_orderdate) AS last_od_ms,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY epoch_ms(o_orderdate) DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT custkey, last_orderkey, last_status, last_total, last_od_ms
+    FROM ranked WHERE rn = 1
+    """,
+)
+def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert: a per-customer latest-order snapshot built before the
+    cutoff is reconciled with the raw post-cutoff order feed via
+    ``merge_upsert`` — matched keys take the newest update, unmatched
+    update keys insert, untouched base keys survive. Because updates are
+    strictly newer than the base here, the merged snapshot must equal the
+    latest-order argmax over the WHOLE table, which is the oracle: the
+    merge path and the direct path are two independent computations of the
+    same result. (Set semantics of the reference's per-station
+    replace_one(upsert=True) sink, consumer.py:194-201, as one shuffle.)
+    """
+    from masd_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderstatus").alias("last_status"),
+        F.col("o_totalprice").alias("last_total"),
+        F.unix_millis("o_orderdate").alias("last_od_ms"),
+    )
+    cutoff_ms = F.unix_millis(F.lit(_MERGE_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("last_od_ms").desc(), F.col("last_orderkey").desc()
+    )
+    base = (
+        orders.filter(F.col("last_od_ms") < cutoff_ms)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    updates = orders.filter(F.col("last_od_ms") >= cutoff_ms)
+    return merge_upsert(
+        base, updates, keys=["custkey"], version_cols=["last_od_ms", "last_orderkey"]
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time lookup against the SCD2 history (feature-store semantics)
+# --------------------------------------------------------------------------
+
+@register(
+    "pit_scd2_priority_at_ship",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority,
+               epoch_ms(o_orderdate) AS od_ms, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY epoch_ms(o_orderdate), o_orderkey)
+    ),
+    starts AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority, od_ms,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY od_ms, o_orderkey) AS version
+        FROM ordered
+        WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    ),
+    probe AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+               epoch_ms(l.l_shipdate) AS ship_ms
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.custkey, p.ship_ms,
+           h.priority AS priority_at_ship,
+           CAST(h.version AS BIGINT) AS version_at_ship
+    FROM probe p
+    ASOF LEFT JOIN starts h
+        ON p.custkey = h.custkey AND p.ship_ms >= h.od_ms
+    """,
+)
+def pit_scd2_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) lookup: each lineitem is enriched
+    with the ordering customer's priority VALID AT ship time, read from
+    the SCD2 history that ``scd2_intervals`` builds out of the order log.
+    The interval lookup runs as an as-of join against the version START
+    rows (valid_from <= t < next valid_from is exactly as-of semantics) —
+    the union+carry-forward composition, ONE shuffle on custkey, no
+    per-row interval scan. Probes that ship before the customer's first
+    recorded state (the fixture's ship dates are independent of order
+    dates) get NULL — left as-of semantics on both sides. Oracle: DuckDB's
+    native ASOF LEFT JOIN over an independently-built history.
+    """
+    from masd_spark.operators.relational import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_millis("o_orderdate").alias("od_ms"),
+        "o_orderkey",
+    )
+    hist = scd2_intervals(
+        changes, keys=["custkey"], order_by=["od_ms", "o_orderkey"], tracked="priority"
+    ).select("custkey", "priority", F.col("version").cast("long").alias("version"), "valid_from")
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.unix_millis("l_shipdate").alias("ship_ms"))
+        .join(
+            orders.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "custkey", "ship_ms")
+    )
+    out = asof_join(
+        probe,
+        hist.select("custkey", F.col("valid_from").alias("vf"), "priority", "version"),
+        key_col="custkey",
+        left_time="ship_ms",
+        right_time="vf",
+        value_cols=["priority", "version"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "custkey",
+        "ship_ms",
+        F.col("asof_priority").alias("priority_at_ship"),
+        F.col("asof_version").alias("version_at_ship"),
     )

@@ -70,3 +70,25 @@ def test_pagerank_dangling_sink_absorbs_then_redistributes(spark):
         assert abs(got[v] - want[v]) < 1e-12
     assert got[3] > got[1] == got[2]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_counts_parity(spark):
+    compare_query(spark, REGISTRY["graph_triangle_counts"], SF_ORACLE)
+
+
+def test_triangle_counts_handshake(spark):
+    """Sum of per-node counts is 3x the number of distinct triangles, and
+    a planted 4-clique (every node in 3 triangles) comes back exact."""
+    df = REGISTRY["graph_triangle_counts"].fn(spark, SF_ORACLE)
+    total = df.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total % 3 == 0 and total > 0
+
+    from masd_spark.operators.graph import triangle_counts
+
+    # K4 plus a pendant edge: nodes 0-3 in C(3,2)=3 triangles each, node 9 in 0.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b] + [(0, 9)],
+        "src int, dst int",
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}

@@ -173,3 +173,30 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     got = {r.id: r.q for r in df.collect()}
     assert got[1] == [64, -127, 32]
     assert got[2] == [0, 0, 0]
+
+
+def test_pca_top_component_matches_numpy(spark):
+    """Power iteration's direction must align with numpy's exact top
+    eigenvector (|cos| > 1 - 1e-6) and the eigenvalue must match to
+    relative 1e-3 (power iteration converges the value slower than the
+    direction)."""
+    import numpy as np
+
+    rows = REGISTRY["emb_pca_top_component"].fn(spark, SF_ORACLE).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.component_idx)])
+    eig = rows[0].eigenvalue
+
+    from masd_spark.sources.tables import load_table
+
+    X = np.array(
+        [
+            [float(x) for x in r.embedding]
+            for r in load_table(spark, SF_ORACLE, "embeddings").collect()
+        ]
+    )
+    C = np.cov(X, rowvar=False)
+    w, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 1 - 1e-6, cos
+    assert abs(eig - w[-1]) / w[-1] < 1e-3, (eig, w[-1])

@@ -176,3 +176,26 @@ def test_minhash_recall_against_exact(spark):
     assert n_high > 0, "fixture should contain planted near-dups"
     found = high.join(lsh, ["doc_a", "doc_b"], "left_semi").count()
     assert found == n_high, f"LSH missed {n_high - found} of {n_high} high-sim pairs"
+
+
+def test_prefix_filter_parity(spark):
+    compare_query(spark, REGISTRY["dedup_prefix_filter_jaccard"], SF_ORACLE)
+
+
+def test_prefix_filter_is_lossless(spark):
+    """Prefix filtering must reproduce the unfiltered shingle join
+    exactly (same pairs, same scores) — the filter only prunes candidate
+    GENERATION, never true positives."""
+    from masd_spark.operators.dedup import jaccard_pairs, prefix_filter_pairs
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, k=3, threshold=0.4).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(docs, k=3, threshold=0.4).collect()
+    }
+    assert pref == brute

@@ -113,3 +113,26 @@ def test_resample_single_window_shuffle(spark):
     )
     df = resample_gap_fill(ev, ["event_type"], "ts_ms", "value", 3_600_000)
     assert count_exchanges(df) <= 3  # observed-agg, spans-agg reuse, window
+
+
+def test_ohlc_parity(spark):
+    compare_query(spark, REGISTRY["ts_ohlc_hourly_bars"], SF_ORACLE)
+
+
+def test_ohlc_bar_invariants(spark):
+    """low <= open, close <= high on every bar, and bar event counts sum
+    to the table's row count (no row lost to the windowing)."""
+    df = REGISTRY["ts_ohlc_hourly_bars"].fn(spark, SF_ORACLE).cache()
+    try:
+        bad = df.filter(
+            (F.col("open") > F.col("high"))
+            | (F.col("close") > F.col("high"))
+            | (F.col("open") < F.col("low"))
+            | (F.col("close") < F.col("low"))
+        ).count()
+        assert bad == 0
+        total = df.agg(F.sum("n_events")).collect()[0][0]
+        n_events = load_table(spark, SF_ORACLE, "events").count()
+        assert total == n_events
+    finally:
+        df.unpersist()

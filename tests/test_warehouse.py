@@ -209,3 +209,68 @@ def test_fuzzy_join_is_partial_agg_not_window(spark):
     plan = physical_plan(REGISTRY["fuzzy_join_nations"].fn(spark, SF_SMOKE))
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+MERGE_PIT = ["merge_upsert_latest_order", "pit_scd2_priority_at_ship"]
+
+
+@pytest.mark.parametrize("name", MERGE_PIT)
+def test_merge_pit_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_merge_upsert_branch_semantics(spark):
+    """All three MERGE branches on a tiny frame: matched key updated,
+    new key inserted, untouched key kept; in-feed duplicates resolved by
+    the version columns."""
+    from masd_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k int, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 20), (2, "b3", 30), (3, "c", 20)], "k int, v string, ver int"
+    )
+    out = {
+        r.k: (r.v, r.ver)
+        for r in merge_upsert(base, updates, ["k"], ["ver"]).collect()
+    }
+    assert out == {1: ("a", 10), 2: ("b3", 30), 3: ("c", 20)}
+
+
+def test_merge_upsert_updates_beat_base_on_version_ties(spark):
+    """MERGE semantics: a matched source row overrides the target even at
+    an equal (or lower) version — source wins, not max-version."""
+    from masd_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "old", 99)], "k int, v string, ver int")
+    updates = spark.createDataFrame([(1, "new", 1)], "k int, v string, ver int")
+    rows = merge_upsert(base, updates, ["k"], ["ver"]).collect()
+    assert [(r.k, r.v, r.ver) for r in rows] == [(1, "new", 1)]
+
+
+def test_pit_lookup_is_interval_consistent(spark):
+    """Each enriched lineitem's (priority, version) must equal the SCD2
+    interval that CONTAINS its ship time — the as-of composition and a
+    direct interval-predicate join are two routes to the same answer."""
+    pit = REGISTRY["pit_scd2_priority_at_ship"].fn(spark, SF_ORACLE)
+    hist = REGISTRY["scd2_customer_priority"].fn(spark, SF_ORACLE)
+    joined = pit.filter(F.col("version_at_ship").isNotNull()).join(
+        hist.select(
+            F.col("custkey"),
+            F.col("priority").alias("h_priority"),
+            F.col("version").alias("h_version"),
+            "valid_from_ms",
+            "valid_to_ms",
+        ),
+        ["custkey"],
+    )
+    containing = joined.filter(
+        (F.col("ship_ms") >= F.col("valid_from_ms"))
+        & (F.col("valid_to_ms").isNull() | (F.col("ship_ms") < F.col("valid_to_ms")))
+    )
+    bad = containing.filter(
+        (F.col("h_priority") != F.col("priority_at_ship"))
+        | (F.col("h_version") != F.col("version_at_ship"))
+    ).count()
+    assert bad == 0
