@@ -530,3 +530,78 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Marketing attribution: last touch before each purchase
+# --------------------------------------------------------------------------
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, epoch_ms(ts) AS touch_ms, max(event_type) AS touch_type
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms,
+           t.touch_type, t.touch_ms,
+           p.ts_ms - t.touch_ms AS ms_since_touch
+    FROM p
+    ASOF LEFT JOIN t
+        ON p.user_id = t.user_id AND p.ts_ms >= t.touch_ms
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding view/click. The as-of composition (union +
+    carry-forward over one user-keyed shuffle) replaces the naive
+    purchases x touches range join, which is quadratic per user; left
+    semantics keep purchases with no prior touch (NULL credit). At scale
+    both event classes come off the SAME scan partitioning — this is one
+    shuffle of the filtered event stream, independent of how many touches
+    precede each purchase. Tie at the same millisecond credits the touch
+    (p.ts >= t.ts), matching DuckDB ASOF semantics on both sides.
+
+    Caveat pinned by the oracle: DuckDB's ASOF picks the latest touch_ms
+    but is tie-UNSTABLE on duplicate (user, touch_ms) rows, so touches
+    are deduplicated to one row per (user, ms) by a deterministic rule
+    (max event_type, i.e. 'view' over 'click') on BOTH sides before the
+    as-of join.
+    """
+    from masd_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_type",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts_ms").alias("touch_ms"))
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+    out = asof_join(
+        purchases,
+        touches,
+        key_col="user_id",
+        left_time="ts_ms",
+        right_time="touch_ms",
+        value_cols=["touch_type", "touch_ms"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("asof_touch_type").alias("touch_type"),
+        F.col("asof_touch_ms").alias("touch_ms"),
+        (F.col("ts_ms") - F.col("asof_touch_ms")).alias("ms_since_touch"),
+    )

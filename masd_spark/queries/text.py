@@ -3,7 +3,7 @@ operators: SURVEY.md §7.2 step 5 / BASELINE.json)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.text import (
@@ -20,6 +20,7 @@ from masd_spark.operators.text import (
     quality_features,
     simhash32,
     token_count,
+    tokens,
 )
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
@@ -428,4 +429,137 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias("avg_logprob"),
         F.count("*").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text retrieval
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window agg batch"),
+    (2, "slow scan filter vector"),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_QUERY_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, unnest(string_split('{q}', ' ')) AS term"
+    for qid, q in _BM25_QUERIES
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q AS (SELECT DISTINCT query_id, term FROM ({_BM25_QUERY_SQL})),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ln((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5) + 1.0)
+                    * tf.tf * ({_BM25_K1} + 1.0)
+                    / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                       + {_BM25_B} * dl.dl / stats.avgdl))
+                    AS DECIMAL(18,6)) AS contrib
+        FROM tf
+        JOIN q USING (term)
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM agg
+    QUALIFY rank <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query set over the documents
+    table (k1=1.2, b=0.75, the Robertson idf with +1 smoothing).
+
+    Scale shape: the token stream is FILTERED TO QUERY TERMS before the
+    tf aggregation — the tiny query-term set broadcasts into the explode
+    stage, so the per-term work is proportional to postings of queried
+    terms, not corpus tokens (an inverted-index probe expressed
+    relationally). Document lengths come from ``size(split(...))`` per
+    row (no explode), corpus stats are a broadcast scalar, and idf/df
+    attach via broadcast joins; the only fact-sized shuffle is the
+    (doc, term) tf groupBy on candidate postings. Per-(query, doc)
+    contributions are decimal-quantized before summing so scores are
+    addition-order-independent and portable; ranking ties break on
+    doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split(" ")}),
+        "query_id int, term string",
+    )
+    terms_only = qterms.select("term").distinct()
+
+    toked = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = docs.select("doc_id", F.size(tokens("text")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toked.join(F.broadcast(terms_only), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("dft"))
+    k1, b = float(_BM25_K1), float(_BM25_B)
+    contrib = (
+        F.log(
+            (F.col("n_docs") - F.col("dft") + F.lit(0.5))
+            / (F.col("dft") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    ).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("bm25")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
     )

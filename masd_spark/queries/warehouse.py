@@ -532,3 +532,164 @@ def pit_scd2_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_priority").alias("priority_at_ship"),
         F.col("asof_version").alias("version_at_ship"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC snapshot diff: two snapshot versions -> insert/update/delete rows
+# --------------------------------------------------------------------------
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey AS custkey, o_orderkey, o_orderstatus, o_totalprice,
+               epoch_ms(o_orderdate) AS od_ms,
+               epoch_ms(o_orderdate) < epoch_ms(TIMESTAMP '{_MERGE_CUTOFF}')
+                   AS is_old,
+               row_number() OVER (
+                   PARTITION BY o_custkey,
+                       epoch_ms(o_orderdate) < epoch_ms(TIMESTAMP '{_MERGE_CUTOFF}')
+                   ORDER BY epoch_ms(o_orderdate) DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ),
+    old AS (SELECT custkey, o_orderkey, o_orderstatus, o_totalprice
+            FROM ranked WHERE is_old AND rn = 1),
+    new AS (SELECT custkey, o_orderkey, o_orderstatus, o_totalprice
+            FROM ranked WHERE NOT is_old AND rn = 1)
+    SELECT coalesce(o.custkey, n.custkey) AS custkey,
+           CASE WHEN o.custkey IS NULL THEN 'insert'
+                WHEN n.custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_orderkey AS old_orderkey, n.o_orderkey AS new_orderkey,
+           o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+           o.o_totalprice AS old_total, n.o_totalprice AS new_total
+    FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+    WHERE o.custkey IS NULL OR n.custkey IS NULL
+       OR o.o_orderkey IS DISTINCT FROM n.o_orderkey
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation by snapshot diff: two per-customer
+    latest-order snapshots (pre- and post-cutoff) full-outer-join on the
+    key, and each key classifies as insert (new only), delete (old only)
+    or update (both, any column null-safely different); unchanged rows
+    are dropped. ONE shuffle on the key for the diff — both snapshot
+    builds and the join share the custkey hash partitioning, so Spark
+    plans a single exchange per input. Column-wise null-safe comparison,
+    not row hashing: hashes don't survive cross-engine parity and hide
+    WHICH column moved. This is how a lakehouse derives a change feed
+    from table versions when the format doesn't record one.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_millis("o_orderdate").alias("od_ms"),
+    )
+    cutoff_ms = F.unix_millis(F.lit(_MERGE_CUTOFF).cast("timestamp"))
+    w = Window.partitionBy("custkey", "_is_old").orderBy(
+        F.col("od_ms").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = (
+        orders.withColumn("_is_old", F.col("od_ms") < cutoff_ms)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    old = ranked.filter(F.col("_is_old")).select(
+        "custkey",
+        F.col("o_orderkey").alias("old_orderkey"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_total"),
+    )
+    new = ranked.filter(~F.col("_is_old")).select(
+        F.col("custkey").alias("n_custkey"),
+        F.col("o_orderkey").alias("new_orderkey"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.col("o_totalprice").alias("new_total"),
+    )
+    j = old.join(new, old.custkey == new.n_custkey, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("custkey").isNull(), F.lit("insert"))
+            .when(F.col("n_custkey").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update")),
+        )
+        .filter(
+            F.col("custkey").isNull()
+            | F.col("n_custkey").isNull()
+            | ~F.col("old_orderkey").eqNullSafe(F.col("new_orderkey"))
+            | ~F.col("old_status").eqNullSafe(F.col("new_status"))
+            | ~F.col("old_total").eqNullSafe(F.col("new_total"))
+        )
+        .select(
+            F.coalesce("custkey", "n_custkey").alias("custkey"),
+            "change_type",
+            "old_orderkey",
+            "new_orderkey",
+            "old_status",
+            "new_status",
+            "old_total",
+            "new_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: merge partial aggregates with a delta
+# --------------------------------------------------------------------------
+
+@register(
+    "ivm_monthly_revenue_merge",
+    oracle="""
+    SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+           o_orderstatus,
+           ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ivm_monthly_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized monthly-revenue
+    aggregate built from pre-cutoff data is REFRESHED by merging the
+    post-cutoff delta's partial aggregates — never rescanning history.
+    Works because every measure is algebraic (sum+sum, count+count,
+    max+max); the merge is a groupBy over the union of two partial-agg
+    frames, each tiny compared to raw data. The oracle recomputes the
+    view from ALL raw orders in one pass: the incremental path must be
+    indistinguishable from the full rebuild. Decimal sums make the
+    revenue independent of which partial each row landed in.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias("month_ms"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_millis("o_orderdate").alias("od_ms"),
+    )
+    cutoff_ms = F.unix_millis(F.lit(_MERGE_CUTOFF).cast("timestamp"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month_ms", "o_orderstatus").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_sum"),
+            F.count("*").alias("_cnt"),
+            F.max("o_totalprice").alias("_max"),
+        )
+
+    hist = partial(orders.filter(F.col("od_ms") < cutoff_ms))
+    delta = partial(orders.filter(F.col("od_ms") >= cutoff_ms))
+    merged = (
+        hist.unionByName(delta)
+        .groupBy("month_ms", "o_orderstatus")
+        .agg(
+            F.round(F.sum("_sum").cast("double"), 6).alias("revenue"),
+            F.sum("_cnt").alias("n_orders"),
+            F.max("_max").alias("max_price"),
+        )
+    )
+    return merged

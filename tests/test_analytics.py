@@ -262,3 +262,19 @@ def test_chi2_nonnegative_with_right_dof(spark):
     r = REGISTRY["stat_chi2_type_by_dow"].fn(spark, SF_ORACLE).collect()[0]
     assert r.chi2 >= 0.0
     assert r.dof == (5 - 1) * (7 - 1)
+
+
+def test_attribution_parity(spark):
+    compare_query(spark, REGISTRY["attribution_last_touch"], SF_ORACLE)
+
+
+def test_attribution_touch_precedes_purchase(spark):
+    """Credited touches never postdate the purchase; purchases with no
+    prior touch carry NULL credit and appear exactly once."""
+    df = REGISTRY["attribution_last_touch"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.filter(F.col("touch_ms") > F.col("ts_ms")).count() == 0
+        assert df.filter(F.col("ms_since_touch") < 0).count() == 0
+        assert df.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    finally:
+        df.unpersist()

@@ -121,3 +121,37 @@ def test_events_scan_prunes_columns(spark):
     df = _q(spark, "json_extract_events")
     schemas = scan_read_schema(df)
     assert schemas and all(len(cols) == 2 for cols in schemas), schemas
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """Query terms, df counts, and corpus stats all attach via broadcast;
+    the only fact-sized shuffles are the tf groupBy and final ranking."""
+    df = _q(spark, "text_bm25_search")
+    assert count_broadcast_joins(df) >= 3, physical_plan(df)
+
+
+def test_basket_affinity_broadcasts_margins(spark):
+    df = _q(spark, "basket_brand_affinity")
+    # part dim + two margin attaches + scalar total
+    assert count_broadcast_joins(df) >= 4, physical_plan(df)
+
+
+def test_prefix_filter_no_nested_loop(spark):
+    df = _q(spark, "dedup_prefix_filter_jaccard")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_single_shuffle_over_union(spark):
+    """The merge itself is one hash exchange on the key: base build,
+    union, and winning-row window share the custkey partitioning."""
+    df = _q(spark, "merge_upsert_latest_order")
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_triangle_counts_equi_joins_only(spark):
+    df = _q(spark, "graph_triangle_counts")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -199,3 +199,21 @@ def test_prefix_filter_is_lossless(spark):
         for r in prefix_filter_pairs(docs, k=3, threshold=0.4).collect()
     }
     assert pref == brute
+
+
+def test_bm25_parity(spark):
+    compare_query(spark, REGISTRY["text_bm25_search"], SF_ORACLE)
+
+
+def test_bm25_ranking_shape(spark):
+    """Per query: ranks are exactly 1..k and scores are non-increasing
+    in rank order (ties broken by doc_id, never by score inversion)."""
+    rows = REGISTRY["text_bm25_search"].fn(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.bm25))
+    for qid, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), (qid, scores)

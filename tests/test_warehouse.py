@@ -274,3 +274,64 @@ def test_pit_lookup_is_interval_consistent(spark):
         | (F.col("h_version") != F.col("version_at_ship"))
     ).count()
     assert bad == 0
+
+
+CDC_IVM = ["cdc_snapshot_diff", "ivm_monthly_revenue_merge"]
+
+
+@pytest.mark.parametrize("name", CDC_IVM)
+def test_cdc_ivm_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_cdc_diff_branch_consistency(spark):
+    """Each key appears once; inserts have no old image, deletes no new
+    image, updates both — and at least one column actually differs."""
+    df = REGISTRY["cdc_snapshot_diff"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.groupBy("custkey").count().filter(F.col("count") > 1).count() == 0
+        bad_insert = df.filter(
+            (F.col("change_type") == "insert") & F.col("old_orderkey").isNotNull()
+        ).count()
+        bad_delete = df.filter(
+            (F.col("change_type") == "delete") & F.col("new_orderkey").isNotNull()
+        ).count()
+        bad_update = df.filter(
+            (F.col("change_type") == "update")
+            & (
+                F.col("old_orderkey").isNull()
+                | F.col("new_orderkey").isNull()
+                | (
+                    F.col("old_orderkey").eqNullSafe(F.col("new_orderkey"))
+                    & F.col("old_status").eqNullSafe(F.col("new_status"))
+                    & F.col("old_total").eqNullSafe(F.col("new_total"))
+                )
+            )
+        ).count()
+        assert bad_insert == 0 and bad_delete == 0 and bad_update == 0
+    finally:
+        df.unpersist()
+
+
+def test_ivm_merge_equals_direct_rebuild(spark):
+    """The incremental (partial + delta) refresh must equal a one-shot
+    groupBy over all raw rows, computed independently in Spark."""
+    from masd_spark.sources.tables import load_table
+
+    merged = REGISTRY["ivm_monthly_revenue_merge"].fn(spark, SF_ORACLE)
+    orders = load_table(spark, SF_ORACLE, "orders")
+    direct = (
+        orders.groupBy(
+            F.unix_millis(F.date_trunc("month", "o_orderdate")).alias("month_ms"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
