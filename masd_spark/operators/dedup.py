@@ -353,11 +353,22 @@ def prefix_filter_pairs(
         F.col("set_size") - F.ceil(F.lit(float(threshold)) * F.col("set_size")) + 1
     )
     prefix = ranked.filter(F.col("_rn") <= prefix_len)
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("_sza")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("_szb")
+    )
+    # length filter (also lossless): J(x,y) >= t forces t*|x| <= |y| <= |x|/t,
+    # so size-incompatible prefix collisions are dropped before the distinct
+    # — the second PPJoin pruning rule, and it costs only a codegen compare.
     candidates = (
         pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("_szb") >= F.ceil(F.lit(float(threshold)) * F.col("_sza")))
+            & (F.col("_sza") >= F.ceil(F.lit(float(threshold)) * F.col("_szb")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
