@@ -138,3 +138,61 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Unweighted shortest-path (hop) distances from ``source`` over an
+    undirected view of the edge list. Unreachable nodes get NULL.
+
+    Frontier-style iteration on DataFrames: each round relaxes every
+    known distance through the edge list (equi-join on the node id) and
+    keeps the per-node minimum; convergence is "no distance changed".
+    Per round: one join + one groupBy, both keyed on node ids, and a
+    ``localCheckpoint`` truncates lineage (same discipline as pagerank /
+    connected components above — iteration N must not compile an N-deep
+    plan). Rounds are bounded by graph diameter. The driver holds only
+    the loop counter and a changed-row count. Raises if ``max_iter``
+    rounds pass without convergence rather than returning partial
+    distances (the silent-wrong-labels failure mode tests flagged on
+    connected components).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == F.lit(source), F.lit(0)).alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            dist.filter(F.col("dist").isNotNull())
+            .join(und, dist["node"] == und["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node")
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            return dist.select("node", F.col("dist").cast("long").alias("dist"))
+    raise RuntimeError(f"bfs did not converge after {max_iter} rounds")

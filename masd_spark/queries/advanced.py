@@ -576,3 +576,48 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("session_window.start").alias("session_start_ms"),
         F.unix_millis("session_window.end").alias("session_end_ms"),
     )
+
+
+@register(
+    "clean_winsorize_values",
+    oracle="""
+    WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(least(greatest(e.value, p.p05), p.p95), 6)
+               AS value_winsorized,
+           (e.value < p.p05 OR e.value > p.p95) AS was_clipped
+    FROM events e JOIN pct p USING (event_type)
+    """,
+)
+def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value into its type's exact
+    [p05, p95] band — outlier suppression before model features. The
+    per-type thresholds are a tiny aggregate (exact percentiles: one sort
+    per group, the honest ground-truth variant of the approx default)
+    broadcast back onto the stream, so the clip itself is map-side
+    codegen over the full table; the fact table is never shuffled. Both
+    engines interpolate percentiles linearly; clipped values round to 6.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return ev.join(F.broadcast(pct), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")), 6
+        ).alias("value_winsorized"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+            "was_clipped"
+        ),
+    )

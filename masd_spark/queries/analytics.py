@@ -605,3 +605,66 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_touch_ms").alias("touch_ms"),
         (F.col("ts_ms") - F.col("asof_touch_ms")).alias("ms_since_touch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence modeling: first-order Markov transitions between event types
+# --------------------------------------------------------------------------
+
+@register(
+    "seq_event_transitions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, event_type AS next_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_ms, event_id) AS prev_type
+        FROM e
+    ),
+    trans AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    margin AS (SELECT prev_type, sum(n) AS n_prev FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(t.n AS DOUBLE) / m.n_prev, 6) AS p_next_given_prev
+    FROM trans t JOIN margin m USING (prev_type)
+    """,
+)
+def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: count (prev -> next) adjacencies and normalize per source
+    state. One user-keyed shuffle for the lag window; the transition agg
+    then collapses to |types|^2 rows, and the row-normalizing margin
+    attaches via broadcast. The sequence order is total (ts, event_id),
+    so the matrix is deterministic under same-ms events — at any scale
+    the output is 25 cells here, |A|^2 generally, independent of n.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    margin = trans.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_prev"))
+    return trans.join(F.broadcast(margin), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("n_prev"), 6).alias(
+            "p_next_given_prev"
+        ),
+    )

@@ -119,3 +119,53 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     out = triangle_counts(edges)
     return out.select(F.col("node").cast("long").alias("nationkey"), "n_triangles")
+
+
+_BFS_SOURCE = 0
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH RECURSIVE und AS (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+                        greatest(c.c_nationkey, s.s_nationkey) AS v
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    sym AS (
+        SELECT u, v FROM und UNION SELECT v, u FROM und
+    ),
+    bfs AS (
+        SELECT {_BFS_SOURCE} AS node, 0 AS dist
+        UNION
+        SELECT sym.v AS node, bfs.dist + 1 AS dist
+        FROM bfs JOIN sym ON sym.u = bfs.node
+        WHERE bfs.dist < 30
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym)
+    SELECT n.node AS nationkey,
+           CAST(m.d AS BIGINT) AS dist
+    FROM nodes n
+    LEFT JOIN (SELECT node, min(dist) AS d FROM bfs GROUP BY 1) m
+      ON n.node = m.node
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from nation 0 over the undirected trade graph —
+    frontier BFS as iterative DataFrame relaxation
+    (operators/graph.py:bfs_distances). The oracle is a RECURSIVE CTE
+    with set-semantics union: (node, dist) pairs saturate at the
+    diameter, so recursion terminates without path enumeration (which
+    would be exponential on this dense graph). Distances are exact
+    integers — one of the few iterative kernels with a true SQL oracle,
+    closing the "iterative = rows-only" gap for the BFS family.
+    """
+    from masd_spark.operators.graph import bfs_distances
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    out = bfs_distances(edges, _BFS_SOURCE)
+    return out.select(F.col("node").cast("long").alias("nationkey"), "dist")

@@ -220,3 +220,56 @@ def ts_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_value"),
     )
+
+
+_DEBOUNCE_MS = 7_200_000
+
+
+@register(
+    "clean_event_debounce",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > {_DEBOUNCE_MS}
+                    THEN 1 ELSE 0 END AS is_burst_head
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    )
+    SELECT event_id, user_id, event_type, ts_ms, value
+    FROM marked WHERE is_burst_head = 1
+    """,
+)
+def clean_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event debouncing: per user, collapse activity bursts — runs of
+    events each within 2h of their predecessor — down to the burst's
+    FIRST event (the fixture's streams are sparse, so the 2h gap is what
+    makes the operator actually bite: ~17% of rows drop at sf0.01). The
+    batch twin of streaming ``dropDuplicatesWithinWatermark``-style noise
+    suppression: one user-keyed shuffle, lag over a total order
+    (ts, event_id), keep the gap-opening rows. Burst-collapse semantics
+    (islands chain through consecutive close events) rather than
+    fixed-window-from-head: it's the one SQL expresses with a single
+    window pass on both engines, and the one that kills retry storms of
+    any length.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("_prev", F.lag("ts_ms").over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | (F.col("ts_ms") - F.col("_prev") > _DEBOUNCE_MS)
+        )
+        .drop("_prev")
+    )

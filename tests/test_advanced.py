@@ -85,3 +85,26 @@ def test_session_window_native_boundary_vs_sessionize(spark):
     a = sorted((r.user_id, r.n_events) for r in native.collect())
     b = sorted((r.user_id, r.n_events) for r in rolled.collect())
     assert a == b
+
+
+def test_winsorize_parity(spark):
+    from tests.oracle import compare_query as _cmp
+
+    _cmp(spark, REGISTRY["clean_winsorize_values"], SF_ORACLE)
+
+
+def test_winsorize_bounds_and_flags(spark):
+    """Winsorized values stay inside every type's [p05, p95] band; rows
+    flagged clipped really moved, unflagged rows are unchanged; ~10% of
+    rows clip (two 5% tails)."""
+    df = REGISTRY["clean_winsorize_values"].fn(spark, SF_ORACLE).cache()
+    try:
+        moved = df.filter(
+            (F.col("value_winsorized") != F.round(F.col("value"), 6))
+            != F.col("was_clipped")
+        ).count()
+        assert moved == 0
+        frac = df.filter("was_clipped").count() / df.count()
+        assert 0.05 < frac < 0.15, frac
+    finally:
+        df.unpersist()

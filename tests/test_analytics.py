@@ -278,3 +278,26 @@ def test_attribution_touch_precedes_purchase(spark):
         assert df.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
     finally:
         df.unpersist()
+
+
+def test_transitions_parity(spark):
+    compare_query(spark, REGISTRY["seq_event_transitions"], SF_ORACLE)
+
+
+def test_transition_rows_are_distributions(spark):
+    """P(next | prev) sums to ~1 per source state and transition counts
+    conserve: total transitions == total events minus one per user."""
+    df = REGISTRY["seq_event_transitions"].fn(spark, SF_ORACLE).cache()
+    try:
+        sums = df.groupBy("prev_type").agg(
+            F.sum("p_next_given_prev").alias("s"), F.sum("n_transitions").alias("n")
+        )
+        bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-4).count()
+        assert bad == 0
+        total = df.agg(F.sum("n_transitions")).collect()[0][0]
+        ev = load_table(spark, SF_ORACLE, "events")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert total == n_events - n_users
+    finally:
+        df.unpersist()

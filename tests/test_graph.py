@@ -92,3 +92,19 @@ def test_triangle_counts_handshake(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_bfs_parity(spark):
+    compare_query(spark, REGISTRY["graph_bfs_distances"], SF_ORACLE)
+
+
+def test_bfs_planted_chain_and_island(spark):
+    """Chain 0-1-2-3 gives distances 0,1,2,3; a disconnected pair gets
+    NULL; edge direction is ignored (undirected view)."""
+    from masd_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (8, 9)], "src int, dst int"
+    )
+    out = {r.node: r.dist for r in bfs_distances(edges, 0).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 8: None, 9: None}

@@ -136,3 +136,28 @@ def test_ohlc_bar_invariants(spark):
         assert total == n_events
     finally:
         df.unpersist()
+
+
+def test_debounce_parity(spark):
+    compare_query(spark, REGISTRY["clean_event_debounce"], SF_ORACLE)
+
+
+def test_debounce_heads_spaced_and_subset(spark):
+    """Kept rows are a strict subset of events, and consecutive kept
+    rows per user are > gap apart (burst heads inherit the gap bound:
+    next head is > gap after the previous burst's LAST event, which is
+    >= the previous head)."""
+    from pyspark.sql import Window
+
+    df = REGISTRY["clean_event_debounce"].fn(spark, SF_ORACLE).cache()
+    try:
+        n_all = load_table(spark, SF_ORACLE, "events").count()
+        n_kept = df.count()
+        assert 0 < n_kept < n_all
+        w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        gaps = df.withColumn("_prev", F.lag("ts_ms").over(w)).filter(
+            F.col("_prev").isNotNull() & (F.col("ts_ms") - F.col("_prev") <= 7_200_000)
+        )
+        assert gaps.count() == 0
+    finally:
+        df.unpersist()
