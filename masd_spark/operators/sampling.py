@@ -31,15 +31,18 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, BUCKETS) from md5(salt || key).
+def hash_bucket(key: Column, salt: str = "", modulus: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, modulus) from md5(salt || key).
 
     First 4 hex digits -> int via conv(); content-independent of row
     order/partitioning. ``salt`` decorrelates independent decisions made
-    from the same key (e.g. sampling vs mixture upsampling).
+    from the same key (e.g. sampling vs mixture upsampling). ``modulus``
+    must divide the raw 16-bit value ONCE — (x % a) % b != x % b in
+    general, so callers needing a different width pass it here instead
+    of re-modding the default bucket id.
     """
     h = F.md5(F.concat(F.lit(salt), key.cast("string")))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % BUCKETS
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % modulus
 
 
 def md5_bucket_sql(expr: str, salt: str = "", modulus: int = BUCKETS) -> str:

@@ -668,3 +668,90 @@ def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_next_given_prev"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Welch t-test: click vs purchase value distributions
+# --------------------------------------------------------------------------
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(value * value AS DECIMAL(24,6))) AS DOUBLE) AS sxx
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, n, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS var
+        FROM s
+    ),
+    w AS (
+        SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+               b.n AS n_b, b.mean AS mean_b, b.var AS var_b
+        FROM m a JOIN m b
+          ON a.event_type = 'click' AND b.event_type = 'purchase'
+    )
+    SELECT n_a, ROUND(mean_a, 6) AS mean_a,
+           n_b, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           ROUND(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1)
+                    + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
+    FROM w
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase value
+    distributions: one grouped aggregation produces (n, sum, sum-of-
+    squares) per class — decimal-quantized so the moments are addition-
+    order-independent — and the t statistic plus Welch-Satterthwaite
+    degrees of freedom are closed-form ratios over those identical
+    inputs (the portable-numerics recipe the Pearson/chi-square queries
+    established). One partial+final agg over the filtered scan; output
+    is a single row at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        F.round("mean_a", 6).alias("mean_a"),
+        "n_b",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

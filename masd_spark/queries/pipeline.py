@@ -10,15 +10,17 @@ nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.dedup import dedup_exact, jaccard_pairs
+from masd_spark.operators.sampling import md5_bucket_sql
 from masd_spark.operators.text import (
     BPE_SPLIT_PATTERN,
     bpe_token_count,
     language_id,
     quality_features,
+    tokens,
 )
 from masd_spark.queries import register
 from masd_spark.queries.text import _lex_values_sql
@@ -325,4 +327,100 @@ def pipeline_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature engineering: categorical dictionary encoding (StringIndexer)
+# --------------------------------------------------------------------------
+
+@register(
+    "ml_string_index_encode",
+    oracle="""
+    WITH lang_v AS (
+        SELECT lang, CAST(row_number() OVER (ORDER BY count(*) DESC, lang) - 1
+                          AS BIGINT) AS lang_idx
+        FROM documents GROUP BY lang
+    ),
+    src_v AS (
+        SELECT source, CAST(row_number() OVER (ORDER BY count(*) DESC, source) - 1
+                            AS BIGINT) AS source_idx
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.lang, lv.lang_idx, d.source, sv.source_idx
+    FROM documents d
+    JOIN lang_v lv USING (lang)
+    JOIN src_v sv USING (source)
+    """,
+)
+def ml_string_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dictionary encoding (the StringIndexer primitive):
+    each categorical column gets dense integer ids ordered by frequency
+    (most frequent = 0; ties alphabetical, so the vocabulary is
+    deterministic and engine-portable). The vocabularies are tiny
+    aggregates — the global row_number runs over |distinct values| rows,
+    never the fact table — and attach back via broadcast joins, keeping
+    the encode itself map-side. At 100 TB: two small-key aggs + two
+    broadcasts; no fact shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def vocab(col: str, idx_name: str) -> DataFrame:
+        counts = docs.groupBy(col).agg(F.count("*").alias("_n"))
+        w = Window.orderBy(F.col("_n").desc(), F.col(col))
+        return counts.select(
+            col, (F.row_number().over(w) - 1).cast("long").alias(idx_name)
+        )
+
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(F.broadcast(vocab("lang", "lang_idx")), "lang")
+        .join(F.broadcast(vocab("source", "source_idx")), "source")
+        .select("doc_id", "lang", "lang_idx", "source", "source_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature engineering: the hashing trick (fixed-width sparse features)
+# --------------------------------------------------------------------------
+
+_HASH_DIM = 256
+
+
+@register(
+    "ml_feature_hash_docs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({md5_bucket_sql("tok", modulus=_HASH_DIM)} AS BIGINT)
+               AS feature_idx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def ml_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): tokens map to a fixed
+    {dim}-bucket feature space via the engine's salt-able md5 bucket
+    (content-derived, partitioning-independent, and reproducible in any
+    engine — unlike murmur/xxhash whose cross-engine variants differ).
+    Output is the sparse (doc, feature, count) matrix; vocabulary size
+    never enters the schema, which is the point at 100 TB — no vocab
+    build, no OOV, one explode + one partial-agg groupBy keyed by
+    (doc, bucket).
+    """
+    from masd_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        toked.select(
+            "doc_id", hash_bucket(F.col("tok"), modulus=_HASH_DIM).alias("feature_idx")
+        )
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count("*").alias("n"))
     )

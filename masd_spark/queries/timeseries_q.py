@@ -273,3 +273,79 @@ def clean_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_prev")
     )
+
+
+_CUSUM_K = 2.0
+
+
+@register(
+    "ts_cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(m) AS mu,
+               stddev_samp(m) AS sigma
+        FROM daily GROUP BY 1
+    ),
+    c AS (
+        SELECT d.event_type, d.day, d.m, s.mu, s.sigma,
+               sum(d.m - s.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cusum
+        FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, day,
+           ROUND(m, 6) + 0.0 AS daily_mean,
+           ROUND(cusum, 6) + 0.0 AS cusum,
+           abs(cusum) > {_CUSUM_K} * sigma AS is_changepoint
+    FROM c
+    """,
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection on the daily-mean series per event type:
+    cumulative sum of deviations from the series mean, flagged where
+    |CUSUM| exceeds k=2 daily-mean standard deviations. Three stages over
+    ONE event_type partitioning (daily agg -> tiny per-type stats joined
+    back -> running-sum window), so the exchange is reused; the CUSUM
+    itself is a rows-unbounded running frame — the streaming-friendly
+    form of changepoint detection (state = one partial sum per key).
+    Daily means use the decimal-sum parity recipe; the running sum then
+    adds doubles in day order on both engines (window order is total),
+    so the surface rounds portably.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000000) div 86400000").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("m").alias("mu"), F.stddev_samp("m").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum", F.sum(F.col("m") - F.col("mu")).over(w)
+    )
+    return c.select(
+        "event_type",
+        "day",
+        (F.round("m", 6) + F.lit(0.0)).alias("daily_mean"),
+        # + 0.0 collapses IEEE negative zero: ROUND can yield -0.0 on one
+        # engine and 0.0 on the other, and canonicalizers repr them apart.
+        (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
+        (F.abs(F.col("cusum")) > _CUSUM_K * F.col("sigma")).alias("is_changepoint"),
+    )

@@ -301,3 +301,25 @@ def test_transition_rows_are_distributions(spark):
         assert total == n_events - n_users
     finally:
         df.unpersist()
+
+
+def test_welch_ttest_parity(spark):
+    compare_query(spark, REGISTRY["stat_welch_ttest"], SF_ORACLE)
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Closed-form check against numpy on the same filtered values."""
+    import numpy as np
+
+    r = REGISTRY["stat_welch_ttest"].fn(spark, SF_ORACLE).collect()[0]
+    ev = load_table(spark, SF_ORACLE, "events")
+    a = np.array(
+        [x.value for x in ev.filter(F.col("event_type") == "click").collect()]
+    )
+    b = np.array(
+        [x.value for x in ev.filter(F.col("event_type") == "purchase").collect()]
+    )
+    se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    assert abs(r.t_stat - t) < 1e-3, (r.t_stat, t)
+    assert r.n_a == len(a) and r.n_b == len(b)

@@ -102,3 +102,55 @@ def test_sampling_plans_have_no_corpus_shuffle(spark):
     ):
         plan = physical_plan(df)
         assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_string_index_parity(spark):
+    compare_query(spark, REGISTRY["ml_string_index_encode"], SF_ORACLE)
+
+
+def test_feature_hash_parity(spark):
+    compare_query(spark, REGISTRY["ml_feature_hash_docs"], SF_ORACLE)
+
+
+def test_string_index_is_dense_frequency_ordered(spark):
+    """Indexes are 0..|vocab|-1 with no gaps, and a more frequent value
+    never has a larger index than a rarer one."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["ml_string_index_encode"].fn(spark, SF_ORACLE).cache()
+    try:
+        for col, idx in [("lang", "lang_idx"), ("source", "source_idx")]:
+            vocab = df.select(col, idx).distinct().collect()
+            idxs = sorted(r[idx] for r in vocab)
+            assert idxs == list(range(len(idxs)))
+            counts = {
+                r[col]: r["n"]
+                for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()
+            }
+            by_idx = sorted(vocab, key=lambda r: r[idx])
+            freqs = [counts[r[col]] for r in by_idx]
+            assert freqs == sorted(freqs, reverse=True)
+    finally:
+        df.unpersist()
+
+
+def test_feature_hash_conserves_tokens(spark):
+    """Bucket counts sum to the corpus token count (no token lost or
+    double-counted by the hashing trick), and indexes stay in range."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.text import tokens
+    from masd_spark.sources.tables import load_table
+
+    df = REGISTRY["ml_feature_hash_docs"].fn(spark, SF_ORACLE).cache()
+    try:
+        total = df.agg(F.sum("n")).collect()[0][0]
+        docs = load_table(spark, SF_ORACLE, "documents")
+        n_toks = docs.select(F.size(tokens("text")).alias("k")).agg(
+            F.sum("k")
+        ).collect()[0][0]
+        assert total == n_toks
+        rng = df.agg(F.min("feature_idx"), F.max("feature_idx")).collect()[0]
+        assert rng[0] >= 0 and rng[1] < 256
+    finally:
+        df.unpersist()

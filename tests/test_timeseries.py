@@ -161,3 +161,28 @@ def test_debounce_heads_spaced_and_subset(spark):
         assert gaps.count() == 0
     finally:
         df.unpersist()
+
+
+def test_cusum_parity(spark):
+    compare_query(spark, REGISTRY["ts_cusum_changepoints"], SF_ORACLE)
+
+
+def test_cusum_telescopes_to_zero(spark):
+    """The final CUSUM per type telescopes to sum(m) - n*mu ~ 0 (the
+    series' own mean is the reference), so the last value is ~0 and the
+    stationary fixture flags no changepoints at k=2."""
+    df = REGISTRY["ts_cusum_changepoints"].fn(spark, SF_ORACLE).cache()
+    try:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+        last = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "cusum")
+            .collect()
+        )
+        for r in last:
+            assert abs(r.cusum) < 1e-3, (r.event_type, r.cusum)
+    finally:
+        df.unpersist()
