@@ -540,3 +540,47 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_PREFIX_THRESHOLD,
         shingles=_shared_shingles(spark, sf_dir),
     )
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, n_chars,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents
+    ),
+    hist AS (SELECT DISTINCT f FROM fp WHERE source <> 'src0'),
+    incoming AS (SELECT * FROM fp WHERE source = 'src0'),
+    novel AS (
+        SELECT i.* FROM incoming i LEFT JOIN hist h ON i.f = h.f
+        WHERE h.f IS NULL
+    )
+    SELECT doc_id, source, n_chars
+    FROM novel
+    QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-batch) dedup: an incoming batch (source='src0')
+    survives only if its fingerprint is (a) absent from the historical
+    corpus — an ANTI-join against the history's distinct fingerprints,
+    the shape that scales to a fingerprint TABLE maintained across runs
+    — and (b) the first occurrence within its own batch (min doc_id per
+    fingerprint). This is how exact dedup actually runs in a production
+    ingestion loop: history is never rescanned as text, only its
+    fingerprint index; the per-batch work is one anti-join + one
+    in-batch groupBy, both keyed on the fingerprint.
+    """
+    from masd_spark.operators.text import fingerprint_md5
+
+    fp = fingerprint_md5(load_table(spark, sf_dir, "documents"), "text")
+    hist = fp.filter(F.col("source") != "src0").select("fingerprint").distinct()
+    incoming = fp.filter(F.col("source") == "src0")
+    novel = incoming.join(hist, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        novel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -349,3 +349,52 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("cusum", 6) + F.lit(0.0)).alias("cusum"),
         (F.abs(F.col("cusum")) > _CUSUM_K * F.col("sigma")).alias("is_changepoint"),
     )
+
+
+_TRAIL_DAYS = 7
+
+
+@register(
+    "ts_trailing_7d_active_users",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    win AS (
+        SELECT d.day, ud.user_id
+        FROM days d
+        JOIN ud ON ud.day BETWEEN d.day - {_TRAIL_DAYS - 1} AND d.day
+    )
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM win GROUP BY 1
+    """,
+)
+def ts_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day — the rolling COUNT DISTINCT
+    that a plain window frame cannot express (distinct isn't decomposable
+    over frames). Scale shape: dedup to (user, day) first, then each
+    active day CONTRIBUTES ITSELF to the 7 windows it falls in (explode
+    of 7 integer offsets — a k-fold map-side expansion of the already-
+    deduped pairs, not of raw events), and the per-window distinct is one
+    aggregation. Work is k x |user-days|, independent of raw event
+    volume; no day x day range join, no per-day rescan. Only days with
+    >= 1 event appear (matching the oracle's day list).
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("(ts div 1000000) div 86400000").alias("day"))
+        .distinct()
+    )
+    days = ud.select(F.col("day").alias("obs_day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_TRAIL_DAYS - 1))
+        ).alias("day_w"),
+    )
+    return (
+        contrib.join(days, contrib.day_w == days.obs_day)
+        .groupBy(F.col("obs_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )

@@ -217,3 +217,24 @@ def test_bm25_ranking_shape(spark):
         assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
         scores = [s for _, s in rs]
         assert scores == sorted(scores, reverse=True), (qid, scores)
+
+
+def test_incremental_dedup_parity(spark):
+    compare_query(spark, REGISTRY["dedup_incremental_new_docs"], SF_ORACLE)
+
+
+def test_incremental_dedup_excludes_history(spark):
+    """No surviving incoming doc shares a fingerprint with history, and
+    survivors are unique by fingerprint within the batch."""
+    from masd_spark.operators.text import fingerprint_md5
+    from masd_spark.sources.tables import load_table as _lt
+
+    out = REGISTRY["dedup_incremental_new_docs"].fn(spark, SF_ORACLE)
+    fp = fingerprint_md5(_lt(spark, SF_ORACLE, "documents"), "text")
+    out_fp = out.join(fp.select("doc_id", "fingerprint"), "doc_id")
+    hist = fp.filter(F.col("source") != "src0").select("fingerprint").distinct()
+    assert out_fp.join(hist, "fingerprint").count() == 0
+    dups = (
+        out_fp.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0

@@ -186,3 +186,21 @@ def test_cusum_telescopes_to_zero(spark):
             assert abs(r.cusum) < 1e-3, (r.event_type, r.cusum)
     finally:
         df.unpersist()
+
+
+def test_trailing_active_users_parity(spark):
+    compare_query(spark, REGISTRY["ts_trailing_7d_active_users"], SF_ORACLE)
+
+
+def test_trailing_active_users_bounds(spark):
+    """The 7-day count is >= the single-day distinct count for that day
+    and <= the global distinct user count."""
+    df = REGISTRY["ts_trailing_7d_active_users"].fn(spark, SF_ORACLE)
+    ev = load_table(spark, SF_ORACLE, "events").select(
+        "user_id", F.expr("(ts div 1000000) div 86400000").alias("day")
+    )
+    daily = ev.distinct().groupBy("day").agg(F.count_distinct("user_id").alias("d1"))
+    n_users = ev.select("user_id").distinct().count()
+    j = df.join(daily, "day")
+    assert j.filter(F.col("active_users_7d") < F.col("d1")).count() == 0
+    assert j.filter(F.col("active_users_7d") > n_users).count() == 0
