@@ -88,15 +88,79 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")
+_LSH_PLANES = 6
+_LSH_TABLES = 8
+_LSH_SEED = 42
+
+
+def _lsh_topk_oracle() -> str:
+    """DuckDB twin of the FULL OR-amplified LSH top-k pipeline. The
+    hyperplanes are deterministic literals (same LCG as the Spark side),
+    so the oracle recomputes the identical sign-bit buckets per table,
+    the same candidate union, and the same exact-cosine re-rank — the
+    approximate index becomes value-level hash-checkable, the same move
+    that oracled dedup_embedding_cosine_bucketed."""
+    from masd_spark.operators.similarity import _hyperplanes
+
+    table_selects = []
+    for t in range(_LSH_TABLES):
+        planes = _hyperplanes(EMBEDDING_DIM, _LSH_PLANES, _LSH_SEED + 1000 * t)
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket "
+            "FROM embeddings"
+        )
+    buckets_sql = " UNION ALL ".join(table_selects)
+    return f"""
+    WITH buckets AS ({buckets_sql}),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets
+           WHERE vec_id % 100 = 0),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id
+        FROM buckets b JOIN qb USING (tbl, bucket)
+        WHERE b.vec_id <> qb.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(ec.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM cand c
+        JOIN embeddings ec ON ec.vec_id = c.vec_id
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10: random-hyperplane LSH buckets (6 planes) +
-    exact re-rank within bucket. No oracle (the plane constants are
-    engine-side literals); the driver records rows-only, and
-    tests/test_similarity.py measures recall against ann_cosine_topk.
+    """Approximate top-10: OR-amplified random-hyperplane LSH (8 tables
+    x 6 sign bits) + exact re-rank within the candidate union. The plane
+    constants are deterministic literals shared with the DuckDB oracle,
+    which replays the whole pipeline in SQL — so this approximate index
+    is value-checked, not rows-only; recall vs the exact baseline is
+    measured separately in tests/test_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10, n_planes=6)
+    return lsh_topk(
+        emb,
+        _queries_df(emb),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_planes=_LSH_PLANES,
+        n_tables=_LSH_TABLES,
+        seed=_LSH_SEED,
+    )
 
 
 @register(
