@@ -277,9 +277,10 @@ def ivf_topk(
     the exact cosine.
 
     Centroids are a deterministic seeded sample of corpus vectors (the
-    ``n_centroids`` smallest ``xxhash64(id, seed)`` — no RNG, stable under
-    retries); only these few vectors ever reach the driver, where they
-    become plan literals. Assignment is a map-side argmax over literal
+    ``n_centroids`` smallest ``md5(seed || id)`` — no RNG, stable under
+    retries, and REPRODUCIBLE IN ANY ENGINE, which is what lets the
+    DuckDB oracle replay the whole index); only these few vectors ever
+    reach the driver, where they become plan literals. Assignment is a map-side argmax over literal
     centroid expressions (``greatest`` on (cos, cid) structs — struct
     ordering is lexicographic, so ties break to the higher cid
     deterministically); the candidate join is EQUI on the cell id, bounded
@@ -290,7 +291,9 @@ def ivf_topk(
     """
     cent_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
         .orderBy("_h", id_col)
         .limit(n_centroids)
         .collect()

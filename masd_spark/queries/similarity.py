@@ -56,15 +56,81 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
 
 
-@register("ann_ivf_topk")
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+_IVF_SEED = 42
+
+_IVF_ORACLE = f"""
+    WITH cents AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('{_IVF_SEED}' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS BIGINT) AS cid,
+               CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY md5('{_IVF_SEED}' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVF_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT e.vec_id, c.cid
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                     c.cid DESC) = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, c.cid
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id % 100 = 0
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]), c.cvec)
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                     c.cid DESC) <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(ec.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM probes p
+        JOIN assigned a USING (cid)
+        JOIN embeddings ec ON ec.vec_id = a.vec_id
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16 cells, 4 probes): each
-    query scans ~1/4 of the corpus. No oracle (centroid literals are
-    engine-side); rows-only + recall vs ann_cosine_topk in tests.
+    query scans ~1/4 of the corpus. Centroid selection is the portable
+    md5 sample, so the DuckDB oracle rebuilds the SAME index end-to-end
+    (centroid pick -> cell assignment with the same (cos, cid) tie-break
+    -> probe set -> exact re-rank) — the second approximate index made
+    value-checkable; recall vs the exact baseline stays in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10, n_centroids=16, n_probe=4
+        emb,
+        _queries_df(emb),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+        seed=_IVF_SEED,
     )
 
 
