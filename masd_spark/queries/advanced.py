@@ -621,3 +621,50 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@register(
+    "histogram_equidepth_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, value, event_id,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS decile
+        FROM events
+    )
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram per event type — the profiling
+    complement to the fixed-bin histogram: bucket EDGES adapt to the
+    distribution, counts stay balanced. ntile over a total order
+    (value, event_id) makes bucket membership deterministic under
+    duplicate values, and both engines define ntile identically
+    (remainder rows go to the leading buckets). One sort exchange per
+    type feeds both the tiling and the per-bucket agg. At 100 TB the
+    exact sort gives way to approx_percentile edges — registered here as
+    the ground-truth variant, like exact-vs-approx percentiles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            "lo",
+            "hi",
+        )
+    )

@@ -755,3 +755,98 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining: most common event-type journeys
+# --------------------------------------------------------------------------
+
+_PATH_GAP_MS = 21_600_000  # 6h session gap, matching sessionize_events
+_PATH_TOPK = 20
+
+
+@register(
+    "seq_top_session_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+        SELECT *,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: events sessionize (6h gap, the engine's
+    sessionize boundary), each session folds into an ordered
+    type-sequence string, and paths rank by frequency. The fold is
+    string_agg/concat_ws over collect_list sorted INSIDE the aggregation
+    domain — the window partitioning from sessionization carries through
+    both the gap detection and the path fold (one user-keyed exchange),
+    and the path table is then a tiny key space. Total order
+    (ts, event_id) everywhere, so paths are byte-identical across
+    engines; ties in the ranking break on the path string.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > _PATH_GAP_MS),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_ms", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -743,3 +743,75 @@ def orderby_nulls_last_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-parent: contribution analysis across a dimension hierarchy
+# --------------------------------------------------------------------------
+
+@register(
+    "bi_ratio_to_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+)
+def bi_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (ratio-to-parent/ratio-to-report): each
+    nation's revenue as a share of its region and of the world. The base
+    aggregate collapses the fact table to |nations| rows FIRST; both
+    window ratios then run over that tiny frame (the global-frame window
+    moves 25 rows to one partition — fine because the windows run on the
+    AGGREGATE, never the fact table; putting the window before the agg is
+    the classic mistake that serializes the full fact table). Decimal
+    revenue sums; shares are ratios of identical doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )

@@ -108,3 +108,24 @@ def test_winsorize_bounds_and_flags(spark):
         assert 0.05 < frac < 0.15, frac
     finally:
         df.unpersist()
+
+
+def test_equidepth_parity(spark):
+    from tests.oracle import compare_query as _cmp
+
+    _cmp(spark, REGISTRY["histogram_equidepth_deciles"], SF_ORACLE)
+
+
+def test_equidepth_buckets_balanced_and_ordered(spark):
+    """Decile sizes differ by at most 1 within a type, and bucket value
+    ranges are non-overlapping in decile order."""
+    df = REGISTRY["histogram_equidepth_deciles"].fn(spark, SF_ORACLE).collect()
+    by_type = {}
+    for r in df:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rows in by_type.items():
+        sizes = [r.n for r in rows]
+        assert max(sizes) - min(sizes) <= 1, (t, sizes)
+        rows.sort(key=lambda r: r.decile)
+        for a, b in zip(rows, rows[1:]):
+            assert a.hi <= b.lo, (t, a.decile, a.hi, b.lo)

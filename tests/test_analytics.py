@@ -323,3 +323,19 @@ def test_welch_ttest_matches_scipy_formula(spark):
     t = (a.mean() - b.mean()) / np.sqrt(se2)
     assert abs(r.t_stat - t) < 1e-3, (r.t_stat, t)
     assert r.n_a == len(a) and r.n_b == len(b)
+
+
+def test_session_paths_parity(spark):
+    compare_query(spark, REGISTRY["seq_top_session_paths"], SF_ORACLE)
+
+
+def test_session_paths_cover_sessions(spark):
+    """Path frequencies can't exceed the total session count, and each
+    path string is a non-empty chain of known event types."""
+    rows = REGISTRY["seq_top_session_paths"].fn(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 20
+    n_sessions = REGISTRY["sessionize_events"].fn(spark, SF_ORACLE).count()
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        assert 0 < r.n_sessions <= n_sessions
+        assert set(r.path.split(">")) <= types

@@ -1,6 +1,7 @@
 """Oracle parity for the relational query family."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from masd_spark.queries import load_all
 from tests.conftest import SF_ORACLE
@@ -37,3 +38,22 @@ RELATIONAL = [
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_ratio_to_parent_parity(spark):
+    from tests.conftest import SF_ORACLE as _sf
+
+    compare_query(spark, REGISTRY["bi_ratio_to_parent"], _sf)
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark):
+    from tests.conftest import SF_ORACLE as _sf
+
+    df = REGISTRY["bi_ratio_to_parent"].fn(spark, _sf).cache()
+    try:
+        per_region = df.groupBy("region").agg(F.sum("share_of_region").alias("s"))
+        assert per_region.filter(F.abs(F.col("s") - 1.0) > 1e-4).count() == 0
+        total = df.agg(F.sum("share_of_total")).collect()[0][0]
+        assert abs(total - 1.0) < 1e-4
+    finally:
+        df.unpersist()
