@@ -328,7 +328,9 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
         ).alias("m")
-    )
+    ).localCheckpoint(eager=True)  # tiny (days x types); one scan feeds
+    # BOTH consumers — without this the broadcast stats branch replans the
+    # full scan+agg lineage (the measured broadcast-bypass pathology).
     stats = daily.groupBy("event_type").agg(
         F.avg("m").alias("mu"), F.stddev_samp("m").alias("sigma")
     )

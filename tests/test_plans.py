@@ -155,3 +155,54 @@ def test_triangle_counts_equi_joins_only(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_broadcasts_thresholds(spark):
+    """The per-type percentile frame attaches by broadcast; the fact
+    table is never hash-shuffled for the clip."""
+    df = _q(spark, "clean_winsorize_values")
+    assert count_broadcast_joins(df) >= 1, physical_plan(df)
+
+
+def test_debounce_single_exchange(spark):
+    """One user-keyed exchange feeds the lag window and the filter."""
+    df = _q(spark, "clean_event_debounce")
+    assert count_exchanges(df) <= 1, physical_plan(df)
+
+
+def test_cusum_reuses_type_partitioning(spark):
+    """Daily agg, stats join-back (broadcast), and the running-sum window
+    share the event_type partitioning: at most two exchanges total
+    (daily agg + window sort), stats attach broadcast."""
+    df = _q(spark, "ts_cusum_changepoints")
+    assert count_broadcast_joins(df) >= 1, physical_plan(df)
+    assert count_exchanges(df) <= 3, physical_plan(df)
+
+
+def test_transitions_margin_broadcast(spark):
+    df = _q(spark, "seq_event_transitions")
+    assert count_broadcast_joins(df) >= 1, physical_plan(df)
+
+
+def test_bfs_no_nested_loop(spark):
+    df = _q(spark, "graph_bfs_distances")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ratio_to_parent_windows_after_agg(spark):
+    """The window runs over the aggregated 25-row frame — the fact scan
+    feeds a partial aggregate, not a window sort."""
+    df = _q(spark, "bi_ratio_to_parent")
+    plan = physical_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # physical plans print top-down: the Window must sit ABOVE the agg
+    assert win_pos < agg_pos, plan
+
+
+def test_string_index_no_fact_shuffle(spark):
+    df = _q(spark, "ml_string_index_encode")
+    assert count_broadcast_joins(df) >= 2, physical_plan(df)
