@@ -372,11 +372,43 @@ def prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = sh.select(
-        F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("size_a")
+    # verification on per-doc ARRAYS, not the exploded table: the exploded
+    # verify join shuffles the full (doc, shingle) table twice; folding to
+    # one array row per doc first makes the verify cost proportional to
+    # the CANDIDATE set (two id-keyed joins + an array_intersect per
+    # pair), which is what the prefix filter just worked to shrink.
+    arrays = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_set"),
+        F.first("set_size").alias("_sz"),
     )
-    sh_b = sh.select(
-        F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
+    a_arr = arrays.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_set").alias("_set_a"),
+        F.col("_sz").alias("size_a"),
     )
-    pairs = candidates.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
-    return _pair_jaccard(pairs, threshold)
+    b_arr = arrays.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_set").alias("_set_b"),
+        F.col("_sz").alias("size_b"),
+    )
+    scored = (
+        candidates.join(a_arr, "doc_a")
+        .join(b_arr, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_set_a", "_set_b")).alias("n_inter"),
+            "size_a",
+            "size_b",
+        )
+    )
+    jac = scored.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
