@@ -850,3 +850,66 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Robust trend: Theil-Sen slope over daily means
+# --------------------------------------------------------------------------
+
+@register(
+    "stat_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.m - a.m) / (b.day - a.day) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           ROUND(median(slope), 6) AS theil_sen_slope,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM slopes GROUP BY 1
+    """,
+)
+def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the DAILY-MEAN series. Pairwise enumeration is quadratic —
+    which is exactly why it runs on the aggregated series (bounded by
+    days^2 per type, ~500 pairs here), never on raw events; the daily
+    collapse is the one fact-sized shuffle. Up to 29% outlier-corrupted
+    days cannot move the estimate (the point of Theil-Sen vs OLS).
+    Slopes are ratios of identical decimal-derived doubles; the median
+    interpolates identically in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000000) div 86400000").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    ).localCheckpoint(eager=True)  # tiny; feeds both self-join sides
+    a = daily.select("event_type", F.col("day").alias("day_a"), F.col("m").alias("m_a"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("m").alias("m_b"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            ((F.col("m_b") - F.col("m_a")) / (F.col("day_b") - F.col("day_a"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.round(F.median("slope"), 6).alias("theil_sen_slope"),
+        F.count("*").alias("n_pairs"),
+    )

@@ -693,3 +693,110 @@ def ivm_monthly_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# Retention policy: keep the newest N versions per key
+# --------------------------------------------------------------------------
+
+_KEEP_N = 3
+
+
+@register(
+    "warehouse_retention_keep_n",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_custkey AS custkey, o_orderkey,
+               epoch_ms(o_orderdate) AS od_ms,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY epoch_ms(o_orderdate) DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders
+    )
+    SELECT custkey, o_orderkey, od_ms,
+           CAST(rn AS BIGINT) AS version_rank,
+           rn > {_KEEP_N} AS is_expired
+    FROM ranked
+    """,
+)
+def warehouse_retention_keep_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-retention policy: rank each customer's orders newest-first
+    and flag everything past the newest {N} as expired — the keep/delete
+    manifest a retention job feeds to a table format's DELETE. One window
+    over one key shuffle; emitting a FLAG rather than filtering keeps the
+    query a pure function the delete executor (or an audit) can consume
+    either way. Ties break on the order key, so the manifest is stable
+    across runs — a retention job that flags different rows on rerun
+    would corrupt time travel.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("custkey").orderBy(
+        F.col("od_ms").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("od_ms"),
+        )
+        .withColumn("version_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_expired", F.col("version_rank") > _KEEP_N)
+    )
+
+
+# --------------------------------------------------------------------------
+# Date dimension generation
+# --------------------------------------------------------------------------
+
+@register(
+    "dim_date_generate",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+               CAST(max(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    d AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS dt
+        FROM bounds
+    )
+    SELECT CAST(epoch_ms(CAST(dt AS TIMESTAMP)) AS BIGINT) AS date_ms,
+           CAST(year(dt) AS BIGINT) AS year,
+           CAST(month(dt) AS BIGINT) AS month,
+           CAST(day(dt) AS BIGINT) AS day_of_month,
+           CAST(isodow(dt) AS BIGINT) AS iso_dow,
+           isodow(dt) >= 6 AS is_weekend,
+           CAST(quarter(dt) AS BIGINT) AS quarter
+    FROM d
+    """,
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension builder: one row per calendar day spanning the
+    fact table's date range, with the standard attributes (ISO weekday,
+    weekend flag, quarter). The span comes from a 2-value aggregate and
+    the rows from ONE ``sequence`` explode — never a driver loop or a
+    cross join; at any history length this is bounded by days, not facts.
+    Downstream star joins then broadcast this dimension. ISO weekday
+    (Mon=1) is computed portably from the epoch-day modulus on the Spark
+    side to dodge engine dayofweek conventions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    d = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("dt")
+    )
+    # 1970-01-01 is a Thursday: epoch_day mod 7 == 0 -> Thu(4) in ISO.
+    epoch_day = F.unix_date(F.col("dt"))
+    iso_dow = ((epoch_day + F.lit(3)) % 7 + F.lit(1)).cast("long")
+    return d.select(
+        (F.unix_date(F.col("dt")).cast("long") * 86_400_000).alias("date_ms"),
+        F.year("dt").cast("long").alias("year"),
+        F.month("dt").cast("long").alias("month"),
+        F.dayofmonth("dt").cast("long").alias("day_of_month"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.quarter("dt").cast("long").alias("quarter"),
+    )

@@ -339,3 +339,33 @@ def test_session_paths_cover_sessions(spark):
     for r in rows:
         assert 0 < r.n_sessions <= n_sessions
         assert set(r.path.split(">")) <= types
+
+
+def test_theil_sen_parity(spark):
+    compare_query(spark, REGISTRY["stat_theil_sen_trend"], SF_ORACLE)
+
+
+def test_theil_sen_outlier_robust(spark):
+    """Corrupting one day's mean by 1e6 must not move the slope (numpy
+    reference on a planted series)."""
+    import numpy as np
+
+    days = np.arange(30)
+    clean = 2.0 * days + 5.0
+    spiked = clean.copy()
+    spiked[7] += 1e6
+
+    def ts_slope(ys):
+        rows = [("a", int(d), float(v)) for d, v in zip(days, ys)]
+        df = spark.createDataFrame(rows, "event_type string, day long, m double")
+        a = df.select("event_type", F.col("day").alias("da"), F.col("m").alias("ma"))
+        b = df.select("event_type", F.col("day").alias("db"), F.col("m").alias("mb"))
+        s = (
+            a.join(b, "event_type")
+            .filter(F.col("da") < F.col("db"))
+            .select(((F.col("mb") - F.col("ma")) / (F.col("db") - F.col("da"))).alias("s"))
+        )
+        return s.agg(F.median("s")).collect()[0][0]
+
+    assert abs(ts_slope(clean) - 2.0) < 1e-9
+    assert abs(ts_slope(spiked) - 2.0) < 0.2

@@ -335,3 +335,28 @@ def test_ivm_merge_equals_direct_rebuild(spark):
     )
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+RETENTION_DIM = ["warehouse_retention_keep_n", "dim_date_generate"]
+
+
+@pytest.mark.parametrize("name", RETENTION_DIM)
+def test_retention_dim_oracle_parity(spark, name):
+    compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_retention_keeps_exactly_n_live_per_key(spark):
+    df = REGISTRY["warehouse_retention_keep_n"].fn(spark, SF_ORACLE)
+    live = df.filter(~F.col("is_expired")).groupBy("custkey").count()
+    assert live.filter(F.col("count") > 3).count() == 0
+    # every customer with >3 orders has exactly 3 live versions
+    totals = df.groupBy("custkey").count().filter(F.col("count") > 3)
+    j = totals.join(live.withColumnRenamed("count", "n_live"), "custkey")
+    assert j.filter(F.col("n_live") != 3).count() == 0
+
+
+def test_date_dim_is_contiguous(spark):
+    rows = sorted(
+        r.date_ms for r in REGISTRY["dim_date_generate"].fn(spark, SF_ORACLE).collect()
+    )
+    assert all(b - a == 86_400_000 for a, b in zip(rows, rows[1:]))
