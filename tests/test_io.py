@@ -93,3 +93,38 @@ def test_mongo_keyed_batch_writer_fanout(spark):
     )
     writer(batch, batch_id=0, _path="")
     assert writes == [("station_perugia", 2), ("station_terni", 1)]
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic partition pruning: joining the year-partitioned fact to a
+    FILTERED dimension prunes fact partitions at RUNTIME from the dim's
+    join keys — the fact-side filter doesn't exist statically. The plan
+    must carry a dynamicpruning subquery on the partition column, and the
+    join must read fewer partitions than the unfiltered fact has. This is
+    the scan-elimination mechanism a 100 TB star schema lives on (static
+    pruning only covers literal predicates)."""
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year_dpp")
+    write_files(orders, out, "parquet", partition_by=["o_year"])
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [(1996, "cohort96"), (1997, "cohort97")], "d_year int, label string"
+    ).filter(F.col("label") == "cohort96")
+    # DPP requires a SELECTIVE predicate on the pruning side (a bare
+    # isnotnull from the join key does not qualify).
+    # at fixture scale the FACT is broadcastable, which suppresses DPP
+    # (Spark would just broadcast the fact); pin the realistic star shape
+    # — dim broadcast, fact streamed — for the duration of the assert.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fact.join(F.broadcast(dim), fact.o_year == dim.d_year)
+        plan = physical_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        expected = orders.filter(F.col("o_year") == 1996).count()
+        assert joined.count() == expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
