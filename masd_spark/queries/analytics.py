@@ -913,3 +913,96 @@ def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("slope"), 6).alias("theil_sen_slope"),
         F.count("*").alias("n_pairs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence pattern matching: ordered event patterns within sessions
+# --------------------------------------------------------------------------
+
+_SEQ_PATTERN = "view(>[a-z]+)*>click(>[a-z]+)*>purchase"
+
+
+@register(
+    "seq_sessions_matching_pattern",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(ts_ms) OVER w IS NULL
+                         OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    ),
+    sess AS (
+        SELECT *,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN regexp_matches(path, '{_SEQ_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+    FROM paths
+    GROUP BY 1
+    """,
+)
+def seq_sessions_matching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without the syntax: a
+    session matches if its ordered event chain contains view -> ... ->
+    click -> ... -> purchase (gaps allowed). The session path string IS
+    the sequence encoding — after the one user-keyed sessionize exchange,
+    pattern detection is a map-side regex over |sessions| short strings,
+    which scales with sessions (bounded per user) rather than events and
+    needs no per-row state machine. Pattern semantics pin down: both
+    engines run the same RE2-class regex on the same byte-identical
+    strings.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | (F.col("ts_ms") - F.lag("ts_ms").over(w) > _PATH_GAP_MS),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(
+            F.when(F.col("path").rlike(_SEQ_PATTERN), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_matching"),
+    )

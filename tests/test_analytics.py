@@ -369,3 +369,19 @@ def test_theil_sen_outlier_robust(spark):
 
     assert abs(ts_slope(clean) - 2.0) < 1e-9
     assert abs(ts_slope(spiked) - 2.0) < 0.2
+
+
+def test_seq_pattern_parity(spark):
+    compare_query(spark, REGISTRY["seq_sessions_matching_pattern"], SF_ORACLE)
+
+
+def test_seq_pattern_subset_of_funnel_users(spark):
+    """Matches are bounded by sessions, nonnegative, and at least one
+    user matches on the fixture (the pattern is not vacuous)."""
+    df = REGISTRY["seq_sessions_matching_pattern"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.filter(F.col("n_matching") > F.col("n_sessions")).count() == 0
+        assert df.filter(F.col("n_matching") < 0).count() == 0
+        assert df.agg(F.sum("n_matching")).collect()[0][0] > 0
+    finally:
+        df.unpersist()
