@@ -75,10 +75,10 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(docs).select("doc_id", "source", "n_chars")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    headline=True,
-    oracle=f"""
+_JACCARD_MAX_DF = 50
+
+# The uncapped shingle self-join — exact ground truth by construction.
+_JACCARD_UNCAPPED_ORACLE = f"""
     WITH {_SHINGLES_SQL},
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -94,59 +94,42 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE ROUND(CAST(n_inter AS DOUBLE)
                 / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
-    """,
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    headline=True,
+    oracle=_JACCARD_UNCAPPED_ORACLE,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — ground truth
     for MinHash-LSH. Candidate pairs are bounded by shared shingles, never
-    all-pairs.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir))
-
-
-_JACCARD_MAX_DF = 50
-
-
-@register(
-    "dedup_ngram_jaccard_capped",
-    oracle=f"""
-    WITH {_SHINGLES_SQL},
-    rare AS (SELECT shingle FROM sh GROUP BY shingle
-             HAVING count(*) <= {_JACCARD_MAX_DF}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
-        WHERE a.doc_id < b.doc_id
-    ),
-    inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-        FROM cand c
-        JOIN sh a ON a.doc_id = c.doc_a
-        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(n_inter AS DOUBLE)
-                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE ROUND(CAST(n_inter AS DOUBLE)
-                / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
-    """,
-)
-def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard near-dup with the document-frequency cap (max_df=50) that
-    keeps the shingle self-join skew-bounded at corpus scale: stop-shingles
-    never enter candidate generation (per-shingle join work <= max_df^2),
-    while verification still scores the FULL shingle sets.
+    all-pairs. The HEADLINE plan runs with the max_df=50 stop-shingle cap
+    (the skew-safe default at corpus scale: per-shingle join work is
+    bounded by max_df^2) while the ORACLE is the uncapped self-join — so
+    every driver check also re-proves the cap's result-invariance on this
+    corpus. ``dedup_ngram_jaccard_uncapped`` keeps the uncapped plan
+    registered as the explicit ground-truth twin.
     """
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
         docs, k=3, threshold=0.5,
         shingles=_shared_shingles(spark, sf_dir), max_df=_JACCARD_MAX_DF,
     )
+
+
+@register(
+    "dedup_ngram_jaccard_uncapped",
+    oracle=_JACCARD_UNCAPPED_ORACLE,
+)
+def dedup_ngram_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped shingle self-join — the exact ground-truth twin of the
+    headline (capped) plan. Skew-exposed to viral shingles at scale, so it
+    is the oracle/benchmark reference, not the default.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir))
 
 
 def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
@@ -527,7 +510,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filter is LOSSLESS — candidates only need to share one of each
     doc's rarest (1-t) fraction of shingles — so the oracle is the plain
     brute-force shingle join: the optimized plan must reproduce it
-    bit-for-bit. Unlike the max_df cap (dedup_ngram_jaccard_capped), the
+    bit-for-bit. Unlike the max_df cap (the dedup_ngram_jaccard headline), the
     skew bound here costs no recall: hot shingles are simply never in
     anyone's prefix. (operators/dedup.py:prefix_filter_pairs)
     """

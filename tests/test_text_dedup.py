@@ -16,7 +16,7 @@ ORACLE_QUERIES = [
     "text_fingerprint",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_uncapped",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_simhash",
