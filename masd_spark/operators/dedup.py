@@ -37,10 +37,23 @@ Plan-shape notes (these were measured, not guessed):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.text import fingerprint_md5, simhash32, tokens
+
+
+def _as_fraction(threshold: float) -> tuple[int, int]:
+    """Exact (num, den) for a threshold given as a decimal literal.
+
+    ``str()`` recovers the shortest-roundtrip decimal (0.4 -> "0.4"), so
+    the rational is the number the caller actually wrote, not the nearest
+    binary double; limit_denominator keeps pathological reprs bounded.
+    """
+    fr = Fraction(str(threshold)).limit_denominator(10**9)
+    return fr.numerator, fr.denominator
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -349,9 +362,17 @@ def prefix_filter_pairs(
             Window.partitionBy(id_col).orderBy("_df", "shingle")
         ),
     )
-    prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(float(threshold)) * F.col("set_size")) + 1
-    )
+    # ceil(t * size) in EXACT integer arithmetic: binary-float products can
+    # land an epsilon above an exact integer (e.g. 0.3*10 -> 3.0000…04,
+    # ceil -> 4), silently shortening the prefix / tightening the length
+    # filter by one and breaking the losslessness guarantee. Express t as
+    # the rational its decimal literal denotes and use bigint div.
+    t_num, t_den = _as_fraction(threshold)
+
+    def _ceil_t_times(col: str):
+        return F.expr(f"({t_num}L * {col} + {t_den - 1}L) div {t_den}L")
+
+    prefix_len = F.col("set_size") - _ceil_t_times("set_size") + 1
     prefix = ranked.filter(F.col("_rn") <= prefix_len)
     pa = prefix.select(
         F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("_sza")
@@ -366,8 +387,8 @@ def prefix_filter_pairs(
         pa.join(pb, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("_szb") >= F.ceil(F.lit(float(threshold)) * F.col("_sza")))
-            & (F.col("_sza") >= F.ceil(F.lit(float(threshold)) * F.col("_szb")))
+            & (F.col("_szb") >= _ceil_t_times("_sza"))
+            & (F.col("_sza") >= _ceil_t_times("_szb"))
         )
         .select("doc_a", "doc_b")
         .distinct()

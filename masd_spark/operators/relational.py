@@ -87,6 +87,15 @@ def asof_join(
     + max), which is quadratic per key. This is the 100 TB path; an
     ``applyInPandas``+``merge_asof`` variant would move every row through
     Python for no semantic gain.
+
+    PRECONDITION: the right side must be unique per (``key_col``,
+    ``right_time``). The carry-forward window orders only by
+    ``(_t, _side)``, so duplicate right rows at one (key, time) tie in the
+    sort and whichever the partition happens to order last wins —
+    partition-order nondeterminism, not an error. Callers with possible
+    duplicates (e.g. SCD2 starts from same-timestamp change rows) must
+    collapse them under a deterministic rule first; see
+    ``pit_scd2_priority_at_ship`` (queries/warehouse.py) for the pattern.
     """
     lcols = left.columns
     tagged_left = left.select(

@@ -295,10 +295,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_pca_top_component")
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus via distributed
-    power iteration (operators/clustering.py:pca_top_component): each
-    step is one codegen'd full scan + a d-column aggregate; the driver
-    holds only the 64 loadings. Iterative float fixed point -> no
+    """Top principal component of the embedding corpus via a ONE-PASS
+    Gram reduction (operators/clustering.py:pca_top_component): Arrow/BLAS
+    per-partition d×d Gram partials, one reduce, then a LOCAL eigensolve
+    on the driver's d×d matrix — power iteration was rejected for this
+    near-flat spectrum (see the operator docstring); the driver holds only
+    the d×d Gram and the 64 loadings. Float reduction -> no
     single-query SQL oracle; the direction is pinned against numpy's
     eigendecomposition to 1e-6 cosine in tests/test_similarity.py, and
     loadings are rounded to 6 decimals for a portable surface. Output:

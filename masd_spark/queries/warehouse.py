@@ -465,10 +465,21 @@ def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     starts AS (
         SELECT o_custkey AS custkey, o_orderpriority AS priority, od_ms,
+               o_orderkey,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY od_ms, o_orderkey) AS version
         FROM ordered
         WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    ),
+    -- Two same-day orders can open two versions at one valid_from; the
+    -- later version (max o_orderkey => max version) supersedes instantly,
+    -- so keep exactly it — otherwise both ASOF sides tie-break at random.
+    dstarts AS (
+        SELECT custkey, priority, od_ms, version
+        FROM (SELECT s.*, row_number() OVER (PARTITION BY custkey, od_ms
+                                             ORDER BY version DESC) AS dd
+              FROM starts s)
+        WHERE dd = 1
     ),
     probe AS (
         SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
@@ -479,7 +490,7 @@ def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            h.priority AS priority_at_ship,
            CAST(h.version AS BIGINT) AS version_at_ship
     FROM probe p
-    ASOF LEFT JOIN starts h
+    ASOF LEFT JOIN dstarts h
         ON p.custkey = h.custkey AND p.ship_ms >= h.od_ms
     """,
 )
@@ -507,6 +518,17 @@ def pit_scd2_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_intervals(
         changes, keys=["custkey"], order_by=["od_ms", "o_orderkey"], tracked="priority"
     ).select("custkey", "priority", F.col("version").cast("long").alias("version"), "valid_from")
+    # Same-day order pairs open two versions with one valid_from; as-of
+    # carry-forward over duplicate (key, time) right rows is partition-order
+    # nondeterministic (see asof_join's precondition), so collapse to the
+    # superseding (max-version) start per (custkey, valid_from) — mirrored
+    # by the oracle's dstarts dedup.
+    wd = Window.partitionBy("custkey", "valid_from").orderBy(F.col("version").desc())
+    hist = (
+        hist.withColumn("_dd", F.row_number().over(wd))
+        .filter(F.col("_dd") == 1)
+        .drop("_dd")
+    )
     probe = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", F.unix_millis("l_shipdate").alias("ship_ms"))

@@ -133,18 +133,50 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# Physical type of events.ts per fixture file, probed once from the parquet
+# footer (metadata-only read — no data pages). Keyed by resolved path so a
+# driver regeneration mid-process with a different sf_dir still re-probes.
+_EVENTS_TS_PHYSICAL: dict[str, str] = {}
+
+
+def _events_ts_physical(path: str) -> str:
+    """'int64' (ns-since-epoch long) or 'timestamp' (µs naive) — the two
+    variants the driver's generator has shipped across regenerations."""
+    key = os.path.realpath(path)
+    if key not in _EVENTS_TS_PHYSICAL:
+        import pyarrow.parquet as pq
+
+        arrow_type = pq.read_schema(path).field("ts").type
+        kind = "int64" if str(arrow_type).startswith("int") else "timestamp"
+        _EVENTS_TS_PHYSICAL[key] = kind
+    return _EVENTS_TS_PHYSICAL[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema.
 
     ``events.ts`` is normalized here — and ONLY here — to the package-wide
     contract "``ts`` is nanoseconds-since-epoch as a long". The fixture has
     shipped both as ns-physical-long and as µs TIMESTAMP parquet across
-    regenerations; every downstream operator (``ts DIV 1_000_000`` → ms,
-    :func:`with_event_time` → µs timestamp) is insulated from that choice
+    regenerations, so the parquet FOOTER is probed (metadata-only, once per
+    file) and the declared schema + cast branch on the physical type
+    actually present; every downstream operator (``ts DIV 1_000_000`` → ms,
+    :func:`with_event_time` → µs timestamp) is insulated from the variant
     by this one projection. The cast runs inside whole-stage codegen on
     top of the scan; column pruning still reaches the reader.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events" and _events_ts_physical(path) == "int64":
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType())
+                if f.name == "ts"
+                else f
+                for f in TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        # Already the ns-long contract — no cast needed.
+        return spark.read.schema(schema).parquet(path)
     df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
     if name == "events":
         # NTZ → epoch under the session's pinned UTC zone, so the value is

@@ -13,6 +13,38 @@ def _nation_rows(spark):
     return sorted(map(tuple, load_table(spark, SF_SMOKE, "nation").collect()))
 
 
+def test_events_ts_int64_variant_normalizes(spark, tmp_path):
+    """load_table must read BOTH events.ts physical variants the driver's
+    generator has shipped (ns-int64 and µs-TIMESTAMP) to the same ns-long
+    contract — the footer probe branches the declared schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micro = load_table(spark, SF_SMOKE, "events")  # current fixture variant
+    expect = {r.event_id: r.ts for r in micro.limit(50).collect()}
+    full = {
+        r.event_id: (r.ts, r.user_id, r.event_type, r.value, r.props)
+        for r in micro.collect()
+    }
+    ns_dir = tmp_path / "nsvariant"
+    ns_dir.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(full), type=pa.int64()),
+            "ts": pa.array([full[k][0] for k in full], type=pa.int64()),
+            "user_id": pa.array([full[k][1] for k in full], type=pa.int64()),
+            "event_type": pa.array([full[k][2] for k in full]),
+            "value": pa.array([full[k][3] for k in full], type=pa.float64()),
+            "props": pa.array([full[k][4] for k in full]),
+        }
+    )
+    pq.write_table(tbl, ns_dir / "events.parquet")
+    back = load_table(spark, str(ns_dir), "events")
+    assert dict(back.schema["ts"].jsonValue().items())["type"] == "long"
+    got = {r.event_id: r.ts for r in back.collect()}
+    assert all(got[k] == v for k, v in expect.items())
+
+
 def test_roundtrip_formats(spark, tmp_path):
     nation = load_table(spark, SF_SMOKE, "nation")
     expected = _nation_rows(spark)

@@ -201,6 +201,48 @@ def test_prefix_filter_is_lossless(spark):
     assert pref == brute
 
 
+def test_prefix_filter_exact_ceiling_threshold(spark):
+    """The prefix/length bounds use exact rational arithmetic. With
+    t=0.1 and |x|=10, the binary-float product 0.1*10 lands an epsilon
+    above 1.0, so float ceil gives 2 where the true ceil(1/10 * 10) is 1 —
+    shortening the prefix to 9 (dropping the rank-10 shared shingle) AND
+    failing the length filter (1 >= 2 is false). Either bug alone loses
+    the planted pair; exact bigint math keeps it.
+    """
+    from masd_spark.operators.dedup import (
+        _as_fraction,
+        jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    assert _as_fraction(0.55) == (11, 20)
+    assert _as_fraction(0.5) == (1, 2)
+    import math
+
+    # the premise: the naive float bound really is wrong for this input
+    assert math.ceil(0.55 * 100) == 56  # true ceil(11/20 * 100) = 55
+
+    # doc 1: 100 shingles — 45 unshared (df=1, ranks 1-45) + 55 shared
+    # (df=2, ranks 46-100). Exact prefix length 100-55+1=46 includes the
+    # first shared shingle; the float-buggy 45 does not. doc 2 is exactly
+    # the 55 shared shingles: J = 55/100 = 0.55 >= t, and the length
+    # filter 55 >= ceil(0.55*100) also holds only under exact math.
+    rows = (
+        [(1, f"u{i:03d}", 100) for i in range(45)]
+        + [(1, f"s{i:03d}", 100) for i in range(55)]
+        + [(2, f"s{i:03d}", 55) for i in range(55)]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string, set_size int")
+    brute = sorted(
+        map(tuple, jaccard_pairs(None, threshold=0.55, shingles=sh).collect())
+    )
+    pref = sorted(
+        map(tuple, prefix_filter_pairs(None, threshold=0.55, shingles=sh).collect())
+    )
+    assert brute == pref
+    assert len(brute) == 1 and brute[0][:2] == (1, 2)
+
+
 def test_bm25_parity(spark):
     compare_query(spark, REGISTRY["text_bm25_search"], SF_ORACLE)
 
