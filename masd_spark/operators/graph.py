@@ -91,6 +91,92 @@ def pagerank(
     return ranks
 
 
+def _undirected_simple(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Collapse a directed/multi edge list to canonical undirected (u<v)."""
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def degree_oriented_edges(und: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges by the total order (degree, id).
+
+    Each edge points from its (deg, id)-smaller endpoint to the larger:
+    ``s -> t`` with ``(deg(s), s) < (deg(t), t)``. Output carries the
+    target's key (``t_deg``) so downstream wedge enumeration can compare
+    out-neighbors in the SAME order without re-joining degrees. The
+    classic skew bound: max oriented out-degree is O(sqrt(|E|)) for ANY
+    graph (a node keeps an out-edge only toward >=-degree endpoints, and
+    there can be at most 2*sqrt(|E|) nodes of degree >= sqrt(|E|)) — so a
+    power-law hub with degree d contributes O(|E|) wedge pairs instead of
+    the id-orientation's worst-case d^2. Cost over the id orientation:
+    one degree aggregation + two id-keyed joins, all hash-partitioned.
+    """
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("t_deg"),
+    )
+
+
+def triangle_counts_deg(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts with DEGREE orientation — the hub-safe
+    variant of :func:`triangle_counts` (same output, same oracle).
+
+    Every triangle {x,y,z} ordered by (deg, id) as x < y < z has oriented
+    edges x->y, x->z, y->z, so enumerating out-neighbor pairs of each
+    node (in the same (deg, id) order) and closing with one more oriented
+    equi-join produces each triangle exactly once. Wedge work per node is
+    (oriented out-degree)^2 <= O(|E|) total by the sqrt bound documented
+    on :func:`degree_oriented_edges` — this is the 100 TB default; the
+    id-oriented sibling stays as the simpler fixture oracle twin.
+    """
+    und = _undirected_simple(edges, src, dst)
+    o = degree_oriented_edges(und).localCheckpoint(eager=True)
+    o1 = o.select(F.col("s").alias("a"), F.col("t").alias("b"), F.col("t_deg").alias("_db"))
+    o2 = o.select(F.col("s").alias("a"), F.col("t").alias("c"), F.col("t_deg").alias("_dc"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("_db") < F.col("_dc"))
+        | ((F.col("_db") == F.col("_dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -103,12 +189,12 @@ def triangle_counts(
 
     Scale shape: the wedge join is keyed on the shared middle node and the
     closing check is an equi-join on (u, w) — both hash joins. Work is
-    sum over nodes of (oriented out-degree)^2; at 100 TB the id-orientation
-    here should become DEGREE orientation (orient toward the higher-degree
-    endpoint, tie by id), which bounds oriented out-degree by sqrt(|E|)
-    and tames power-law hubs. Id orientation keeps the fixture's oracle
-    (u<v<w enumeration) bit-identical; swap the orientation key to
-    (degree, id) for production skew without changing the join shape.
+    sum over nodes of (oriented out-degree)^2, which a power-law hub of
+    degree d blows up to d^2 under this id orientation —
+    :func:`triangle_counts_deg` is the DEGREE-oriented sibling that bounds
+    oriented out-degree by O(sqrt(|E|)) and is the default at scale; this
+    variant stays as the transparently-correct u<v<w enumeration (both are
+    checked against the same oracle, plus an equality test).
     """
     und = (
         edges.filter(F.col(src) != F.col(dst))

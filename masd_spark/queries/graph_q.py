@@ -72,9 +72,9 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_triangle_counts",
-    oracle="""
+# Shared by the id-oriented and degree-oriented triangle queries — both
+# orientations must reproduce this enumeration exactly.
+_TRIANGLE_ORACLE = """
     WITH und AS (
         SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
                         greatest(c.c_nationkey, s.s_nationkey) AS v
@@ -103,7 +103,12 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nodes n
     LEFT JOIN (SELECT node, count(*) AS cnt FROM membership GROUP BY 1) m
       ON n.node = m.node
-    """,
+    """
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=_TRIANGLE_ORACLE,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation triangle counts in the undirected trade graph —
@@ -111,13 +116,32 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The kernel (operators/graph.py:triangle_counts) orients edges
     low-id -> high-id and closes wedges with two hash joins, so each
     triangle is enumerated exactly once and no all-pairs stage exists;
-    at production scale the orientation key swaps to (degree, id) to
-    bound wedge fan-out on hub nodes (docstring there).
+    ``graph_triangle_counts_deg`` runs the hub-safe (degree, id)
+    orientation against the same oracle.
     """
     from masd_spark.operators.graph import triangle_counts
 
     edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     out = triangle_counts(edges)
+    return out.select(F.col("node").cast("long").alias("nationkey"), "n_triangles")
+
+
+@register(
+    "graph_triangle_counts_deg",
+    oracle=_TRIANGLE_ORACLE,
+)
+def graph_triangle_counts_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (operators/graph.py:
+    triangle_counts_deg): orientation toward the (degree, id)-larger
+    endpoint bounds per-node wedge fan-out by O(sqrt(|E|)) — the
+    production default on power-law graphs — and must reproduce the
+    id-oriented enumeration exactly (same oracle; plus a skewed-hub
+    fixture test bounding the max wedge-list in tests/test_graph.py).
+    """
+    from masd_spark.operators.graph import triangle_counts_deg
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    out = triangle_counts_deg(edges)
     return out.select(F.col("node").cast("long").alias("nationkey"), "n_triangles")
 
 

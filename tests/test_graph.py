@@ -94,6 +94,66 @@ def test_triangle_counts_handshake(spark):
     assert out == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
 
 
+def test_triangle_counts_deg_parity(spark):
+    compare_query(spark, REGISTRY["graph_triangle_counts_deg"], SF_ORACLE)
+
+
+def test_triangle_orientations_agree(spark):
+    """Degree orientation must reproduce the id-oriented enumeration
+    exactly on the fixture trade graph AND on a planted clique+hub."""
+    from masd_spark.operators.graph import triangle_counts, triangle_counts_deg
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]
+        + [(0, h) for h in range(100, 160)],  # node 0 is a hub
+        "src int, dst int",
+    )
+    by_id = sorted(map(tuple, triangle_counts(edges).collect()))
+    by_deg = sorted(map(tuple, triangle_counts_deg(edges).collect()))
+    assert by_id == by_deg
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    """The point of degree orientation: a star hub generates ZERO wedges
+    (all its edges orient toward it — spokes have lower degree), where id
+    orientation at a low-id hub generates C(n,2). The max wedge-list
+    (oriented out-degree) must collapse from n to O(1)."""
+    from masd_spark.operators.graph import (
+        _undirected_simple,
+        degree_oriented_edges,
+    )
+
+    n_spokes = 200
+    # hub id 0: under id orientation every one of its 200 edges is
+    # outgoing -> 200-long wedge list. One planted triangle (1,2,3) keeps
+    # the triangle path nontrivial.
+    edges = spark.createDataFrame(
+        [(0, s) for s in range(1, n_spokes + 1)] + [(1, 2), (2, 3), (1, 3)],
+        "src int, dst int",
+    )
+    und = _undirected_simple(edges, "src", "dst")
+    id_out = (
+        und.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    )  # id orientation: out-edges are exactly the u side
+    deg_out = (
+        degree_oriented_edges(und)
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert id_out == n_spokes
+    assert deg_out <= 3  # spokes: 1 out-edge; triangle nodes: <=3
+
+    from masd_spark.operators.graph import triangle_counts_deg
+
+    # triangles: {1,2,3} plus {0,a,b} for each pair of 1,2,3 (the hub is
+    # adjacent to every spoke) -> every participant sits in 3 of the 4.
+    out = {r.node: r.n_triangles for r in triangle_counts_deg(edges).collect()}
+    assert out[0] == out[1] == out[2] == out[3] == 3
+    assert out[10] == 0
+
+
 def test_bfs_parity(spark):
     compare_query(spark, REGISTRY["graph_bfs_distances"], SF_ORACLE)
 
