@@ -53,15 +53,32 @@ def main() -> None:
     # warm-up: JVM, parquet footer reads, codegen
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        # build INSIDE the timed window: some operators eagerly materialize
-        # shared intermediates (e.g. the shingle set) during construction.
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Two passes in ONE JVM (VERDICT r3 item 3): r02->r03 drifted ~1.45x
+    # uniformly across unrelated plans, which is the signature of warm-up/
+    # environment variance, not plan regressions. Reporting the WARM pass
+    # as the metric (and the cold pass + ratios alongside) separates the
+    # two: a query slow in BOTH passes is a real regression; one slow only
+    # cold is JVM/codegen/page-cache warm-up.
+    passes = max(1, int(os.getenv("MASD_BENCH_PASSES", "2")))
+    per_pass: list[dict[str, float]] = []
+    for _ in range(passes):
+        timings: dict[str, float] = {}
+        for name, spec in headline.items():
+            # build INSIDE the timed window: some operators eagerly
+            # materialize shared intermediates (e.g. the shingle set)
+            # during construction.
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        per_pass.append(timings)
+        # shared materialized intermediates (shingle cache) must not leak
+        # a warm copy into the next pass's first query
+        from masd_spark.queries.dedup import _SHINGLE_CACHE
 
+        _SHINGLE_CACHE.clear()
+
+    timings = per_pass[-1]
     total = round(sum(timings.values()), 3)
     # regression check vs the r01 baseline (only meaningful at sf0.1, the
     # scale the baseline was recorded at)
@@ -83,18 +100,26 @@ def main() -> None:
             if n in timings
         }
         print(f"[bench] ratio vs r01 per query: {deltas}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "sum of headline query wall-times (noop sink, warm JVM)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "regressions": regressions,
-            }
+    out = {
+        "metric": "sum of headline query wall-times (noop sink, warm JVM)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "regressions": regressions,
+    }
+    if len(per_pass) > 1:
+        out["queries_cold"] = per_pass[0]
+        out["cold_over_warm"] = {
+            n: round(per_pass[0][n] / timings[n], 2) if timings[n] else None
+            for n in timings
+        }
+        out["variance_note"] = (
+            "reported 'queries' = warm pass (pass 2 of 2 in one JVM); "
+            "'queries_cold' = pass 1. A query slow only in the cold pass "
+            "is warm-up variance; slow in both passes = real regression."
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -168,22 +168,74 @@ def jaccard_pairs(
     if max_df is None:
         pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
         return _pair_jaccard(pairs, threshold)
-    # df-capped path: candidates from rare shingles only (the df count and
-    # both join sides share the shingle-keyed shuffle), then the minhash-
-    # style verification joins the full sets back by doc id.
-    rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= max_df
-    ).select("shingle")
-    ra = a.select("doc_a", "shingle").join(rare, "shingle")
-    rb = b.select("doc_b", "shingle").join(rare, "shingle")
-    candidates = (
+    # df-capped path. The true intersection decomposes by document
+    # frequency: n_inter = |rare ∩| + |hot ∩| (every shingle is exactly
+    # one of the two). So run the uncapped plan's join+pair-aggregation on
+    # the RARE rows only (identical shape, skew-bounded by max_df^2, no
+    # extra distinct), then add the hot-side intersection from per-doc
+    # HOT-shingle arrays — each doc holds at most a handful of shingles
+    # with df > max_df, so the arrays are tiny and the two id-keyed joins
+    # move only (candidate-pair, small-array) rows. Exact scores, recall
+    # limited to pairs sharing >=1 rare shingle, as documented above.
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    rare = dfreq.filter(F.col("_df") <= max_df).select("shingle")
+    hot = dfreq.filter(F.col("_df") > max_df).select("shingle")
+    ra = a.join(rare, "shingle")
+    rb = b.join(rare, "shingle")
+    rare_agg = (
         ra.join(rb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("_rare_inter"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
-    pairs = candidates.join(a, "doc_a").join(b, ["doc_b", "shingle"])
-    return _pair_jaccard(pairs, threshold)
+    hot_sets = (
+        sh.join(hot, "shingle")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_hot"))
+    )
+    empty = F.array().cast("array<string>")
+    scored = (
+        rare_agg.join(
+            hot_sets.select(F.col(id_col).alias("doc_a"), F.col("_hot").alias("_hot_a")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hot_sets.select(F.col(id_col).alias("doc_b"), F.col("_hot").alias("_hot_b")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_rare_inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("_hot_a", empty), F.coalesce("_hot_b", empty)
+                    )
+                )
+            ).alias("n_inter"),
+            "size_a",
+            "size_b",
+        )
+    )
+    jac = scored.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
 
 
 def simhash_pairs(

@@ -157,6 +157,24 @@ def test_triangle_counts_equi_joins_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_triangle_counts_deg_equi_joins_only(spark):
+    """Degree orientation adds a degree agg + two id joins but must stay
+    all-equi-join — no nested loop anywhere in the wedge/closure path."""
+    df = _q(spark, "graph_triangle_counts_deg")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capped_jaccard_headline_no_nested_loop(spark):
+    """The headline (max_df-capped) jaccard plan: candidate generation and
+    verification are shingle/doc-keyed equi-joins only."""
+    df = _q(spark, "dedup_ngram_jaccard")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_winsorize_broadcasts_thresholds(spark):
     """The per-type percentile frame attaches by broadcast; the fact
     table is never hash-shuffled for the clip."""
