@@ -38,7 +38,7 @@ def _assign_expr(cents: list[list[float]], vec_col: str):
     return F.greatest(*structs)["cid"]
 
 
-def kmeans_assign(
+def kmeans_centroids(
     df: DataFrame,
     dim: int,
     k: int = 8,
@@ -46,15 +46,12 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """Fit k-means (n_iter Lloyd steps, seeded-sample init) and return the
-    final assignment: (id, cluster bigint, dist2 double).
-
-    Deterministic init (smallest ``xxhash64(id, seed)`` sample) and
-    deterministic argmin; centroid UPDATES average doubles across
-    partitions, so the last bits of centroids can vary run-to-run — tests
-    assert the robust invariants (inertia monotonically non-increasing,
-    full coverage) rather than exact centroid bits.
+) -> list[list[float]]:
+    """Lloyd-iterated centroids (seeded-sample init), returned as plain
+    Python lists — only k*d floats ever reach the driver; each iteration
+    is one map-side argmin + one d-column aggregate over the corpus.
+    Shared by :func:`kmeans_assign` and the IVF index's refined-centroid
+    path (operators/similarity.py:ivf_topk(centroids=...)).
     """
     init_rows = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -80,6 +77,28 @@ def kmeans_assign(
         for r in sums.collect():
             updated[r["_cid"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
         cents = updated
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit k-means (n_iter Lloyd steps, seeded-sample init) and return the
+    final assignment: (id, cluster bigint, dist2 double).
+
+    Deterministic init (smallest ``xxhash64(id, seed)`` sample) and
+    deterministic argmin; centroid UPDATES average doubles across
+    partitions, so the last bits of centroids can vary run-to-run — tests
+    assert the robust invariants (inertia monotonically non-increasing,
+    full coverage) rather than exact centroid bits.
+    """
+    cents = kmeans_centroids(df, dim, k, n_iter, id_col, vec_col, seed)
 
     v_norm2 = F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),

@@ -270,15 +270,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: the corpus is
     partitioned into ``n_centroids`` cells by nearest centroid; a query
     scans only its ``n_probe`` nearest cells and re-ranks candidates with
     the exact cosine.
 
-    Centroids are a deterministic seeded sample of corpus vectors (the
-    ``n_centroids`` smallest ``md5(seed || id)`` — no RNG, stable under
-    retries, and REPRODUCIBLE IN ANY ENGINE, which is what lets the
+    Default centroids are a deterministic seeded sample of corpus vectors
+    (the ``n_centroids`` smallest ``md5(seed || id)`` — no RNG, stable
+    under retries, and REPRODUCIBLE IN ANY ENGINE, which is what lets the
     DuckDB oracle replay the whole index); only these few vectors ever
     reach the driver, where they become plan literals. Assignment is a map-side argmax over literal
     centroid expressions (``greatest`` on (cos, cid) structs — struct
@@ -286,21 +287,27 @@ def ivf_topk(
     deterministically); the candidate join is EQUI on the cell id, bounded
     by cell occupancy — never corpus x queries. Expected work per query:
     n_probe/n_centroids of the corpus. At real scale the sample becomes a
-    k-means refinement job and cells become partition keys; the query-side
-    plan is unchanged.
+    k-means refinement job and cells become partition keys — pass the
+    Lloyd-refined vectors via ``centroids``
+    (operators/clustering.py:kmeans_centroids); the query-side plan is
+    unchanged, only the literals improve (better-balanced cells, higher
+    recall at equal n_probe).
     """
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn(
-            "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+    if centroids is not None:
+        cent_vecs = [[float(x) for x in v] for v in centroids]
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .withColumn(
+                "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+            )
+            .orderBy("_h", id_col)
+            .limit(n_centroids)
+            .collect()
         )
-        .orderBy("_h", id_col)
-        .limit(n_centroids)
-        .collect()
-    )
+        cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
     cents: list[tuple[int, list[float], float]] = []
-    for i, r in enumerate(cent_rows):
-        v = [float(x) for x in r[vec_col]]
+    for i, v in enumerate(cent_vecs):
         cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))
 
     def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):

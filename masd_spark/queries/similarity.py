@@ -134,6 +134,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_refined_topk")
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF shape: centroids Lloyd-refined with 3 k-means
+    iterations (operators/clustering.py:kmeans_centroids — each iteration
+    one map-side argmin + one d-column aggregate; only 16x64 floats reach
+    the driver) before the identical probe/re-rank plan as
+    ``ann_ivf_topk``. Refinement balances cells around the data's actual
+    modes, buying recall at equal n_probe. Float-averaged centroids are
+    not engine-portable, so this registers rows-only; the recall floor vs
+    the exact baseline (>= the seeded index's) is pinned in
+    tests/test_similarity.py, and the seeded twin remains the
+    hash-checked query.
+    """
+    from masd_spark.operators.clustering import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
+    )
+    return ivf_topk(
+        emb,
+        _queries_df(emb),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+        seed=_IVF_SEED,
+        centroids=cents,
+    )
+
+
 @register("cluster_kmeans_embeddings")
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm category: 5 Lloyd iterations of k-means (k=8)

@@ -85,6 +85,29 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.4, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ivf_refined_recall_at_least_seeded(spark):
+    """Lloyd-refined centroids must not LOSE recall vs the seeded sample
+    at equal n_probe (the whole point of refinement), and scores on
+    overlapping pairs stay exact."""
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).cache()
+    seeded = REGISTRY["ann_ivf_topk"].fn(spark, SF_ORACLE).cache()
+    refined = REGISTRY["ann_ivf_refined_topk"].fn(spark, SF_ORACLE).cache()
+    n_exact = exact.count()
+    assert n_exact > 0
+    mismatched = (
+        exact.join(refined, ["query_id", "vec_id"], "inner")
+        .filter(F.abs(exact["cos_sim"] - refined["cos_sim"]) > 1e-9)
+        .count()
+    )
+    assert mismatched == 0
+    r_seeded = exact.join(seeded, ["query_id", "vec_id"], "inner").count() / n_exact
+    r_refined = exact.join(refined, ["query_id", "vec_id"], "inner").count() / n_exact
+    assert r_refined >= r_seeded - 0.02, (
+        f"refined recall {r_refined:.2f} < seeded {r_seeded:.2f}"
+    )
+    assert r_refined >= 0.4
+
+
 def test_lsh_topk_recall(spark):
     """LSH top-k is approximate; recall vs brute force must be non-trivial
     and every returned neighbor must be a genuine bucket-mate with correct
