@@ -158,7 +158,76 @@ def jaccard_pairs(
     max document frequency (tests pin both properties). Per-shingle join
     work is bounded by max_df^2.
     """
-    sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
+    counts = _pair_counts(
+        shingles if shingles is not None else shingle_rows(df, id_col, text_col, k),
+        id_col,
+        max_df,
+    )
+    jac = counts.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Subset-duplicate pairs by set CONTAINMENT: n_inter / min(|A|, |B|)
+    >= threshold (doc_a < doc_b).
+
+    The asymmetric axis Jaccard misses: a short document wholly embedded
+    in a long one (quoted article, boilerplate wrapper, chunk-of) scores
+    near 1.0 containment but Jaccard ~ |A|/|B| — the standard second
+    screen in training-data dedup. Same candidate/verify machinery as
+    :func:`jaccard_pairs` (shared :func:`_pair_counts`): shingle-keyed
+    equi-join, never all-pairs, with the same ``max_df`` rare/hot
+    decomposition for skew.
+    """
+    counts = _pair_counts(
+        shingles if shingles is not None else shingle_rows(df, id_col, text_col, k),
+        id_col,
+        max_df,
+    )
+    cont = counts.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_inter") / F.least("size_a", "size_b"), 6
+        ).alias("containment"),
+    )
+    return cont.filter(F.col("containment") >= threshold).select(
+        "doc_a", "doc_b", "containment"
+    )
+
+
+def _pair_counts(sh: DataFrame, id_col: str, max_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, n_inter, size_a, size_b) for every doc pair sharing
+    >= 1 shingle (>= 1 RARE shingle when ``max_df`` is set), doc_a < doc_b.
+
+    The shared core of :func:`jaccard_pairs` / :func:`containment_pairs`.
+    Capped path: the true intersection decomposes by document frequency —
+    n_inter = |rare ∩| + |hot ∩| (every shingle is exactly one of the
+    two) — so the uncapped join+pair-aggregation runs unchanged on the
+    RARE rows (skew-bounded by max_df^2, no extra distinct) and the hot
+    contribution is added from per-doc HOT-shingle arrays, which are tiny
+    (few shingles exceed max_df) and join by doc id, sized by the
+    candidate aggregate. Exact counts either way; the cap only limits
+    which pairs are generated.
+    """
     a = sh.select(
         F.col(id_col).alias("doc_a"), "shingle", F.col("set_size").alias("size_a")
     )
@@ -166,17 +235,16 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_b"), "shingle", F.col("set_size").alias("size_b")
     )
     if max_df is None:
-        pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
-        return _pair_jaccard(pairs, threshold)
-    # df-capped path. The true intersection decomposes by document
-    # frequency: n_inter = |rare ∩| + |hot ∩| (every shingle is exactly
-    # one of the two). So run the uncapped plan's join+pair-aggregation on
-    # the RARE rows only (identical shape, skew-bounded by max_df^2, no
-    # extra distinct), then add the hot-side intersection from per-doc
-    # HOT-shingle arrays — each doc holds at most a handful of shingles
-    # with df > max_df, so the arrays are tiny and the two id-keyed joins
-    # move only (candidate-pair, small-array) rows. Exact scores, recall
-    # limited to pairs sharing >=1 rare shingle, as documented above.
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.first("size_a").alias("size_a"),
+                F.first("size_b").alias("size_b"),
+            )
+        )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
     rare = dfreq.filter(F.col("_df") <= max_df).select("shingle")
     hot = dfreq.filter(F.col("_df") > max_df).select("shingle")
@@ -198,7 +266,7 @@ def jaccard_pairs(
         .agg(F.collect_set("shingle").alias("_hot"))
     )
     empty = F.array().cast("array<string>")
-    scored = (
+    return (
         rare_agg.join(
             hot_sets.select(F.col(id_col).alias("doc_a"), F.col("_hot").alias("_hot_a")),
             "doc_a",
@@ -223,18 +291,6 @@ def jaccard_pairs(
             "size_a",
             "size_b",
         )
-    )
-    jac = scored.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("n_inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
-            6,
-        ).alias("jaccard"),
-    )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
     )
 
 

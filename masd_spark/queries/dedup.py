@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.dedup import (
+    containment_pairs,
     dedup_exact,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -115,6 +116,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
         docs, k=3, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir), max_df=_JACCARD_MAX_DF,
+    )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / least(sa.set_size, sb.set_size), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / least(sa.set_size, sb.set_size), 6) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs: containment = |A∩B| / min(|A|,|B|) >= 0.8.
+    The asymmetric screen Jaccard misses — a short doc embedded in a long
+    one (quote, boilerplate wrapper, chunk-of) is near-1.0 containment but
+    only ~|A|/|B| Jaccard. Same skew-safe machinery as the jaccard
+    headline (shared _pair_counts, max_df=50 rare/hot decomposition)
+    against the uncapped-semantics oracle — the driver check re-proves cap
+    invariance here too. (operators/dedup.py:containment_pairs)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, k=3, threshold=0.8,
         shingles=_shared_shingles(spark, sf_dir), max_df=_JACCARD_MAX_DF,
     )
 

@@ -243,6 +243,31 @@ def test_prefix_filter_exact_ceiling_threshold(spark):
     assert len(brute) == 1 and brute[0][:2] == (1, 2)
 
 
+def test_containment_parity(spark):
+    compare_query(spark, REGISTRY["dedup_containment_pairs"], SF_ORACLE)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc wholly embedded in a long one: containment 1.0, Jaccard
+    small — the pair must appear in containment_pairs and not in
+    jaccard_pairs at matched thresholds. Capped and uncapped agree."""
+    from masd_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, k=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0].doc_a == 1 and cont[0].doc_b == 2
+    # every 3-shingle of doc 1 appears in doc 2 (the junction adds new
+    # shingles to doc 2 only) -> containment exactly 1.0
+    assert cont[0].containment == 1.0
+    assert jaccard_pairs(df, k=3, threshold=0.8).count() == 0
+    capped = containment_pairs(df, k=3, threshold=0.8, max_df=10**9).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, cont))
+
+
 def test_bm25_parity(spark):
     compare_query(spark, REGISTRY["text_bm25_search"], SF_ORACLE)
 
