@@ -175,6 +175,28 @@ def test_capped_jaccard_headline_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_no_nested_loop(spark):
+    """Containment shares _pair_counts with jaccard — same equi-join-only
+    guarantee for the asymmetric screen."""
+    df = _q(spark, "dedup_containment_pairs")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_refined_keeps_probe_plan_shape(spark):
+    """Refined centroids only change plan LITERALS: the candidate join
+    stays cell-equi with broadcast probes — no nested loop, same number
+    of broadcast joins as the seeded index."""
+    seeded = _q(spark, "ann_ivf_topk")
+    refined = _q(spark, "ann_ivf_refined_topk")
+    for df in (seeded, refined):
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    assert count_broadcast_joins(refined) == count_broadcast_joins(seeded)
+
+
 def test_winsorize_broadcasts_thresholds(spark):
     """The per-type percentile frame attaches by broadcast; the fact
     table is never hash-shuffled for the clip."""
