@@ -115,6 +115,64 @@ def shingle_rows(
 _shingle_rows = shingle_rows
 
 
+def span_duplication(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc PASSAGE-duplication stats: of a doc's k-gram positions
+    (every position, not the distinct set), what fraction carries a
+    shingle that occurs in >= ``min_docs`` distinct documents.
+
+    The corpus-level signal behind substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): documents dominated by cross-doc repeated passages
+    (boilerplate, licenses, templates) score high even when no single
+    whole-doc pair clears a Jaccard bar. Output: (doc_id, n_spans,
+    n_dup_spans, dup_fraction); docs with < k tokens have no spans and no
+    row.
+
+    Plan: one doc-keyed shuffle builds positional shingles (posexplode +
+    window lead, same codegen-friendly shape as shingle_rows), one
+    shingle-keyed aggregation computes distinct-doc frequency, and the
+    dup flag returns via a shingle-keyed semi-join; the final per-doc agg
+    reuses the doc partitioning. No all-pairs stage anywhere — cost is
+    linear in total tokens + one frequency table.
+    """
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    spans = toked.select(
+        F.col(id_col),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    spans = spans.localCheckpoint(eager=True)  # feeds freq AND the join
+    dup = (
+        spans.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("shingle")
+    )
+    flagged = spans.join(dup, "shingle", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans")
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return totals.join(flagged, id_col, "left").select(
+        id_col,
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.round(
+            F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+        ).alias("dup_fraction"),
+    )
+
+
 def _pair_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, shingle-match rows with size_a/size_b) -> thresholded
     Jaccard per pair. Sizes arrive map-side via first() — no extra joins."""

@@ -15,6 +15,7 @@ from masd_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     shingle_rows,
+    span_duplication,
 )
 from masd_spark.operators.similarity import cosine_pairs
 from masd_spark.queries import register
@@ -118,6 +119,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, threshold=0.5,
         shingles=_shared_shingles(spark, sf_dir), max_df=_JACCARD_MAX_DF,
     )
+
+
+@register(
+    "dedup_span_duplication",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                       for i in range(1, len(ts) - 1)]) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    docfreq AS (
+        SELECT shingle, count(DISTINCT doc_id) AS nd FROM spans GROUP BY 1
+    ),
+    stats AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans
+        FROM spans s JOIN docfreq d USING (shingle)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_spans, n_dup_spans,
+           ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_fraction
+    FROM stats
+    """,
+)
+def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc passage-duplication pressure: fraction of each doc's
+    positional 3-gram spans that also occur in >= 2 distinct docs — the
+    corpus signal behind substring dedup (boilerplate/template detection
+    below the whole-doc Jaccard bar).
+    (operators/dedup.py:span_duplication)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return span_duplication(docs, k=3, min_docs=2)
 
 
 @register(

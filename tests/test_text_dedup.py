@@ -268,6 +268,37 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, cont))
 
 
+def test_span_duplication_parity(spark):
+    compare_query(spark, REGISTRY["dedup_span_duplication"], SF_ORACLE)
+
+
+def test_span_duplication_planted(spark):
+    """Positional semantics: a doc half-composed of a passage shared with
+    another doc scores that half exactly; unique docs score 0; an exact
+    dup pair scores 1.0; a doc repeating ITS OWN trigram doesn't count
+    (min_docs is about distinct docs)."""
+    from masd_spark.operators.dedup import span_duplication
+
+    passage = "lorem ipsum dolor sit amet"
+    df = spark.createDataFrame(
+        [
+            (1, passage),                              # shared with doc 2
+            (2, passage + " unique tail words here"),  # 3 shared + 7... spans
+            (3, "totally different text altogether"),  # unique
+            (4, "rep rep rep rep rep rep"),            # self-repeats only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_duplication(df, k=3, min_docs=2).collect()}
+    # doc 1: 3 spans, all inside doc 2's prefix -> 1.0
+    assert out[1].n_spans == 3 and out[1].dup_fraction == 1.0
+    # doc 2: 7 spans (9 tokens), the 3 passage spans are shared
+    assert out[2].n_spans == 7 and out[2].n_dup_spans == 3
+    assert abs(out[2].dup_fraction - round(3 / 7, 6)) < 1e-9
+    assert out[3].dup_fraction == 0.0
+    assert out[4].dup_fraction == 0.0  # self-repetition is not cross-doc
+
+
 def test_bm25_parity(spark):
     compare_query(spark, REGISTRY["text_bm25_search"], SF_ORACLE)
 
