@@ -193,3 +193,74 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     out = bfs_distances(edges, _BFS_SOURCE)
     return out.select(F.col("node").cast("long").alias("nationkey"), "dist")
+
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 16
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-fixpoint SQL for iterative k-core peeling: ``rounds``
+    identical peel blocks (degree over the surviving subgraph, keep
+    degree >= k). Peeling is idempotent at the fixed point, so any
+    unroll depth >= the actual peeling depth is a TRUE oracle — and the
+    Spark operator raises if it needs more than ``rounds`` iterations,
+    so an under-deep unroll fails loudly instead of comparing against a
+    non-fixpoint."""
+    parts = [
+        """
+    WITH und AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    nodes0 AS MATERIALIZED (SELECT u AS node FROM und UNION SELECT v AS node FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    deg{i} AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT e.u AS node FROM und e
+            JOIN nodes{i - 1} a ON e.u = a.node
+            JOIN nodes{i - 1} b ON e.v = b.node
+            UNION ALL
+            SELECT e.v AS node FROM und e
+            JOIN nodes{i - 1} a ON e.u = a.node
+            JOIN nodes{i - 1} b ON e.v = b.node
+        ) GROUP BY node
+    ),
+    nodes{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE degree >= {k})""")
+    parts.append(f"""
+    SELECT node AS partkey, degree FROM deg{rounds} WHERE degree >= {k}
+    """)
+    return "".join(parts)
+
+
+@register("graph_kcore_parts", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80-core of the part co-purchase graph (parts are adjacent when
+    some order contains both): the densely cross-sold assortment that
+    survives removing every part with fewer than 80 strong neighbors.
+    Edge build is one fact-fact self-equi-join on the order key (basket^2
+    bounded, never parts^2); the peel loop is the BSP kernel in
+    operators/graph.py:k_core. The oracle unrolls the fixpoint to 16 peel
+    rounds (6 needed on the fixture) — extra rounds are no-ops at the
+    fixed point, and the Spark side raises past 16, so the iterative
+    kernel is VALUE-checkable like graph_bfs_distances' recursive CTE.
+    """
+    from masd_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+        .join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    core = k_core(pairs, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
+    return core.select(F.col("node").alias("partkey"), "degree")

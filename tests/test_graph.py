@@ -168,3 +168,41 @@ def test_bfs_planted_chain_and_island(spark):
     )
     out = {r.node: r.dist for r in bfs_distances(edges, 0).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 8: None, 9: None}
+
+
+def test_kcore_parity(spark):
+    compare_query(spark, REGISTRY["graph_kcore_parts"], SF_ORACLE)
+
+
+def _kcore_fixture(spark):
+    """5-clique (nodes 0-4) with a 3-node tail 5-6-7 hanging off node 0:
+    for k=2 the tail peels one node per round (7, then 6, then 5) — a
+    genuinely multi-round fixpoint."""
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tail = [(0, 5), (5, 6), (6, 7)]
+    return spark.createDataFrame(clique + tail, ["src", "dst"])
+
+
+def test_kcore_planted_clique_and_tail(spark):
+    from masd_spark.operators.graph import k_core
+
+    edges = _kcore_fixture(spark)
+    core2 = {
+        (r["node"], r["degree"]) for r in k_core(edges, k=2).collect()
+    }
+    # tail gone; clique survives with its internal degree 4
+    assert core2 == {(n, 4) for n in range(5)}
+    core4 = {(r["node"], r["degree"]) for r in k_core(edges, k=4).collect()}
+    assert core4 == {(n, 4) for n in range(5)}
+    assert k_core(edges, k=5).count() == 0
+
+
+def test_kcore_raises_when_unroll_too_shallow(spark):
+    """The peel loop must fail loudly if max_iter is below the peeling
+    depth — that is the contract that keeps the unrolled SQL oracle
+    honest."""
+    from masd_spark.operators.graph import k_core
+
+    edges = _kcore_fixture(spark)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(edges, k=2, max_iter=2)
