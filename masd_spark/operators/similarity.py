@@ -485,6 +485,114 @@ def quantized_topk(
     )
 
 
+def _seeded_sample(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str, seed: int
+) -> list[list[float]]:
+    """The portable index-build sample: the ``n`` corpus vectors with
+    smallest ``md5(seed || id)`` — RNG-free, retry-stable, reproducible
+    by any engine (the property every oracle-checkable index here rests
+    on). Only these n rows ever reach the driver."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
+        .orderBy("_h", id_col)
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _dot_sub(col, weights: list[float], off: int):
+    """Unrolled dot of a column slice [off+1 .. off+len(weights)] with a
+    literal subvector — left-fold order matches DuckDB's
+    list_dot_product over the same slice."""
+    acc = None
+    for i, wgt in enumerate(weights):
+        term = F.element_at(col, off + i + 1).cast("double") * F.lit(wgt)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+_PQ_DEC = "decimal(20,9)"
+
+
+def _pq_codeword_norms(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-codeword squared norms, accumulated in the same sequential
+    order DuckDB's list_dot_product uses so the doubles are bit-identical
+    cross-engine."""
+    cc: list[list[float]] = []
+    for cb in codebooks:
+        accs = []
+        for cw in cb:
+            acc = 0.0
+            for x in cw:
+                acc = acc + x * x
+            accs.append(acc)
+        cc.append(accs)
+    return cc
+
+
+def _pq_code_cols(vec_col: str, codebooks, cc) -> list:
+    """Map-side encoding: per subspace, argmin ||c||^2 - 2<x_j, c> with
+    ties to the lower code id (F.least on (key, cid) structs == ORDER BY
+    key, cid LIMIT 1). Emits columns _c0.._c{m-1}."""
+    sub = len(codebooks[0][0])
+    cols = []
+    for j, cb in enumerate(codebooks):
+        key_structs = [
+            F.struct(
+                (
+                    F.lit(cc[j][c]) - F.lit(2.0) * _dot_sub(F.col(vec_col), cb[c], j * sub)
+                ).alias("d"),
+                F.lit(c).alias("cid"),
+            )
+            for c in range(len(cb))
+        ]
+        cols.append(F.least(*key_structs)["cid"].alias(f"_c{j}"))
+    return cols
+
+
+def _pq_recon2(cc):
+    """Reconstructed squared norm from the assigned codes: DECIMAL sum of
+    literal per-codeword norms picked by _c{j}."""
+    terms = [
+        F.element_at(F.array(*[F.lit(x) for x in cc[j]]), F.col(f"_c{j}") + 1).cast(
+            _PQ_DEC
+        )
+        for j in range(len(cc))
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _pq_lut_cols(qvec_col: str, codebooks) -> list:
+    """Query-side ADC lookup tables: per subspace an array of
+    DECIMAL-quantized dots with every codeword."""
+    sub = len(codebooks[0][0])
+    return [
+        F.array(
+            *[
+                _dot_sub(F.col(qvec_col), cb[c], j * sub).cast(_PQ_DEC)
+                for c in range(len(cb))
+            ]
+        ).alias(f"_lut{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+
+
+def _pq_adc_dot(m: int):
+    """ADC score: m decimal lookups summed (order-independent, exact)."""
+    terms = [F.element_at(F.col(f"_lut{j}"), F.col(f"_c{j}") + 1) for j in range(m)]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -535,90 +643,30 @@ def pq_topk(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
     if codebooks is None:
-        rows = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .withColumn(
-                "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
-            )
-            .orderBy("_h", id_col)
-            .limit(n_codes)
-            .collect()
-        )
-        sampled = [[float(x) for x in r[vec_col]] for r in rows]
+        sampled = _seeded_sample(corpus, n_codes, id_col, vec_col, seed)
         codebooks = [
             [v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)
         ]
-    n_codes = len(codebooks[0])
-    # per-codeword squared norms (the reconstructed-norm terms), computed
-    # driver-side in the same sequential order DuckDB's list_dot_product
-    # uses, so the doubles are bit-identical cross-engine
-    cc: list[list[float]] = []
-    for j in range(m):
-        accs = []
-        for cw in codebooks[j]:
-            acc = 0.0
-            for x in cw:
-                acc = acc + x * x
-            accs.append(acc)
-        cc.append(accs)
-
-    def _dot_sub(col, weights: list[float], off: int):
-        acc = None
-        for i, wgt in enumerate(weights):
-            term = F.element_at(col, off + i + 1).cast("double") * F.lit(wgt)
-            acc = term if acc is None else acc + term
-        return acc
-
-    DEC = "decimal(20,9)"
+    cc = _pq_codeword_norms(codebooks)
     # --- corpus encoding: map-side argmin per subspace ------------------
-    code_cols = []
-    recon_terms = []
-    for j in range(m):
-        key_structs = [
-            F.struct(
-                (F.lit(cc[j][c]) - F.lit(2.0) * _dot_sub(F.col(vec_col), codebooks[j][c], j * sub)).alias("d"),
-                F.lit(c).alias("cid"),
-            )
-            for c in range(n_codes)
-        ]
-        code = F.least(*key_structs)["cid"]
-        code_cols.append(code.alias(f"_c{j}"))
-        cc_arr = F.array(*[F.lit(x) for x in cc[j]])
-        recon_terms.append(F.element_at(cc_arr, F.col(f"_c{j}") + 1).cast(DEC))
-    recon2 = recon_terms[0]
-    for t in recon_terms[1:]:
-        recon2 = recon2 + t
     encoded = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .select(F.col(id_col), F.col(vec_col), *code_cols)
-        .withColumn("_rn", F.sqrt(recon2.cast("double")))
+        .select(F.col(id_col), F.col(vec_col), *_pq_code_cols(vec_col, codebooks, cc))
+        .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
         .drop(vec_col)
     )
     # --- query-side lookup tables (tiny, broadcast) ---------------------
-    lut_cols = [
-        F.array(
-            *[
-                _dot_sub(F.col("_qvec"), codebooks[j][c], j * sub).cast(DEC)
-                for c in range(n_codes)
-            ]
-        ).alias(f"_lut{j}")
-        for j in range(m)
-    ]
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
         norm_fixed(F.col(vec_col), dim).alias("_qn"),
     )
-    qlut = q.select(query_id_col, F.col("_qn"), *lut_cols)
+    qlut = q.select(query_id_col, F.col("_qn"), *_pq_lut_cols("_qvec", codebooks))
     # --- ADC scan: codes-only corpus x broadcast queries ----------------
     pairs = encoded.join(F.broadcast(qlut), F.col(id_col) != F.col(query_id_col))
-    adc_terms = [
-        F.element_at(F.col(f"_lut{j}"), F.col(f"_c{j}") + 1) for j in range(m)
-    ]
-    adc_dot = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc_dot = adc_dot + t
-    adc_cos = F.round(adc_dot.cast("double") / (F.col("_qn") * F.col("_rn")), 6)
+    adc_cos = F.round(
+        _pq_adc_dot(m).cast("double") / (F.col("_qn") * F.col("_rn")), 6
+    )
     scored = pairs.select(query_id_col, id_col, adc_cos.alias("_adc"))
     wc = Window.partitionBy(query_id_col).orderBy(F.col("_adc").desc_nulls_last(), F.col(id_col))
     cand = (
@@ -646,4 +694,152 @@ def pq_topk(
         rr.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    ivf_seed: int = 42,
+    pq_seed: int = 7,
+) -> DataFrame:
+    """IVF + PQ composed — the production 100 TB ANN shape (the IVFADC
+    system of Jegou et al. TPAMI 2011): IVF cells bound the PAIR COUNT
+    (each query ADC-scans only its ``n_probe`` cells' codes, an EQUI join
+    on the cell id — no all-pairs stage survives in the plan), PQ codes
+    bound the SCAN BYTES (the candidate join carries (id, cell, m codes,
+    recon-norm) — the raw vectors appear only in the two index builds and
+    the top-``rerank`` exact re-rank). Expected per-query work:
+    (n_probe/n_centroids) x corpus x (m lookups), vs brute force's
+    corpus x dim multiply-adds over 32x more bytes.
+
+    Both component indexes use the portable-literal recipe (md5-seeded
+    samples, DECIMAL-quantized ADC sums), so the COMPOSITION stays fully
+    oracle-checkable: DuckDB replays centroid pick, cell assignment,
+    probe set, codebook pick, encoding, LUT scoring, candidate cut, and
+    re-rank end to end. Recall is bounded by cell co-residence (like
+    ivf_topk) times ADC ordering quality (like pq_topk); the floor vs
+    the exact baseline is pinned in tests. Production swaps: Lloyd-refine
+    centroids/codebooks (kmeans_centroids pattern) — plan unchanged,
+    literals improve; store codes partitioned BY cell so a probe prunes
+    file groups, not just join rows.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    # --- index builds: two tiny portable samples as plan literals -------
+    cent_vecs = _seeded_sample(corpus, n_centroids, id_col, vec_col, ivf_seed)
+    cents = []
+    for i, v in enumerate(cent_vecs):
+        cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))
+    sampled = _seeded_sample(corpus, n_codes, id_col, vec_col, pq_seed)
+    codebooks = [[v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)]
+    cc = _pq_codeword_norms(codebooks)
+
+    def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
+        plane = F.array(*[F.lit(x) for x in cvec])
+        return F.struct(
+            (dot(F.col(vec_col), plane) / (norm_col * F.lit(cnorm))).alias("c"),
+            F.lit(cid).alias("cid"),
+        )
+
+    # --- corpus side: one map-side pass emits (id, cell, codes, recon) --
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_n")
+    )
+    encoded = (
+        c.withColumn(
+            "_cid",
+            F.greatest(*[_cos_struct(cid, v, nn, F.col("_n")) for cid, v, nn in cents])[
+                "cid"
+            ],
+        )
+        .select(F.col(id_col), F.col("_cid"), F.col(vec_col), *_pq_code_cols(vec_col, codebooks, cc))
+        .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
+        .drop(vec_col)
+    )
+    # --- query side: probe cells + ADC lookup tables, both broadcast ----
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm_fixed(F.col(vec_col), dim).alias("_qn"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col("_qvec"), F.array(*[F.lit(x) for x in v]))
+                    / (F.col("_qn") * F.lit(nn))
+                ).alias("c"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, v, nn in cents
+        ]
+    )
+    probes = (
+        q.select(
+            query_id_col,
+            F.col("_qn"),
+            *_pq_lut_cols("_qvec", codebooks),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(probe_structs)), 1, n_probe)
+            ).alias("_p"),
+        )
+        .select(
+            query_id_col,
+            "_qn",
+            *[F.col(f"_lut{j}") for j in range(m)],
+            F.col("_p.cid").alias("_cid"),
+        )
+    )
+    # --- cell-bounded ADC scan: EQUI join on the cell id ----------------
+    pairs = encoded.join(F.broadcast(probes), "_cid").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc_cos = F.round(
+        _pq_adc_dot(m).cast("double") / (F.col("_qn") * F.col("_rn")), 6
+    )
+    scored = pairs.select(query_id_col, id_col, adc_cos.alias("_adc"))
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.col("_adc").desc_nulls_last(), F.col(id_col)
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    # --- exact re-rank of the bounded candidate set ---------------------
+    cvec = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_cn")
+    )
+    rr = (
+        cvec.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot_fixed(F.col("_qvec"), F.col(vec_col), dim)
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank")
+        )
     )

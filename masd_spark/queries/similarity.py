@@ -465,3 +465,153 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_PQ_RERANK,
         seed=_PQ_SEED,
     )
+
+
+_IVFPQ_RERANK = 100
+
+_IVFPQ_ORACLE = f"""
+    WITH cents AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('{_IVF_SEED}' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS BIGINT) AS cid,
+               CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings
+        ORDER BY md5('{_IVF_SEED}' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVF_CENTROIDS}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT e.vec_id, c.cid
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                     c.cid DESC) = 1
+    ),
+    q AS MATERIALIZED (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS qn
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probes AS MATERIALIZED (
+        SELECT q.query_id, c.cid
+        FROM q CROSS JOIN cents c
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_dot_product(q.qv, c.cvec)
+                     / (q.qn * sqrt(list_dot_product(c.cvec, c.cvec))) DESC,
+                     c.cid DESC) <= {_IVF_PROBE}
+    ),
+    samp AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('{_PQ_SEED}' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS BIGINT) AS sid,
+               CAST(embedding AS DOUBLE[]) AS svec
+        FROM embeddings
+        ORDER BY md5('{_PQ_SEED}' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_PQ_CODES}
+    ),
+    subs AS (SELECT CAST(j AS BIGINT) AS j FROM range({_PQ_M}) t(j)),
+    cbn AS MATERIALIZED (
+        SELECT s.j, p.sid,
+               list_slice(p.svec, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS cw,
+               list_dot_product(
+                   list_slice(p.svec, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}),
+                   list_slice(p.svec, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB})) AS cc
+        FROM samp p CROSS JOIN subs s
+    ),
+    codes AS MATERIALIZED (
+        SELECT e.vec_id, c.j, c.sid AS code, c.cc
+        FROM embeddings e CROSS JOIN cbn c
+        QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id, c.j
+            ORDER BY c.cc - 2 * list_dot_product(
+                         list_slice(CAST(e.embedding AS DOUBLE[]),
+                                    c.j * {_PQ_SUB} + 1, (c.j + 1) * {_PQ_SUB}),
+                         c.cw),
+                     c.sid) = 1
+    ),
+    recon AS MATERIALIZED (
+        SELECT vec_id,
+               sqrt(CAST(SUM(CAST(cc AS DECIMAL(20,9))) AS DOUBLE)) AS rn
+        FROM codes GROUP BY vec_id
+    ),
+    lut AS MATERIALIZED (
+        SELECT q.query_id, c.j, c.sid,
+               CAST(list_dot_product(
+                        list_slice(q.qv, c.j * {_PQ_SUB} + 1,
+                                   (c.j + 1) * {_PQ_SUB}),
+                        c.cw) AS DECIMAL(20,9)) AS term
+        FROM q CROSS JOIN cbn c
+    ),
+    adc AS MATERIALIZED (
+        SELECT p.query_id, a.vec_id, SUM(l.term) AS adc_dot
+        FROM probes p
+        JOIN assigned a USING (cid)
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.j = cd.j AND l.sid = cd.code
+        WHERE a.vec_id <> p.query_id
+        GROUP BY p.query_id, a.vec_id
+    ),
+    scored AS (
+        SELECT a.query_id, a.vec_id,
+               ROUND(CAST(a.adc_dot AS DOUBLE) / (q.qn * r.rn), 6) AS adc_cos
+        FROM adc a
+        JOIN recon r USING (vec_id)
+        JOIN q ON q.query_id = a.query_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cos DESC, vec_id)
+                <= {_IVFPQ_RERANK}
+    ),
+    rr AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(ec.embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM rr QUALIFY rank <= 10
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (IVFADC): each query ADC-scans only its 4
+    probed cells' 8-byte codes — pair count bounded by cell occupancy
+    (equi join, no all-pairs stage), scan bytes cut 32x — then the
+    top-100 candidates re-rank exactly. Because both component indexes
+    use portable literals (md5 samples, DECIMAL ADC sums), the DuckDB
+    oracle replays the full composition: centroid pick, cell
+    assignment, probe set, codebook pick, encoding, LUT scoring,
+    candidate cut, re-rank. This is the production 100 TB ANN shape;
+    recall floor vs the exact baseline pinned in tests.
+    """
+    from masd_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        _queries_df(emb),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        rerank=_IVFPQ_RERANK,
+        ivf_seed=_IVF_SEED,
+        pq_seed=_PQ_SEED,
+    )

@@ -270,3 +270,40 @@ def test_pq_adc_scan_carries_codes_not_vectors(spark):
         assert "embedding#" not in line, (
             f"ADC scan carries raw vectors: {line[:200]}"
         )
+
+
+def test_ivfpq_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_ivfpq_topk"], SF_ORACLE)
+
+
+def test_ivfpq_recall_and_exact_scores(spark):
+    """The composed index's recall is IVF cell co-residence x ADC
+    ordering quality (0.48 measured with untrained samples; floor 0.35);
+    overlapping pairs must carry the EXACT cosine — re-ranking is exact
+    by construction."""
+    spark.catalog.clearCache()
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).cache()
+    comp = REGISTRY["ann_ivfpq_topk"].fn(spark, SF_ORACLE).cache()
+    overlap = exact.join(comp, ["query_id", "vec_id"], "inner")
+    n_exact = exact.count()
+    assert n_exact > 0
+    mismatched = overlap.filter(
+        F.abs(exact["cos_sim"] - comp["cos_sim"]) > 1e-9
+    ).count()
+    assert mismatched == 0
+    recall = overlap.count() / n_exact
+    assert recall >= 0.35, f"IVFPQ recall {recall:.2f} below floor"
+
+
+def test_ivfpq_no_all_pairs_stage(spark):
+    """Composing IVF cells with PQ codes must keep the candidate join
+    EQUI on the cell id: no nested-loop (all-pairs) join may appear
+    anywhere in the plan — that is the pair-count bound that makes the
+    composition the scale shape."""
+    from masd_spark.plans.explain import physical_plan
+
+    spark.catalog.clearCache()
+    df = REGISTRY["ann_ivfpq_topk"].fn(spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
