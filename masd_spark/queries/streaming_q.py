@@ -106,24 +106,49 @@ def streaming_masd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_heavy_hitters")
 def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-station top-3 sensors by valid-reading count via the
-    custom-stateful heavy-hitters operator (GroupState twin here — the
-    transformWithStateInPandas MapState version needs protobuf, absent in
-    this container; tests pin both to the same batch-twin semantics).
-    Last emission per station after the seeded availableNow stream
-    drains, which tests prove equals the batch top-k over full history.
+    custom-stateful heavy-hitters operator. The registered plan is the
+    scale-right transformWithStateInPandas MapState version (point
+    reads/writes per touched sensor against the RocksDB state store; the
+    vendored protobuf shim satisfies the TWS state protocol where no real
+    wheel exists); the GroupState full-blob twin is the fallback when TWS
+    prerequisites are absent. Tests pin both to the same batch-twin
+    semantics. Last emission per station after the seeded availableNow
+    stream drains equals the batch top-k over full history.
     """
     from masd_spark.operators.validate import classify_validity
-    from masd_spark.streaming.stateful import streaming_station_heavy_hitters_gs
+    from masd_spark.streaming.stateful import (
+        streaming_station_heavy_hitters,
+        streaming_station_heavy_hitters_gs,
+    )
+    from masd_spark.vendor import ensure_protobuf_on_session
+
+    try:
+        ensure_protobuf_on_session(spark)
+        import google.protobuf  # noqa: F401
+
+        use_tws = True
+    except ImportError:
+        use_tws = False
 
     workdir = tempfile.mkdtemp(prefix="masd_hh_q_")
     src = os.path.join(workdir, "drops")
     sink_dir = os.path.join(workdir, "sink")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved_provider = spark.conf.get(provider_key, None)
     try:
         cfg = SimulatorConfig(duration_ms=120_000, seed=13)
         write_json_drops(src, cfg, n_files=3)
 
         stream = classify_validity(read_file_sensor_stream(spark, src))
-        out = streaming_station_heavy_hitters_gs(stream, k=3)
+        if use_tws:
+            spark.conf.set(
+                provider_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            out = streaming_station_heavy_hitters(stream, k=3)
+        else:
+            out = streaming_station_heavy_hitters_gs(stream, k=3)
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             (
@@ -154,4 +179,89 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return latest.localCheckpoint(eager=True)
     finally:
+        if saved_provider is None:
+            try:
+                spark.conf.unset(provider_key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(provider_key, saved_provider)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register("streaming_dedup_ingest")
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once ingestion made exactly-once:
+    ``dropDuplicatesWithinWatermark`` on the natural reading identity
+    (station, sensor, timestamp) in front of a per-key count — the
+    streaming twin of ``dedup_exact_docs`` and the standard guard when a
+    source (Kafka with producer retries, file re-drops) can re-deliver.
+    Re-delivery is simulated by appending a copy of the first drop file;
+    the emitted per-(station, sensor) counts must equal the duplicate-free
+    batch counts (pinned by test_streaming_dedup_matches_batch_twin).
+
+    Scale: dedup state is hash-partitioned by the dedup key and expired
+    by the watermark — memory is bounded by (delay window × arrival
+    rate), not history; the downstream count is an ordinary incremental
+    streaming agg. ``sf_dir`` selects nothing (seeded generator input).
+    """
+    import shutil as _shutil
+
+    from masd_spark.operators.validate import (
+        classify_validity,
+        with_event_time_ms,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="masd_sdq_")
+    src = os.path.join(workdir, "drops")
+    sink_dir = os.path.join(workdir, "sink")
+    try:
+        cfg = SimulatorConfig(duration_ms=60_000, seed=29)
+        write_json_drops(src, cfg, n_files=3)
+        # simulate at-least-once: the whole first drop arrives again
+        _shutil.copyfile(
+            os.path.join(src, "drop_000.json"),
+            os.path.join(src, "drop_redelivered.json"),
+        )
+
+        stream = with_event_time_ms(
+            classify_validity(read_file_sensor_stream(spark, src))
+        )
+        deduped = stream.withWatermark(
+            "event_time", "10 minutes"
+        ).dropDuplicatesWithinWatermark(["station_id", "sensor_id", "timestamp"])
+        counts = deduped.groupBy("station_id", "sensor_id").agg(
+            F.count("*").alias("n_readings"),
+            F.sum(F.col("is_valid").cast("long")).alias("n_valid"),
+        )
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+
+        q = (
+            counts.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("station_id", "sensor_id").orderBy(
+            F.col("batch_id").desc()
+        )
+        latest = (
+            spark.read.parquet(sink_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("station_id", "sensor_id", "n_readings", "n_valid")
+        )
+        return latest.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(workdir, ignore_errors=True)

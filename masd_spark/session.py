@@ -54,6 +54,13 @@ def get_spark(
     shuffle-partition sizing comes from the environment
     (``SPARK_GRAFT_CPUS`` mirrors the driver's bench environment).
     """
+    # Must precede JVM launch: local-mode Python workers inherit PYTHONPATH
+    # from the JVM's environment, which copies this process's at context
+    # start — the vendored protobuf fallback (TWS state protocol) rides it.
+    from masd_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = int(os.getenv("SPARK_GRAFT_CPUS", "32"))
     master = master or os.getenv("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -85,12 +85,14 @@ def streaming_station_heavy_hitters(readings: DataFrame, k: int = 3) -> DataFram
     millions. Emits the station's full top-k each trigger (rank 1..k,
     count desc, sensor_id asc tiebreak).
 
-    Container caveat: the TWS state protocol needs google.protobuf, which
-    this environment lacks — the operator is import-complete and its test
-    skips without protobuf; :func:`streaming_station_heavy_hitters_gs` is
-    the semantically identical GroupState twin that runs everywhere (full
-    state blob per key per trigger — fine for bounded per-key maps, the
-    wrong shape at million-key cardinality).
+    Protocol dependency: the TWS state protocol speaks protobuf to the
+    JVM state server. Where no protobuf wheel exists the vendored shim
+    (masd_spark/vendor/pbshim) provides the wire format — the JVM parses
+    its bytes with real protobuf, so the shim is integration-verified by
+    this operator's test. :func:`streaming_station_heavy_hitters_gs` is
+    the semantically identical GroupState twin (full state blob per key
+    per trigger — fine for bounded per-key maps, the wrong shape at
+    million-key cardinality).
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

@@ -620,6 +620,38 @@ def _run_heavy_hitters(spark, tmp_path, op, extra_confs=None):
     return last, expected
 
 
+def test_streaming_dedup_matches_batch_twin(spark):
+    """The registered streaming_dedup_ingest query (redelivered drop file
+    -> dropDuplicatesWithinWatermark -> per-key counts) must equal the
+    duplicate-free batch counts from the same seeded generator."""
+    from masd_spark.queries import load_all
+    from masd_spark.sources.simulator import generate_readings
+    from tests.conftest import SF_ORACLE
+
+    reg = load_all()
+    rows = reg["streaming_dedup_ingest"].fn(spark, SF_ORACLE).collect()
+    got = {
+        (r["station_id"], r["sensor_id"]): (r["n_readings"], r["n_valid"])
+        for r in rows
+    }
+
+    cfg = SimulatorConfig(duration_ms=60_000, seed=29)
+    seen: dict = {}
+    for r in generate_readings(cfg):
+        key = (r["station_id"], r["sensor_id"], r["timestamp"])
+        if key in seen:
+            # a natural key collision would make first-arrival semantics
+            # data-dependent; the fixture must not contain one
+            assert seen[key] == r["value"]
+            continue
+        seen[key] = r["value"]
+    expected: dict = {}
+    for (st, se, _ts), val in seen.items():
+        n, v = expected.get((st, se), (0, 0))
+        expected[(st, se)] = (n + 1, v + (0 if val == "<<bad_data>>" else 1))
+    assert got == expected
+
+
 def test_group_state_heavy_hitters(spark, tmp_path):
     """applyInPandasWithState heavy-hitters twin: final running top-k must
     equal the batch twin over the full history."""
@@ -633,7 +665,12 @@ def test_group_state_heavy_hitters(spark, tmp_path):
 
 def test_transform_with_state_heavy_hitters(spark, tmp_path):
     """transformWithStateInPandas MapState operator (needs protobuf for
-    the TWS state protocol + RocksDB state store; skips where absent)."""
+    the TWS state protocol + RocksDB state store). The vendored shim
+    (masd_spark/vendor/pbshim) satisfies the protocol where no real
+    protobuf wheel exists, so this no longer skips in this container."""
+    from masd_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     pytest.importorskip("google.protobuf")
     from masd_spark.streaming.stateful import streaming_station_heavy_hitters
 
