@@ -85,6 +85,98 @@ def resample_gap_fill(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_ms_col: str,
+    value_col: str,
+    step_ms: int,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Resample each key's series onto a regular ``step_ms`` grid with
+    LINEAR interpolation across empty buckets (vs the carry-forward hold
+    of :func:`resample_gap_fill`) — the reconstruction a telemetry
+    consumer wants for a continuously varying quantity, where a
+    forward-fill draws staircases through real slopes.
+
+    Semantics per empty bucket: the value is lerped between the nearest
+    observed bucket averages on either side,
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``; buckets
+    after a key's last observation hold the last value (no extrapolation);
+    leading buckets are observed by construction (the grid starts at the
+    key's first observation). Bucket averages are rounded to 6 dp BEFORE
+    interpolation so both engines lerp from identical anchors, and the
+    lerp is written with the same operation order in the oracle SQL —
+    float parity by construction, not luck.
+
+    Scale: same shape as resample_gap_fill — a 3-column span agg bounds
+    the grid explode, then TWO window passes (previous / next anchor)
+    over the same key partitioning: one shuffle, no self-join against
+    the observation set. Returns key_cols + bucket_ms, value_interp,
+    is_observed.
+    """
+    bucket = F.col(ts_ms_col) - (F.col(ts_ms_col) % step_ms)
+    observed = (
+        df.withColumn("_b", bucket)
+        .groupBy(*key_cols, "_b")
+        .agg(F.round(F.avg(value_col), 6).alias("_v"))
+    )
+    spans = observed.groupBy(*key_cols).agg(
+        F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
+    )
+    too_big = spans.filter(
+        (F.col("_mx") - F.col("_mn")) / step_ms >= max_buckets
+    )
+    if too_big.limit(1).count() > 0:
+        bad = too_big.select(*key_cols).limit(3).collect()
+        raise ValueError(
+            f"resample span exceeds max_buckets={max_buckets} for keys {bad}; "
+            "suspect timestamp corruption or wrong step_ms"
+        )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step_ms))
+        ).alias("bucket_ms"),
+    )
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ms")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("_v").isNotNull(), F.col("bucket_ms"))
+    joined = (
+        grid.join(
+            observed.withColumnRenamed("_b", "bucket_ms"),
+            [*key_cols, "bucket_ms"],
+            "left",
+        )
+        .withColumn("is_observed", F.col("_v").isNotNull())
+        .withColumn("_pv", F.last("_v", ignorenulls=True).over(w_prev))
+        .withColumn("_pt", F.last(obs_bucket, ignorenulls=True).over(w_prev))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_next))
+        .withColumn("_nt", F.first(obs_bucket, ignorenulls=True).over(w_next))
+    )
+    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (
+        (F.col("bucket_ms") - F.col("_pt"))
+        / (F.col("_nt") - F.col("_pt"))
+    )
+    return joined.withColumn(
+        "value_interp",
+        F.round(
+            F.when(F.col("is_observed"), F.col("_v"))
+            .when(F.col("_nv").isNull(), F.col("_pv"))
+            .otherwise(lerp),
+            6,
+        ),
+    ).drop("_v", "_pv", "_pt", "_nv", "_nt")
+
+
 def detect_gaps(
     df: DataFrame,
     key_cols: list[str],

@@ -815,3 +815,73 @@ def bi_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "join_full_outer_period_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, count(*) AS n_1995,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev_1995
+        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ),
+    b AS (
+        SELECT o_custkey, count(*) AS n_2000,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev_2000
+        FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(a.n_1995, 0) AS n_1995,
+           ROUND(COALESCE(a.rev_1995, 0), 2) AS rev_1995,
+           COALESCE(b.n_2000, 0) AS n_2000,
+           ROUND(COALESCE(b.rev_2000, 0), 2) AS rev_2000,
+           CASE WHEN a.o_custkey IS NULL THEN 'b_only'
+                WHEN b.o_custkey IS NULL THEN 'a_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer_period_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER reconciliation of per-customer order activity between
+    two periods (1995 vs 2000) — the one join type the registry lacked.
+    Fixture exercises all three branches (~916 both / ~258 a_only /
+    ~249 b_only at sf0.01). Both inputs collapse to |active customers|
+    rows BEFORE the join, so the full outer runs on two small aggregates
+    (sort-merge on o_custkey; at 100× both sides stay
+    customer-cardinality, never fact-cardinality). Decimal sums make the
+    revenue columns exact on both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def period(year: int, n_name: str, rev_name: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias(n_name),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias(rev_name),
+            )
+        )
+
+    a = period(1995, "n_1995", "rev_1995")
+    b = period(2000, "n_2000", "rev_2000").withColumnRenamed(
+        "o_custkey", "b_custkey"
+    )
+    joined = a.join(b, a.o_custkey == b.b_custkey, "full_outer")
+    return joined.select(
+        F.coalesce(a.o_custkey, b.b_custkey).alias("o_custkey"),
+        F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+        F.round(F.coalesce("rev_1995", F.lit(0.0)), 2).alias("rev_1995"),
+        F.coalesce("n_2000", F.lit(0)).alias("n_2000"),
+        F.round(F.coalesce("rev_2000", F.lit(0.0)), 2).alias("rev_2000"),
+        F.when(a.o_custkey.isNull(), F.lit("b_only"))
+        .when(b.b_custkey.isNull(), F.lit("a_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )

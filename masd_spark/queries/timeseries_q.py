@@ -92,6 +92,72 @@ _ZS_WINDOW_MS = 6 * _HOUR_MS
 
 
 @register(
+    "ts_interpolate_linear_hourly",
+    oracle=f"""
+    WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+    obs AS (
+        SELECT event_type,
+               ts_ms - (ts_ms % {_HOUR_MS}) AS bucket_ms,
+               ROUND(avg(value), 6) AS v
+        FROM e GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT event_type, min(bucket_ms) AS mn, max(bucket_ms) AS mx
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(mn, mx, {_HOUR_MS})) AS bucket_ms
+        FROM spans
+    ),
+    j AS (
+        SELECT g.event_type, g.bucket_ms, o.v
+        FROM grid g LEFT JOIN obs o USING (event_type, bucket_ms)
+    ),
+    a AS (
+        SELECT event_type, bucket_ms, v, v IS NOT NULL AS is_observed,
+               last_value(v IGNORE NULLS) OVER wprev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket_ms END
+                          IGNORE NULLS) OVER wprev AS pt,
+               first_value(v IGNORE NULLS) OVER wnext AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket_ms END
+                           IGNORE NULLS) OVER wnext AS nt
+        FROM j
+        WINDOW wprev AS (PARTITION BY event_type ORDER BY bucket_ms
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wnext AS (PARTITION BY event_type ORDER BY bucket_ms
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_ms,
+           ROUND(CASE WHEN is_observed THEN v
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) *
+                           ((bucket_ms - pt) / (nt - pt))
+                 END, 6) AS value_interp,
+           is_observed
+    FROM a
+    """,
+)
+def ts_interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of event values per type with LINEAR interpolation
+    across silent hours — the continuous-signal twin of
+    ``ts_resample_ffill_hourly`` (hold-last draws staircases through real
+    slopes). Anchors are 6-dp-rounded bucket averages and the lerp is
+    written with the identical operation order in the oracle, so parity
+    is structural. Same scale shape: span-agg-bounded grid explode, two
+    window passes over ONE key-partitioned sort, no self-join.
+    """
+    from masd_spark.operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 1000000").alias("ts_ms"), "value"
+    )
+    return resample_interpolate(
+        ev, ["event_type"], "ts_ms", "value", step_ms=_HOUR_MS
+    ).select("event_type", "bucket_ms", "value_interp", "is_observed")
+
+
+@register(
     "ts_rolling_zscore",
     oracle=f"""
     WITH e AS (

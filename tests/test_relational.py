@@ -32,7 +32,21 @@ RELATIONAL = [
     "subquery_exists_filter",
     "subquery_scalar_above_avg",
     "orderby_nulls_last_limit",
+    "join_full_outer_period_reconcile",
 ]
+
+
+def test_full_outer_exercises_all_branches(spark):
+    """The reconciliation fixture must hit both null sides, or the full
+    outer join degenerates into a left/inner test."""
+    df = REGISTRY["join_full_outer_period_reconcile"].fn(spark, SF_ORACLE)
+    counts = {
+        r["presence"]: r["n"]
+        for r in df.groupBy("presence").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("both", 0) > 0
+    assert counts.get("a_only", 0) > 0
+    assert counts.get("b_only", 0) > 0
 
 
 @pytest.mark.parametrize("name", RELATIONAL)

@@ -13,10 +13,74 @@ REGISTRY = load_all()
 
 
 @pytest.mark.parametrize(
-    "name", ["ts_resample_ffill_hourly", "ts_detect_gaps", "ts_rolling_zscore"]
+    "name",
+    [
+        "ts_resample_ffill_hourly",
+        "ts_detect_gaps",
+        "ts_rolling_zscore",
+        "ts_interpolate_linear_hourly",
+    ],
 )
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_interpolation_invariants(spark):
+    """Interpolated values sit strictly between their anchors; observed
+    rows match the ffill twin; the grid is identical to ffill's."""
+    from masd_spark.operators.timeseries import (
+        resample_gap_fill,
+        resample_interpolate,
+    )
+
+    ev = (
+        load_table(spark, SF_ORACLE, "events")
+        .select(
+            "event_type",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "value",
+        )
+        .filter(F.col("event_type").isNotNull())
+    )
+    hour = 3_600_000
+    interp = resample_interpolate(
+        ev, ["event_type"], "ts_ms", "value", step_ms=hour
+    )
+    ffill = resample_gap_fill(ev, ["event_type"], "ts_ms", "value", step_ms=hour)
+    rows = {
+        (r["event_type"], r["bucket_ms"]): r for r in interp.collect()
+    }
+    frows = {
+        (r["event_type"], r["bucket_ms"]): r for r in ffill.collect()
+    }
+    assert rows.keys() == frows.keys()
+    n_gap = 0
+    # group rows per key in bucket order to find each gap's anchors
+    by_key: dict = {}
+    for (k, b), r in rows.items():
+        by_key.setdefault(k, []).append((b, r))
+    for k, series in by_key.items():
+        series.sort()
+        prev_obs = None
+        for i, (b, r) in enumerate(series):
+            if r["is_observed"]:
+                prev_obs = (b, r["value_interp"])
+                # observed rows: ffill twin agrees (same bucket average)
+                assert abs(r["value_interp"] - frows[(k, b)]["value_filled"]) < 1e-9
+            else:
+                n_gap += 1
+                nxt = next(
+                    ((b2, r2) for b2, r2 in series[i + 1 :] if r2["is_observed"]),
+                    None,
+                )
+                assert prev_obs is not None  # grid starts on an observation
+                if nxt is not None:
+                    lo = min(prev_obs[1], nxt[1]["value_interp"])
+                    hi = max(prev_obs[1], nxt[1]["value_interp"])
+                    assert lo - 1e-6 <= r["value_interp"] <= hi + 1e-6
+                else:
+                    assert abs(r["value_interp"] - prev_obs[1]) < 1e-9
+    assert n_gap > 0  # fixture exercises the interpolation path
 
 
 def test_rolling_zscore_native_matches_portable(spark):
