@@ -534,23 +534,55 @@ def _pq_codeword_norms(codebooks: list[list[list[float]]]) -> list[list[float]]:
     return cc
 
 
+def _codebook_lit(cb: list[list[float]]):
+    """A subspace codebook as a LITERAL array<array<double>> column."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
+
+
+def _hof_dot(slice_col, cw_col):
+    """Sequential left-fold dot of a vector slice with a codeword array —
+    same accumulation order as the unrolled ``_dot_sub`` (0.0 + t1 is
+    IEEE-exact, so the fold is bit-identical to the t1 + t2 + ... chain)
+    and as DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(slice_col, cw_col, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
 def _pq_code_cols(vec_col: str, codebooks, cc) -> list:
     """Map-side encoding: per subspace, argmin ||c||^2 - 2<x_j, c> with
-    ties to the lower code id (F.least on (key, cid) structs == ORDER BY
-    key, cid LIMIT 1). Emits columns _c0.._c{m-1}."""
+    ties to the lower code id (array_min over (key, cid) structs == ORDER
+    BY key, cid LIMIT 1, same ordering F.least would use). Emits columns
+    _c0.._c{m-1}.
+
+    The codebook enters as literal ARRAY DATA walked by higher-order
+    functions, not as unrolled expressions: the unrolled form generated
+    m * n_codes * sub multiply-adds of Java source in ONE method
+    (~16k lines at dim=64/m=8/n_codes=16), blowing janino's 64 KB method
+    limit and dropping the whole stage to interpreted execution. The HOF
+    form keeps generated code O(1) in codebook size while computing the
+    identical floats (fold order matches the unrolled chain)."""
     sub = len(codebooks[0][0])
+
+    def keyed_fn(cc_lit, slice_j):
+        def fn(cw, i):
+            return F.struct(
+                (
+                    F.element_at(cc_lit, i + 1) - F.lit(2.0) * _hof_dot(slice_j, cw)
+                ).alias("d"),
+                i.alias("cid"),
+            )
+
+        return fn
+
     cols = []
     for j, cb in enumerate(codebooks):
-        key_structs = [
-            F.struct(
-                (
-                    F.lit(cc[j][c]) - F.lit(2.0) * _dot_sub(F.col(vec_col), cb[c], j * sub)
-                ).alias("d"),
-                F.lit(c).alias("cid"),
-            )
-            for c in range(len(cb))
-        ]
-        cols.append(F.least(*key_structs)["cid"].alias(f"_c{j}"))
+        cc_lit = F.array(*[F.lit(float(x)) for x in cc[j]])
+        slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
+        keyed = F.transform(_codebook_lit(cb), keyed_fn(cc_lit, slice_j))
+        cols.append(F.array_min(keyed)["cid"].alias(f"_c{j}"))
     return cols
 
 
@@ -571,14 +603,21 @@ def _pq_recon2(cc):
 
 def _pq_lut_cols(qvec_col: str, codebooks) -> list:
     """Query-side ADC lookup tables: per subspace an array of
-    DECIMAL-quantized dots with every codeword."""
+    DECIMAL-quantized dots with every codeword. Same HOF-over-literal
+    shape as the encoder (see _pq_code_cols) — identical floats, compact
+    generated code."""
     sub = len(codebooks[0][0])
+
+    def lut_fn(slice_j):
+        def fn(cw):
+            return _hof_dot(slice_j, cw).cast(_PQ_DEC)
+
+        return fn
+
     return [
-        F.array(
-            *[
-                _dot_sub(F.col(qvec_col), cb[c], j * sub).cast(_PQ_DEC)
-                for c in range(len(cb))
-            ]
+        F.transform(
+            _codebook_lit(cb),
+            lut_fn(F.slice(F.col(qvec_col), j * sub + 1, sub)),
         ).alias(f"_lut{j}")
         for j, cb in enumerate(codebooks)
     ]

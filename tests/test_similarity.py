@@ -255,14 +255,16 @@ def test_pq_adc_scan_carries_codes_not_vectors(spark):
         "expected exactly the ADC scan as a broadcast nested-loop join"
     )
     # the streamed-side projection feeding the ADC join emits the code
-    # columns without `least(` (the encoding Project below it) or `_lut`
-    # (the scoring Project above it) — that row must carry no embedding
+    # columns without the argmin markers (`least(`/`array_min(` — the
+    # encoding Project below it) or `_lut` (the scoring Project above
+    # it) — that row must carry no embedding
     stream_proj = [
         line
         for line in plan.splitlines()
         if "Project" in line
         and "_c0#" in line
         and "least(" not in line
+        and "array_min(" not in line
         and "_lut" not in line
     ]
     assert stream_proj, "codes-only streamed projection not found"
