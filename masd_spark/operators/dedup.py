@@ -599,3 +599,100 @@ def prefix_filter_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by COSINE over sparse TF-IDF term vectors —
+    the lexical-similarity measure the jaccard/minhash/simhash family
+    lacks: weighted by term rarity, so two docs sharing a handful of
+    distinctive terms outrank two sharing many common ones.
+
+    Measure definition (part of the contract, not an approximation):
+    terms with document frequency > ``max_df`` are dropped from the
+    VECTORS (classic df-threshold stopword removal); weights are
+    ``tf * (ln((N+1)/(df+1)) + 1)`` rounded to 6 dp and quantized to
+    DECIMAL(12,6), so dot products and squared norms are exact decimal
+    sums — order-independent and engine-portable (the BM25/PQ
+    portable-numerics recipe); the final cosine divides doubles and
+    rounds to 6.
+
+    Scale shape: one shuffle for (doc, term) counts; the df/idf dim is
+    term-vocabulary-sized (sublinear, broadcast); pair scores come from
+    a TERM-KEYED equi self-join — never doc x doc — whose reducer work
+    is bounded by max_df^2 per term, exactly the ngram-jaccard cap
+    argument; norms join back doc-keyed (shuffle join, NOT broadcast —
+    norms are corpus-sized). Candidate count is the true pair count
+    sharing a surviving term, the standard sparse-vector sim-join bound.
+    """
+    toked = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toked.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    n_docs = docs.select(F.count("*").cast("double").alias("_n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("_w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2")
+    )
+    a = w.select(
+        F.col(id_col).alias("doc_a"), "term", F.col("_w").alias("_wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("doc_b"), "term", F.col("_w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dp"))
+    )
+    scored = (
+        dots.join(
+            norms.select(
+                F.col(id_col).alias("doc_a"), F.col("_n2").alias("_na")
+            ),
+            "doc_a",
+        )
+        .join(
+            norms.select(
+                F.col(id_col).alias("doc_b"), F.col("_n2").alias("_nb")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.col("_dp").cast("double")
+                / (
+                    F.sqrt(F.col("_na").cast("double"))
+                    * F.sqrt(F.col("_nb").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= threshold).select(
+        "doc_a", "doc_b", "cos_sim"
+    )

@@ -188,3 +188,58 @@ def weighted_topk_sample(
         .orderBy(F.col("_es_score").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 16,
+    salt: str = "neg",
+) -> DataFrame:
+    """``k`` deterministic negative partners per anchor row — the
+    contrastive-training primitive (anchor, negative) without a cross
+    join and without RNG.
+
+    Every row gets an md5 bucket and an md5-order rank WITHIN its bucket;
+    anchor r takes buckets-mates at ranks (r+1 .. r+k) mod bucket_size
+    (capped at bucket_size-1, so partners are distinct and never self).
+    Because md5 order is content-independent pseudo-random, partners are
+    uniform-random-looking yet identical across runs, engines, and
+    cluster sizes — the same reproducibility contract as hash_sample.
+
+    Scale shape: ONE shuffle on the bucket id (window rank + count share
+    it), a row-local offset explode (k rows per anchor), and ONE equi
+    join on (bucket, rank) — reducer work per bucket is bucket_size * k,
+    so n_buckets tunes parallelism exactly like any hash partitioning.
+    No global sort, no driver state, no doc x doc blowup.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("_b").orderBy("_h", id_col)
+    ranked = (
+        df.select(F.col(id_col))
+        .withColumn("_b", hash_bucket(F.col(id_col), salt, n_buckets))
+        .withColumn("_h", h)
+        .withColumn("_r", F.row_number().over(w) - 1)
+        .withColumn("_cnt", F.count("*").over(Window.partitionBy("_b")))
+    )
+    offsets = F.when(
+        F.col("_cnt") > 1,
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("_cnt") - 1)),
+    ).otherwise(F.array())
+    exploded = (
+        ranked.withColumn("_s", F.explode(offsets))
+        .withColumn("_pr", (F.col("_r") + F.col("_s")) % F.col("_cnt"))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            "_b",
+            "_pr",
+            F.col("_s").cast("bigint").alias("slot"),
+        )
+    )
+    partners = ranked.select(
+        F.col(id_col).alias("negative_id"), "_b", F.col("_r").alias("_pr")
+    )
+    return exploded.join(partners, ["_b", "_pr"]).select(
+        "anchor_id", "negative_id", "slot"
+    )

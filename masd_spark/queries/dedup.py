@@ -645,3 +645,68 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+_TFIDF_COS_MAX_DF = 250
+_TFIDF_COS_TAU = 0.5
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+    WITH toked AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toked WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+        HAVING count(*) <= {_TFIDF_COS_MAX_DF}
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(ROUND(tf.tf *
+                    (ln(((SELECT count(*) FROM documents) + 1.0)
+                        / (dfq.df + 1.0)) + 1.0), 6)
+                    AS DECIMAL(12,6)) AS w
+        FROM tf JOIN dfq USING (term)
+    ),
+    nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dp
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(dp AS DOUBLE) /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                 6) AS cos_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE ROUND(CAST(dp AS DOUBLE) /
+                (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                6) >= {_TFIDF_COS_TAU}
+    """,
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by sparse TF-IDF cosine (term-keyed
+    self-join, df-capped stopword removal as part of the measure,
+    decimal-exact dots/norms). Complements the set-overlap family:
+    jaccard weighs every shingle equally; this ranks shared RARE terms.
+    The df <= {_TFIDF_COS_MAX_DF} cap bounds reducer work per term by
+    max_df^2 — the skew story of the capped jaccard join — and the
+    oracle recomputes the identical measure end to end.
+    """
+    from masd_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs,
+        threshold=_TFIDF_COS_TAU,
+        max_df=_TFIDF_COS_MAX_DF,
+    )

@@ -424,3 +424,52 @@ def ml_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "feature_idx")
         .agg(F.count("*").alias("n"))
     )
+
+
+_NEG_K = 3
+_NEG_BUCKETS = 16
+_NEG_SALT = "neg"
+
+
+def _neg_oracle() -> str:
+    bucket = md5_bucket_sql("doc_id", salt=_NEG_SALT, modulus=_NEG_BUCKETS)
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               {bucket} AS b,
+               md5('{_NEG_SALT}' || doc_id) AS h,
+               row_number() OVER (
+                   PARTITION BY {bucket}
+                   ORDER BY md5('{_NEG_SALT}' || doc_id), doc_id
+               ) - 1 AS r,
+               count(*) OVER (PARTITION BY {bucket}) AS cnt
+        FROM documents
+    ),
+    exploded AS (
+        SELECT rk.doc_id AS anchor_id, rk.b, rk.r, rk.cnt,
+               s.s AS slot
+        FROM ranked rk,
+             (SELECT unnest(generate_series(1, {_NEG_K})) AS s) s
+        WHERE s.s <= rk.cnt - 1
+    )
+    SELECT e.anchor_id, p.doc_id AS negative_id, e.slot
+    FROM exploded e
+    JOIN ranked p ON p.b = e.b AND p.r = (e.r + e.slot) % e.cnt
+    """
+
+
+@register("pipeline_negative_pairs", oracle=_neg_oracle())
+def pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: 3 deterministic partners per
+    anchor document via md5-bucketed rank shifting — uniform-looking,
+    RNG-free, reproducible across engines/cluster sizes, and never a
+    cross join (one bucket-keyed shuffle + one (bucket, rank) equi
+    join; see operators/sampling.py:negative_pairs for the scale
+    accounting).
+    """
+    from masd_spark.operators.sampling import negative_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_pairs(
+        docs, id_col="doc_id", k=_NEG_K, n_buckets=_NEG_BUCKETS, salt=_NEG_SALT
+    )

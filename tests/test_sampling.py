@@ -21,7 +21,42 @@ ORACLE_QUERIES = [
     "sample_cap_per_source",
     "sample_upsample_mixture",
     "filter_quality_quantile",
+    "pipeline_negative_pairs",
 ]
+
+
+def test_negative_pairs_invariants(spark):
+    """Never self, k distinct negatives per anchor (bucket permitting),
+    and partitioning-independent output."""
+    from masd_spark.operators.sampling import negative_pairs
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = negative_pairs(docs, k=3, n_buckets=16).collect()
+    per_anchor: dict = {}
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["negative_id"])
+    # 500 docs / 16 buckets ≈ 31 per bucket >> k+1 → every anchor gets 3
+    assert set(len(v) for v in per_anchor.values()) == {3}
+    assert len(per_anchor) == docs.count()
+
+    shuffled = negative_pairs(docs.repartition(7), k=3, n_buckets=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, shuffled))
+
+
+def test_negative_pairs_tiny_buckets(spark):
+    """Buckets smaller than k+1 cap the slot count instead of emitting
+    self-pairs or duplicates; singleton buckets emit nothing."""
+    from masd_spark.operators.sampling import negative_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    rows = negative_pairs(docs, k=4, n_buckets=64).collect()
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], []).append(r["negative_id"])
+    for anchor, negs in per_anchor.items():
+        assert len(negs) == len(set(negs))  # distinct partners
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

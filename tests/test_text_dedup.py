@@ -30,7 +30,36 @@ ORACLE_QUERIES = [
     "dedup_components",
     "text_tfidf_top_terms",
     "corpus_ngram_topk",
+    "dedup_tfidf_cosine",
 ]
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    """Identical docs score 1.0; docs sharing only a df-capped stopword
+    score nothing (the term leaves the vectors); rare-term overlap beats
+    common-term overlap."""
+    from masd_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (0, "zyzzyva qwerty alpha"),
+        (1, "zyzzyva qwerty alpha"),  # exact dup of 0
+        (2, "zyzzyva beta gamma"),  # shares rare 'zyzzyva' with 0/1
+        (3, "the the the delta"),  # shares only capped 'the' with 4
+        (4, "the the epsilon"),
+        (5, "the unrelated words here"),
+        (6, "the more unrelated words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap 'the' (df=4) out of the vectors; every other term has df <= 3
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, max_df=3).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert (3, 4) not in got  # only shared term was df-capped away
+    assert got[(0, 2)] > 0  # rare-term overlap survives
+    for sim in got.values():
+        assert 0.0 <= sim <= 1.0
 
 
 def test_tfidf_favors_rare_terms(spark):
