@@ -50,9 +50,10 @@ def brute_force_topk(
 
     ``queries`` must be small enough to broadcast (it is hinted); ranking
     uses (rounded cosine desc, id asc) — a total order, so results are
-    deterministic and engine-portable. Pass ``dim`` to unroll the vector
-    math into codegen (~10x over interpreted higher-order functions);
-    norms are precomputed once per row, so each pair costs one dot.
+    deterministic and engine-portable. The vector math is the compact
+    HOF dot (see functions/vectors.py for the measurement that retired
+    the unrolled variant); norms are precomputed once per row, so each
+    pair costs one dot.
     """
     if dim is None:
         q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
@@ -109,8 +110,9 @@ def cosine_pairs(
 
     Fixture-scale implementation is the exact self-join; at corpus scale
     wrap it with LSH buckets (``lsh_bucket``) so the self-join happens
-    per-bucket. Norms are precomputed once per row; pass ``dim`` to unroll
-    the per-pair dot into codegen.
+    per-bucket. Norms are precomputed once per row; the per-pair dot is
+    the compact HOF fold (functions/vectors.py documents the measurement
+    that retired the unrolled variant).
     """
     norm_expr = (
         norm(F.col(vec_col)) if dim is None else norm_fixed(F.col(vec_col), dim)
@@ -229,10 +231,11 @@ def lsh_bucket(
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        # HOF dot, NOT the unrolled dot_literal: bucketing multiplies the
+        # HOF dot against a literal plane array: bucketing multiplies the
         # expression by n_planes (x n_tables in _bucket_array), and the
-        # unrolled form blew a 1g driver heap at plan/codegen time. The
-        # interpreted HOF runs once per corpus row — not a hot path.
+        # since-retired unrolled form blew a 1g driver heap at
+        # plan/codegen time here — the first sighting of the expression-
+        # size problem functions/vectors.py now documents in general.
         plane_col = F.array(*[F.lit(x) for x in p])
         bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)).otherwise(
             F.lit(0)
@@ -504,17 +507,6 @@ def _seeded_sample(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
-def _dot_sub(col, weights: list[float], off: int):
-    """Unrolled dot of a column slice [off+1 .. off+len(weights)] with a
-    literal subvector — left-fold order matches DuckDB's
-    list_dot_product over the same slice."""
-    acc = None
-    for i, wgt in enumerate(weights):
-        term = F.element_at(col, off + i + 1).cast("double") * F.lit(wgt)
-        acc = term if acc is None else acc + term
-    return acc
-
-
 _PQ_DEC = "decimal(20,9)"
 
 
@@ -541,9 +533,8 @@ def _codebook_lit(cb: list[list[float]]):
 
 def _hof_dot(slice_col, cw_col):
     """Sequential left-fold dot of a vector slice with a codeword array —
-    same accumulation order as the unrolled ``_dot_sub`` (0.0 + t1 is
-    IEEE-exact, so the fold is bit-identical to the t1 + t2 + ... chain)
-    and as DuckDB's list_dot_product."""
+    the 0.0-seeded fold is IEEE-identical to a t1 + t2 + ... chain
+    (0.0 + t1 == t1 exactly), matching DuckDB's list_dot_product."""
     return F.aggregate(
         F.zip_with(slice_col, cw_col, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
