@@ -265,3 +265,84 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return latest.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register("streaming_timer_sessions")
+def streaming_timer_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-TIMER sessionization (transformWithStateInPandas,
+    timeMode=EventTime): sessions close either inline (a later event for
+    the key reveals the gap) or — the case only timers can express —
+    when a key goes silent and OTHER keys advance the watermark past its
+    last event + gap. Deterministic crafted drops: station 'alpha'
+    bursts once then goes silent (its session emits ONLY via the timer),
+    'bob' exercises cross-batch and in-batch gap closure, trailing open
+    sessions never emit. Rows-only (streaming, generated input);
+    tests/test_streaming.py pins the exact emission set.
+    """
+    import json as _json
+
+    from masd_spark.operators.validate import with_event_time_ms
+    from masd_spark.streaming.stateful import (
+        TSESS_OUTPUT_SCHEMA,  # noqa: F401  (schema contract documented there)
+        streaming_timer_sessions,
+    )
+    from masd_spark.vendor import ensure_protobuf_on_session
+
+    ensure_protobuf_on_session(spark)
+
+    base = 1_704_067_200_000
+
+    def burst(station, t0, n=6, step=1000):
+        return [
+            {"station_name": station.title(), "station_id": station,
+             "sensor_id": "0", "timestamp": t0 + i * step, "value": "1.0"}
+            for i in range(n)
+        ]
+
+    files = [
+        burst("alpha", base) + burst("bob", base) + burst("cara", base),
+        burst("bob", base + 60_000) + burst("bob", base + 120_000)
+        + burst("cara", base + 60_000),
+        burst("bob", base + 180_000) + burst("cara", base + 180_000),
+    ]
+
+    workdir = tempfile.mkdtemp(prefix="masd_tsess_q_")
+    src = os.path.join(workdir, "drops")
+    sink_dir = os.path.join(workdir, "sink")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved_provider = spark.conf.get(provider_key, None)
+    try:
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r) + "\n")
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = with_event_time_ms(read_file_sensor_stream(spark, src))
+        out = streaming_timer_sessions(
+            stream.withWatermark("event_time", "1 second"), gap_ms=30_000
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.read.parquet(sink_dir).localCheckpoint(eager=True)
+    finally:
+        if saved_provider is None:
+            try:
+                spark.conf.unset(provider_key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(provider_key, saved_provider)
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -186,3 +186,97 @@ def streaming_station_heavy_hitters_gs(readings: DataFrame, k: int = 3) -> DataF
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+TSESS_OUTPUT_SCHEMA = (
+    "station_id string, session_start long, session_end long, n_events long"
+)
+
+
+def streaming_timer_sessions(readings: DataFrame, gap_ms: int = 30_000) -> DataFrame:
+    """Gap-based sessionization with EVENT-TIME TIMERS on
+    transformWithStateInPandas: a session closes when no event arrives
+    for ``gap_ms`` of EVENT time. Sessions whose closing gap is visible
+    in the data (a later event for the same key) close inline in
+    handleInputRows; the interesting case — a key that simply goes
+    SILENT — closes via a registered event-time timer that fires when
+    OTHER keys advance the watermark past (last_event + gap_ms). That
+    late-silence flush is exactly what batch sessionize cannot express
+    incrementally and what the timer API exists for.
+
+    State is one (start, end, n) ValueState per key plus at most one
+    live timer (re-registered on every extension) — O(keys), point
+    reads, watermark-driven cleanup. ``readings`` must carry station_id,
+    timestamp (epoch ms) and a watermark on its event-time column
+    (timeMode=EventTime requires it). Emission contract: every session
+    except, per key, a trailing one whose ``end + gap_ms`` the final
+    watermark never passes.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimerSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._open = handle.getValueState(
+                "open_session", "start long, end long, n long"
+            )
+
+        @staticmethod
+        def _row(key, sess):
+            return pd.DataFrame(
+                [
+                    {
+                        "station_id": key[0],
+                        "session_start": int(sess[0]),
+                        "session_end": int(sess[1]),
+                        "n_events": int(sess[2]),
+                    }
+                ]
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            ts: list = []
+            for pdf in rows:
+                ts.extend(int(t) for t in pdf["timestamp"])
+            ts.sort()
+            cur = tuple(self._open.get()) if self._open.exists() else None
+            closed = []
+            for t in ts:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_ms:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+            # one live timer per key: re-arm to the current session end
+            for old in list(self._h.listTimers()):
+                self._h.deleteTimer(old)
+            if cur is not None:
+                self._open.update(cur)
+                self._h.registerTimer(cur[1] + gap_ms)
+            for sess in closed:
+                yield self._row(key, sess)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # (parameter names must match the base class — pyspark's
+            # util invokes this hook with keyword arguments)
+            if self._open.exists():
+                sess = tuple(self._open.get())
+                if sess[1] + gap_ms <= expiredTimerInfo.getExpiryTimeInMs():
+                    self._open.clear()
+                    yield self._row(key, sess)
+
+        def close(self) -> None:
+            pass
+
+    return readings.groupBy("station_id").transformWithStateInPandas(
+        TimerSessions(),
+        outputStructType=TSESS_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

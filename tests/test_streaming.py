@@ -784,3 +784,86 @@ def test_stream_stream_left_outer_join_emits_nulls_on_watermark(spark, tmp_path)
     assert sorted(got, key=keyf) == sorted(expected, key=keyf)
     nulls = [t for t in got if t[2] is None]
     assert len(nulls) == 10  # users 1,2: all five clicks unmatched
+
+
+def test_timer_sessions_silent_key_flush(spark, tmp_path):
+    """Event-time-timer sessionization: a key that goes SILENT (station
+    'alpha', one burst in file 1, nothing after) must still emit its
+    session — closed by its registered timer when OTHER keys advance the
+    watermark — while data-visible gaps close inline and trailing open
+    sessions never emit."""
+    import json as _json
+
+    from masd_spark.operators.validate import with_event_time_ms
+    from masd_spark.streaming.stateful import streaming_timer_sessions
+
+    base = 1_704_067_200_000
+    gap = 30_000
+
+    def burst(station, t0, n=6, step=1000):
+        return [
+            {"station_name": station.title(), "station_id": station,
+             "sensor_id": "0", "timestamp": t0 + i * step, "value": "1.0"}
+            for i in range(n)
+        ]
+
+    files = [
+        burst("alpha", base) + burst("bob", base) + burst("cara", base),
+        # bob gets TWO bursts in one file (in-batch gap) while alpha is silent
+        burst("bob", base + 60_000) + burst("bob", base + 120_000)
+        + burst("cara", base + 60_000),
+        burst("bob", base + 180_000) + burst("cara", base + 180_000),
+    ]
+    src = str(tmp_path / "tsess_drops")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = with_event_time_ms(read_file_sensor_stream(spark, src))
+        out = streaming_timer_sessions(
+            stream.withWatermark("event_time", "1 second"), gap_ms=gap
+        )
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.append((bid, df.collect()))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "tsess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    got = {
+        (r["station_id"], r["session_start"], r["session_end"], r["n_events"])
+        for _b, rows in collected
+        for r in rows
+    }
+    s = lambda st, t0, n=6: (st, base + t0, base + t0 + (n - 1) * 1000, n)
+    expected = {
+        s("alpha", 0),        # ONLY reachable via the event-time timer
+        s("bob", 0),          # closed by bob's next burst (cross-batch gap)
+        s("bob", 60_000),     # closed by the in-batch gap inside file 2
+        s("bob", 120_000),    # closed by file 3's burst
+        s("cara", 0),
+        s("cara", 60_000),
+        # bob/cara sessions at +180s stay open: final watermark (184s)
+        # never passes their end + gap (215s)
+    }
+    assert got == expected
