@@ -72,7 +72,9 @@ HH_OUTPUT_SCHEMA = "station_id string, sensor_id string, n_valid long, rank long
 HH_STATE_SCHEMA = "sensors array<string>, counts array<long>"
 
 
-def streaming_station_heavy_hitters(readings: DataFrame, k: int = 3) -> DataFrame:
+def streaming_station_heavy_hitters(
+    readings: DataFrame, k: int = 3, initial_counts=None
+) -> DataFrame:
     """Running per-station top-``k`` sensors by valid-reading count, on
     Spark 4's transformWithStateInPandas (the arbitrary-state successor
     to applyInPandasWithState).
@@ -93,6 +95,14 @@ def streaming_station_heavy_hitters(readings: DataFrame, k: int = 3) -> DataFram
     the semantically identical GroupState twin (full state blob per key
     per trigger — fine for bounded per-key maps, the wrong shape at
     million-key cardinality).
+
+    ``initial_counts`` (optional) bootstraps the state from a BATCH
+    aggregate — a ``GroupedData`` keyed like the stream (station_id)
+    whose rows carry (sensor_id, n_valid). This is the backfill ->
+    streaming handoff: compute history once as a batch job, seed the
+    state store via ``handleInitialState`` (first batch only), and let
+    the stream continue incrementally instead of replaying history
+    through the trigger loop.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
@@ -105,6 +115,10 @@ def streaming_station_heavy_hitters(readings: DataFrame, k: int = 3) -> DataFram
             self._counts = handle.getMapState(
                 "sensor_counts", "sensor_id string", "n long"
             )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            for s, c in zip(initialState["sensor_id"], initialState["n_valid"]):
+                self._counts.updateValue((str(s),), (int(c),))
 
         def handleInputRows(self, key, rows, timer_values):
             inc: dict[str, int] = {}
@@ -140,6 +154,7 @@ def streaming_station_heavy_hitters(readings: DataFrame, k: int = 3) -> DataFram
         outputStructType=HH_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+        initialState=initial_counts,
     )
 
 

@@ -867,3 +867,95 @@ def test_timer_sessions_silent_key_flush(spark, tmp_path):
         # never passes their end + gap (215s)
     }
     assert got == expected
+
+
+def test_transform_with_state_initial_state_bootstrap(spark, tmp_path):
+    """Backfill -> streaming handoff: seed the TWS MapState from a BATCH
+    aggregate of the first drop file, stream only the remaining files,
+    and the final running top-k must equal the batch twin over the FULL
+    history — proving handleInitialState loaded the state store rather
+    than the stream replaying history."""
+    import shutil as _sh
+
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.sources.simulator import generate_readings
+    from masd_spark.streaming.pipeline import SENSOR_SCHEMA
+    from masd_spark.streaming.stateful import streaming_station_heavy_hitters
+    from masd_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip("google.protobuf")
+
+    cfg = SimulatorConfig(duration_ms=30_000, seed=13)
+    all_dir = str(tmp_path / "all_drops")
+    n = write_json_drops(all_dir, cfg, n_files=3, split="time")
+    assert n > 0
+    src = str(tmp_path / "tail_drops")
+    os.makedirs(src)
+    for f in ["drop_001.json", "drop_002.json"]:
+        _sh.copyfile(os.path.join(all_dir, f), os.path.join(src, f))
+
+    # history = batch aggregate of drop_000 only
+    hist = classify_validity(
+        spark.read.schema(SENSOR_SCHEMA).json(os.path.join(all_dir, "drop_000.json"))
+    )
+    initial = (
+        hist.filter(F.col("is_valid"))
+        .groupBy("station_id", "sensor_id")
+        .agg(F.count("*").alias("n_valid"))
+        .groupBy("station_id")
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = classify_validity(read_file_sensor_stream(spark, src))
+        out = streaming_station_heavy_hitters(stream, k=3, initial_counts=initial)
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.append((bid, df.collect()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "boot_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    last: dict = {}
+    for bid, rows in sorted(collected, key=lambda x: x[0]):
+        per_station: dict = {}
+        for r in rows:
+            per_station.setdefault(r["station_id"], {})[r["rank"]] = (
+                r["sensor_id"],
+                r["n_valid"],
+            )
+        last.update(per_station)
+
+    counts: dict = {}
+    for r in generate_readings(cfg):
+        if r["value"] == "<<bad_data>>":
+            continue
+        counts.setdefault(r["station_id"], {}).setdefault(r["sensor_id"], 0)
+        counts[r["station_id"]][r["sensor_id"]] += 1
+    expected = {
+        st: {
+            i + 1: (s, c)
+            for i, (s, c) in enumerate(
+                sorted(cs.items(), key=lambda t: (-t[1], t[0]))[:3]
+            )
+        }
+        for st, cs in counts.items()
+    }
+    assert last == expected
