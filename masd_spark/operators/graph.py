@@ -338,3 +338,64 @@ def k_core(
         "raise max_iter (and the oracle's unroll depth) to the graph's "
         "peeling depth"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected simple graph: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors
+    (ties to the smallest label). Returns (node, label) after exactly
+    ``n_rounds`` rounds.
+
+    Fixed-round synchronous LPA is chosen deliberately over
+    run-to-stability: synchronous updates can oscillate on near-bipartite
+    structure (the classic LPA failure), so "stability" is not a
+    well-defined stopping rule — whereas "the label state after R
+    synchronous rounds" is exact, deterministic, and SQL-unrollable,
+    which makes the iterative kernel value-checkable (same contract as
+    k_core's unrolled fixpoint). Production variants damp oscillation
+    with semi-synchronous coloring; the per-round algebra is identical.
+
+    Scale shape (BSP like pagerank/k_core here): each round is one
+    gather (two edge-label equi-joins, edge-partitioned), one
+    (node, label) count, and one per-node argmin — min over
+    (-count, label) structs, a partial-aggregable agg, NOT a window —
+    with localCheckpoint truncating lineage per round. Hub nodes bound
+    reducer width by their degree; labels are node ids so state is
+    2 longs per node.
+    """
+    und = _undirected_simple(edges, src, dst).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        lab_u = labels.select(F.col("node").alias("u"), F.col("label"))
+        lab_v = labels.select(F.col("node").alias("v"), F.col("label"))
+        gathered = (
+            und.join(lab_v, "v").select(F.col("u").alias("node"), "label")
+        ).unionAll(
+            und.join(lab_u, "u").select(F.col("v").alias("node"), "label")
+        )
+        counts = gathered.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("label").alias("l")
+                    )
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -264,3 +264,75 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = k_core(pairs, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
     return core.select(F.col("node").alias("partkey"), "degree")
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label propagation: ``rounds`` identical
+    gather/argmax blocks over the co-purchase graph. Unlike k-core's
+    idempotent peel, LPA rounds are NOT idempotent — the unroll depth
+    must EQUAL the operator's n_rounds (both pinned to _LPA_ROUNDS)."""
+    parts = [
+        """
+    WITH und AS MATERIALIZED (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    lab0 AS MATERIALIZED (
+        SELECT node, node AS label FROM (
+            SELECT u AS node FROM und UNION SELECT v AS node FROM und
+        )
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    g{i} AS MATERIALIZED (
+        SELECT e.u AS node, l.label FROM und e JOIN lab{i - 1} l ON l.node = e.v
+        UNION ALL
+        SELECT e.v AS node, l.label FROM und e JOIN lab{i - 1} l ON l.node = e.u
+    ),
+    lab{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY count(*) DESC, label ASC) AS rn
+            FROM g{i} GROUP BY node, label
+        ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT node AS partkey, CAST(label AS BIGINT) AS community
+    FROM lab{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in the part co-purchase graph by 3 rounds of
+    synchronous label propagation (most-frequent neighbor label, ties to
+    the smallest id). The iterative kernel is value-checked against an
+    unrolled 3-round SQL twin — exact, not a fixpoint approximation
+    (see _lpa_oracle on why the depths must match). Same edge build as
+    graph_kcore_parts: one fact-fact self-equi-join on the order key,
+    basket^2 bounded.
+    """
+    from masd_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+        .join(b, "o")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    out = label_propagation(edges, n_rounds=_LPA_ROUNDS)
+    return out.select(
+        F.col("node").cast("bigint").alias("partkey"),
+        F.col("label").cast("bigint").alias("community"),
+    )

@@ -206,3 +206,50 @@ def test_kcore_raises_when_unroll_too_shallow(spark):
     edges = _kcore_fixture(spark)
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(edges, k=2, max_iter=2)
+
+
+def test_label_propagation_parity(spark):
+    compare_query(spark, REGISTRY["graph_label_propagation"], SF_ORACLE)
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two 4-cliques joined by one bridge edge must settle into two
+    distinct communities (each clique adopts its own minimum id), and
+    community labels must be members of their own community."""
+    from masd_spark.operators.graph import label_propagation
+
+    clique_a = [(u, v) for u in range(4) for v in range(4) if u < v]
+    clique_b = [(u, v) for u in range(10, 14) for v in range(10, 14) if u < v]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, n_rounds=3).collect()
+    }
+    labels_a = {got[n] for n in range(4)}
+    labels_b = {got[n] for n in range(10, 14)}
+    assert labels_a == {0}
+    assert labels_b == {10}
+
+
+def test_label_propagation_round_zero_and_determinism(spark):
+    """0 rounds returns self-labels; the result is independent of input
+    partitioning (the argmax tie-break is total)."""
+    from masd_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["src", "dst"]
+    )
+    zero = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, n_rounds=0).collect()
+    }
+    assert zero == {n: n for n in (1, 2, 3, 4, 7, 8)}
+    one = sorted(
+        map(tuple, label_propagation(edges, n_rounds=2).collect())
+    )
+    two = sorted(
+        map(tuple, label_propagation(edges.repartition(5), n_rounds=2).collect())
+    )
+    assert one == two
