@@ -1,0 +1,86 @@
+"""ANN index evaluation: recall@k of every approximate index vs exact.
+
+A meta-query composed from already-registered queries: the Spark side
+runs each index's registered plan and joins its top-10 against the
+exact brute-force top-10; the DuckDB oracle composes the SAME
+sub-oracles as subqueries. Because each component is independently
+hash-verified, this report's oracle is derivative — but it pins the
+measurement methodology itself (pair-joined hits over exact-pair
+denominator), which is what an index user actually reads.
+
+Import-order note: this module must load AFTER queries.similarity —
+it reads the sub-oracle SQL out of the registry at import time.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from masd_spark.queries import REGISTRY, register
+
+_EXACT = "ann_cosine_topk"
+_METHODS = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+]
+
+
+def _recall_oracle() -> str:
+    exact_sql = REGISTRY[_EXACT].oracle
+    parts = [f"WITH exact AS MATERIALIZED (SELECT query_id, vec_id FROM ({exact_sql}))"]
+    unions = []
+    for m in _METHODS:
+        sub = REGISTRY[m].oracle
+        parts.append(
+            f""",
+    hits_{m} AS MATERIALIZED (
+        SELECT '{m}' AS method, CAST(count(*) AS BIGINT) AS hits
+        FROM ({sub}) a JOIN exact e USING (query_id, vec_id)
+    )"""
+        )
+        unions.append(f"SELECT * FROM hits_{m}")
+    u = " UNION ALL ".join(unions)
+    parts.append(
+        f"""
+    SELECT method,
+           ROUND(hits / (SELECT count(*) FROM exact), 6) AS recall_at_10
+    FROM ({u})
+    """
+    )
+    return "".join(parts)
+
+
+@register("ann_recall_report", oracle=_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of each approximate ANN index against the exact
+    brute-force neighbors, one row per index. Methodology: count
+    (query, neighbor) pairs shared with the exact top-10, divide by the
+    exact pair count — the denominator is n_queries * k by construction
+    since the exact query always fills k. Each sub-plan is the index's
+    REGISTERED plan (not a rebuild), so this measures what users run;
+    at scale the report costs the sum of its parts, all of which are
+    bucket/cell/scan-bounded by design.
+    """
+    exact_pairs = (
+        REGISTRY[_EXACT].fn(spark, sf_dir).select("query_id", "vec_id")
+    )
+    per_method = []
+    for m in _METHODS:
+        approx = REGISTRY[m].fn(spark, sf_dir).select("query_id", "vec_id")
+        per_method.append(
+            approx.join(exact_pairs, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(m).alias("method"), "hits")
+        )
+    union = reduce(DataFrame.unionAll, per_method)
+    denom = exact_pairs.agg(F.count("*").alias("n_exact"))
+    return union.crossJoin(F.broadcast(denom)).select(
+        "method",
+        F.round(F.col("hits") / F.col("n_exact"), 6).alias("recall_at_10"),
+    )

@@ -309,3 +309,28 @@ def test_ivfpq_no_all_pairs_stage(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_report_parity_and_floors(spark):
+    compare_query(spark, REGISTRY["ann_recall_report"], SF_ORACLE)
+    rows = REGISTRY["ann_recall_report"].fn(spark, SF_ORACLE).collect()
+    got = {r["method"]: r["recall_at_10"] for r in rows}
+    assert set(got) == {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ann_quantized_topk",
+        "ann_pq_topk",
+        "ann_ivfpq_topk",
+    }
+    # every index holds its documented per-family recall floor (the same
+    # floors the dedicated recall tests pin; LSH/IVF trade recall for
+    # bucket/cell-bounded candidate counts by design)
+    floors = {
+        "ann_lsh_topk": 0.2,
+        "ann_ivf_topk": 0.4,
+        "ann_quantized_topk": 0.9,
+        "ann_pq_topk": 0.9,
+        "ann_ivfpq_topk": 0.4,
+    }
+    for method, recall in got.items():
+        assert floors[method] <= recall <= 1.0, (method, recall)
