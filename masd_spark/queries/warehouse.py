@@ -822,3 +822,63 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iso_dow >= 6).alias("is_weekend"),
         F.quarter("dt").cast("long").alias("quarter"),
     )
+
+
+@register(
+    "dq_quarantine_readings",
+    oracle="""
+    WITH readings AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 20 = 0 THEN '<<bad_data>>'
+                    ELSE CAST(value AS VARCHAR) END AS value_str
+        FROM events
+    ),
+    judged AS (
+        SELECT event_id, event_type,
+               TRY_CAST(value_str AS DOUBLE) AS v
+        FROM readings
+    )
+    SELECT event_id,
+           CASE WHEN v IS NULL THEN 'unparseable_value'
+                WHEN v > 150.0 THEN 'value_out_of_range'
+                WHEN event_type NOT IN
+                     ('click','view','purchase','signup','error')
+                     THEN 'unknown_event_type'
+           END AS failed_rule,
+           CASE WHEN v IS NULL OR v > 150.0 OR event_type NOT IN
+                     ('click','view','purchase','signup','error')
+                THEN 'quarantine' ELSE 'pass' END AS verdict
+    FROM judged
+    """,
+)
+def dq_quarantine_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality disposition — the quarantine SPLIT that
+    complements ``dq_audit_core``'s aggregate violation counts: every
+    row gets a verdict and its FIRST failed rule (precedence: parse >
+    range > enum), so an ingest pipeline can route quarantined rows with
+    their reason while clean rows flow on. All three rules are map-side
+    column math over one scan — no shuffle, no second pass; at 100 TB
+    the split is a partitioned write by verdict. Uses the shared
+    deterministic malformation derivation (event_id % 20) so violations
+    are real (~5% parse, ~5% range) and the oracle replays them exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    value_str = F.when(
+        F.col("event_id") % 20 == 0, F.lit("<<bad_data>>")
+    ).otherwise(F.col("value").cast("string"))
+    v = value_str.try_cast("double")
+    known = F.col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"
+    )
+    failed = (
+        F.when(v.isNull(), F.lit("unparseable_value"))
+        .when(v > 150.0, F.lit("value_out_of_range"))
+        .when(~known, F.lit("unknown_event_type"))
+    )
+    return ev.select(
+        "event_id",
+        failed.alias("failed_rule"),
+        F.when(failed.isNotNull(), F.lit("quarantine"))
+        .otherwise(F.lit("pass"))
+        .alias("verdict"),
+    )

@@ -959,3 +959,48 @@ def test_transform_with_state_initial_state_bootstrap(spark, tmp_path):
         for st, cs in counts.items()
     }
     assert last == expected
+
+
+def test_stream_union_two_sources(spark, tmp_path):
+    """Two independent file-drop streams (the multi-topic merge analog —
+    the reference subscribes one consumer to several Kafka topics)
+    unioned BEFORE the windowed aggregation: the final per-key state
+    must equal the batch twin over the concatenation of both feeds."""
+    cfg_a = SimulatorConfig(duration_ms=60_000, seed=41)
+    cfg_b = SimulatorConfig(duration_ms=60_000, seed=42)
+    src_a = str(tmp_path / "feed_a")
+    src_b = str(tmp_path / "feed_b")
+    assert write_json_drops(src_a, cfg_a, n_files=2) > 0
+    assert write_json_drops(src_b, cfg_b, n_files=2) > 0
+
+    stream = read_file_sensor_stream(spark, src_a).unionByName(
+        read_file_sensor_stream(spark, src_b)
+    )
+    agg = sensor_pipeline(stream, watermark_delay="10 minutes", nest=False)
+    collected: list = []
+    q = start_keyed_sink(
+        agg,
+        path=str(tmp_path / "union_out"),
+        checkpoint_dir=str(tmp_path / "union_ckpt"),
+        available_now=True,
+        write_batch=_collecting_sink(collected),
+    )
+    q.awaitTermination(300)
+
+    last: dict = {}
+    for bid, rows in sorted(collected, key=lambda x: x[0]):
+        for r in rows:
+            last[(r["window"]["start"], r["station_id"], r["sensor_id"])] = (
+                r["total_count"],
+                r["valid_count"],
+            )
+
+    both = readings_df(spark, cfg_a).unionByName(readings_df(spark, cfg_b))
+    expected = {
+        (r["window"]["start"], r["station_id"], r["sensor_id"]): (
+            r["total_count"],
+            r["valid_count"],
+        )
+        for r in sensor_pipeline(both, nest=False).collect()
+    }
+    assert last == expected

@@ -13,7 +13,33 @@ REGISTRY = load_all()
 QUERIES = [
     "scd2_customer_priority",
     "fuzzy_join_nations",
+    "dq_quarantine_readings",
 ]
+
+
+def test_quarantine_split_consistency(spark):
+    """Verdict and failed_rule agree row-by-row; both failure modes are
+    actually exercised by the fixture; clean rows carry no rule."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["dq_quarantine_readings"].fn(spark, SF_ORACLE).cache()
+    try:
+        assert df.filter(
+            (F.col("verdict") == "pass") & F.col("failed_rule").isNotNull()
+        ).count() == 0
+        assert df.filter(
+            (F.col("verdict") == "quarantine") & F.col("failed_rule").isNull()
+        ).count() == 0
+        rules = {
+            r["failed_rule"]
+            for r in df.filter(F.col("failed_rule").isNotNull())
+            .select("failed_rule").distinct().collect()
+        }
+        assert {"unparseable_value", "value_out_of_range"} <= rules
+        n_bad = df.filter(F.col("verdict") == "quarantine").count()
+        assert 0 < n_bad < df.count()
+    finally:
+        df.unpersist()
 
 
 @pytest.mark.parametrize("name", QUERIES)
