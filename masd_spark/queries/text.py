@@ -563,3 +563,98 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _BM25_TOPK)
     )
+
+
+_ZIPF_TOP_N = 200
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toked AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    freq AS (
+        SELECT term, count(*) AS f FROM toked
+        WHERE length(term) > 0 GROUP BY 1
+    ),
+    top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS r
+        FROM freq ORDER BY f DESC, term ASC LIMIT {_ZIPF_TOP_N}
+    ),
+    pts AS (
+        SELECT CAST(ROUND(ln(r), 9) AS DECIMAL(20,9)) AS x,
+               CAST(ROUND(ln(f), 9) AS DECIMAL(20,9)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n,
+                 6) AS zipf_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus: least-squares slope of
+    ln(frequency) against ln(rank) over the top-200 terms — the
+    one-number diagnostic of whether a text source has natural
+    token statistics (natural language sits near slope -1; templated or
+    synthetic text flattens or steepens it). The log points are
+    quantized to DECIMAL(20,9) so all four regression sums are exact and
+    order-independent (the portable-numerics recipe); only the final
+    slope/intercept divisions run in doubles, with identical expression
+    order in the oracle. Scale: term counting is the usual one-shuffle
+    agg; top-200 is TakeOrdered (distributed), and the regression runs
+    over 200 rows.
+    """
+    from masd_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    top = (
+        freq.orderBy(F.col("f").desc(), F.col("term").asc())
+        .limit(_ZIPF_TOP_N)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("f").desc(), F.col("term").asc())
+            ),
+        )
+    )
+    pts = top.select(
+        F.round(F.log("r"), 9).cast("decimal(20,9)").alias("x"),
+        F.round(F.log("f"), 9).cast("decimal(20,9)").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )

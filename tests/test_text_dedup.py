@@ -31,7 +31,18 @@ ORACLE_QUERIES = [
     "text_tfidf_top_terms",
     "corpus_ngram_topk",
     "dedup_tfidf_cosine",
+    "text_zipf_fit",
 ]
+
+
+def test_zipf_fit_semantics(spark):
+    """Slope is negative (frequency decays with rank) and the fixture's
+    templated vocabulary shows the flat-slope synthetic-text signature
+    (|slope| well below the ~1 of natural language)."""
+    row = REGISTRY["text_zipf_fit"].fn(spark, SF_ORACLE).collect()[0]
+    assert row["n_terms"] > 10
+    assert -1.5 < row["zipf_slope"] < 0
+    assert abs(row["zipf_slope"]) < 0.6  # synthetic corpus reads as templated
 
 
 def test_tfidf_cosine_pairs_semantics(spark):
