@@ -246,3 +246,56 @@ def test_ratio_to_parent_windows_after_agg(spark):
 def test_string_index_no_fact_shuffle(spark):
     df = _q(spark, "ml_string_index_encode")
     assert count_broadcast_joins(df) >= 2, physical_plan(df)
+
+
+def test_full_outer_aggregates_before_join(spark):
+    """The period reconciliation must full-outer-join two AGGREGATES, not
+    fact tables: both join inputs carry a HashAggregate below the
+    SortMergeJoin FullOuter, and nothing nested-loops."""
+    df = _q(spark, "join_full_outer_period_reconcile")
+    plan = physical_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # two pre-join aggregates (one per period) + one pre-agg on each side
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_tfidf_cosine_term_join_shape(spark):
+    """TF-IDF cosine pairs: the pair scores come from a TERM-keyed equi
+    join (never doc x doc). The only nested-loop joins allowed are the
+    1-row n_docs scalar attachments (IdentityBroadcastMode cross joins —
+    the repo's documented-legitimate pattern); the weight vectors meet
+    in an equi join on term with the doc_a < doc_b dedup condition."""
+    df = _q(spark, "dedup_tfidf_cosine")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # every nested-loop is a broadcast of the single-row corpus count
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "IdentityBroadcastMode"
+    ), plan
+    assert "[term#" in plan and "doc_a#" in plan, plan
+
+
+def test_negative_pairs_single_bucket_shuffle(spark):
+    """Negative sampling: rank+count share one bucket-keyed window sort;
+    the partner lookup is a (bucket, rank) equi join — no nested loop,
+    no global (single-partition) sort."""
+    df = _q(spark, "pipeline_negative_pairs")
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # hashpartitioning on the bucket id, never a rangepartitioning global sort
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_interpolation_single_window_partitioning(spark):
+    """Linear interpolation: the prev/next anchor windows share the same
+    (key, bucket) sort — the plan may sort twice (asc frames on one
+    ordering) but must shuffle the grid join output only once for BOTH
+    window passes."""
+    df = _q(spark, "ts_interpolate_linear_hourly")
+    plan = physical_plan(df)
+    # exchanges: observed agg, span agg reuse, grid join, window — the
+    # window passes add NO exchange beyond the join's partitioning
+    n_window_exchanges = plan.lower().count("hashpartitioning(event_type#")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert count_exchanges(df) <= 5, plan
