@@ -466,3 +466,82 @@ def ts_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("obs_day").alias("day"))
         .agg(F.count_distinct("user_id").alias("active_users_7d"))
     )
+
+
+@register(
+    "ts_seasonal_residuals",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, hour(ts) AS hod, event_id,
+               CAST(ROUND(value, 6) AS DECIMAL(20,9)) AS v
+        FROM events
+    ),
+    season AS (
+        SELECT event_type, hod,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS DOUBLE) / count(*) AS mu,
+               sqrt(greatest(
+                   CAST(sum(v * v) AS DOUBLE) / count(*)
+                   - (CAST(sum(v) AS DOUBLE) / count(*))
+                     * (CAST(sum(v) AS DOUBLE) / count(*)), 0.0)) AS sigma
+        FROM e GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.event_type,
+           e.hod,
+           ROUND(CAST(e.v AS DOUBLE) - s.mu, 6) AS residual,
+           CASE WHEN s.sigma > 0
+                AND abs(CAST(e.v AS DOUBLE) - s.mu) > 3.0 * s.sigma
+                THEN true ELSE false END AS is_anomaly
+    FROM e JOIN season s
+      ON e.event_type = s.event_type AND e.hod = s.hod
+    """,
+)
+def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scoring: the (event_type, hour-of-day)
+    mean is the seasonal profile; each event's residual against its
+    profile cell, flagged when it exceeds 3 population sigmas — the
+    deseasonalized complement of ``ts_rolling_zscore`` (which compares
+    against the recent past, not the time-of-day norm). Values quantize
+    to DECIMAL(20,9) so the moment sums are exact; mean/sigma then
+    derive in doubles with identical expression order in the oracle.
+    Scale: the profile is |types| x 24 rows built by one partial-agg
+    pass and broadcast back — the fact table shuffles zero times.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "event_type",
+        F.hour(F.to_timestamp(F.expr("ts div 1000000") / 1000)).alias("hod"),
+        F.round("value", 6).cast("decimal(20,9)").alias("v"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n")
+    season = (
+        e.groupBy("event_type", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            mu.alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("svv").cast("double") / F.col("n") - mu * mu,
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    res = F.col("v").cast("double") - F.col("mu")
+    return e.join(F.broadcast(season), ["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        F.round(res, 6).alias("residual"),
+        F.when((F.col("sigma") > 0) & (F.abs(res) > 3.0 * F.col("sigma")), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -19,10 +19,30 @@ REGISTRY = load_all()
         "ts_detect_gaps",
         "ts_rolling_zscore",
         "ts_interpolate_linear_hourly",
+        "ts_seasonal_residuals",
     ],
 )
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_seasonal_residuals_semantics(spark):
+    """Per-cell residuals must average ~0 (the profile is the cell mean),
+    anomalies are rare but present, and flags respect the 3-sigma rule."""
+    df = REGISTRY["ts_seasonal_residuals"].fn(spark, SF_ORACLE).cache()
+    try:
+        n = df.count()
+        n_anom = df.filter("is_anomaly").count()
+        assert 0 < n_anom < 0.05 * n, (n_anom, n)
+        worst_cell_mean = (
+            df.groupBy("event_type", "hod")
+            .agg(F.abs(F.avg("residual")).alias("m"))
+            .agg(F.max("m").alias("mm"))
+            .collect()[0]["mm"]
+        )
+        assert worst_cell_mean < 1e-4, worst_cell_mean
+    finally:
+        df.unpersist()
 
 
 def test_interpolation_invariants(spark):
