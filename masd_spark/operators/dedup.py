@@ -433,6 +433,30 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def band_rows(
+    sigs: DataFrame, id_col: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """LSH banding of a signature table: one (id, band, band_hash) row per
+    band, band_hash = md5 of the band's signature slice. This IS the
+    persisted index schema of the incremental variant — (band, band_hash)
+    is the equi-join key that replaces all-pairs comparison."""
+    rows_per_band = n_hashes // n_bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -455,23 +479,9 @@ def minhash_lsh_pairs(
     the bucket self-join only ever joins docs whose band-hash matches;
     verification touches candidates only. No all-pairs stage anywhere.
     """
-    rows_per_band = n_hashes // n_bands
     sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, shingles=sh)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+    banded = band_rows(sigs, id_col, n_hashes, n_bands)
     lhs = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     rhs = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -695,4 +705,71 @@ def tfidf_cosine_pairs(
     )
     return scored.filter(F.col("cos_sim") >= threshold).select(
         "doc_a", "doc_b", "cos_sim"
+    )
+
+
+def incremental_minhash_pairs(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch NEAR-dup: which incoming docs near-duplicate the
+    historical corpus? Returns (doc_new, doc_hist, jaccard >= threshold).
+
+    The ingestion-loop shape for approximate dedup, complementing
+    :func:`dedup_exact`'s anti-join (see dedup_incremental_new_docs):
+
+    - history side: its LSH band index (``band_rows`` schema —
+      (id, band, band_hash)) is what a production loop PERSISTS across
+      runs; history text is never rescanned for candidate generation.
+    - per batch: shingle + sign the incoming docs only, equi-join their
+      band rows against the history index — work is O(|batch| + matches),
+      independent of history size, and incoming-vs-incoming pairs are
+      structurally excluded (in-batch dedup is minhash_lsh_pairs' job).
+    - verification: exact Jaccard over shingles, with the HISTORY side
+      first semi-joined down to candidate docs — the "fetch candidate
+      docs' text" step, bounded by candidate count, not history size.
+    """
+    sh_h = shingle_rows(history, id_col, text_col, k)
+    sh_i = shingle_rows(incoming, id_col, text_col, k)
+    bands_h = band_rows(
+        minhash_signatures(history, id_col, text_col, k, n_hashes, shingles=sh_h),
+        id_col, n_hashes, n_bands,
+    ).select(F.col(id_col).alias("doc_hist"), "band", "band_hash")
+    bands_i = band_rows(
+        minhash_signatures(incoming, id_col, text_col, k, n_hashes, shingles=sh_i),
+        id_col, n_hashes, n_bands,
+    ).select(F.col(id_col).alias("doc_new"), "band", "band_hash")
+    candidates = (
+        bands_i.join(bands_h, ["band", "band_hash"])
+        .select("doc_new", "doc_hist")
+        .distinct()
+    )
+    sh_a = sh_i.select(
+        F.col(id_col).alias("doc_new"), "shingle", F.col("set_size").alias("size_a")
+    )
+    sh_b = sh_h.join(
+        candidates.select(F.col("doc_hist").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("doc_hist"), "shingle", F.col("set_size").alias("size_b")
+    )
+    pairs = candidates.join(sh_a, "doc_new").join(sh_b, ["doc_hist", "shingle"])
+    agg = pairs.groupBy("doc_new", "doc_hist").agg(
+        F.count("*").alias("n_inter"),
+        F.first("size_a").alias("size_a"),
+        F.first("size_b").alias("size_b"),
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        agg.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_hist", "jaccard")
     )

@@ -873,3 +873,98 @@ def ivfpq_topk(
             query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank")
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k of the top-m cosine candidates, each round
+    maximizing relevance minus redundancy against what is already picked
+    (lambda = 0.5, so 2*MMR = rel - max_sim_to_selected — one integer
+    subtraction).
+
+    Exactness/portability: relevance and candidate-pair similarities are
+    snapped to integer MICRO-UNITS (round(cos * 1e6)) before the greedy
+    loop, which then does only integer max/subtract/compare with vec_id
+    as the total tie-break — the selection is bit-deterministic and
+    reproducible by an unrolled k-round SQL twin.
+
+    Scale: candidate generation is the distributed part (top-m per query
+    — brute force here, any ANN index at 100 TB); the m x m pair-sim
+    matrix and the greedy loop run per query GROUP, bounded by m, via
+    one Arrow applyInPandas over |queries| groups. The sequential
+    dependence of greedy selection lives only inside a group — exactly
+    the applyInPandas contract.
+    """
+    import pandas as pd
+
+    cands = brute_force_topk(
+        corpus, queries, k=m, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, dim=dim,
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(F.col("cos_sim") * 1e6, 0).cast("bigint").alias("rel6"),
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    ca = cands.join(vecs, id_col).select(
+        query_id_col, F.col(id_col).alias("_a"), F.col("rel6"),
+        F.col(vec_col).alias("_va"),
+    )
+    cb = cands.join(vecs, id_col).select(
+        F.col(query_id_col).alias("_qb"), F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = ca.join(
+        cb,
+        (F.col(query_id_col) == F.col("_qb")) & (F.col("_a") != F.col("_b")),
+        "left",
+    ).select(
+        query_id_col,
+        F.col("_a").alias("cand"),
+        "rel6",
+        F.col("_b").alias("other"),
+        F.round(cosine(F.col("_va"), F.col("_vb")) * 1e6, 0)
+        .cast("bigint")
+        .alias("sim6"),
+    )
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, rel6 long, mmr6 long, "
+        "sel_rank long"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_id_col].iloc[0]
+        rel = {}
+        sim = {}
+        for row in pdf.itertuples(index=False):
+            rel[int(row.cand)] = int(row.rel6)
+            if row.other is not None and not pd.isna(row.other):
+                sim[(int(row.cand), int(row.other))] = int(row.sim6)
+        pool = sorted(rel)
+        selected: list[int] = []
+        rows = []
+        while pool and len(selected) < k:
+            best, best_score = None, None
+            for v in pool:
+                pen = max((sim[(v, s)] for s in selected), default=0)
+                score = rel[v] - pen
+                if best is None or score > best_score:
+                    best, best_score = v, score
+            selected.append(best)
+            pool.remove(best)
+            rows.append((qid, best, rel[best], best_score, len(selected)))
+        return pd.DataFrame(
+            rows, columns=[query_id_col, id_col, "rel6", "mmr6", "sel_rank"]
+        )
+
+    return pairs.groupBy(query_id_col).applyInPandas(greedy, schema=out_schema)

@@ -87,3 +87,66 @@ def cms_bucket_sql(expr: str, row: int, width: int = CMS_WIDTH) -> str:
     from masd_spark.operators.sampling import md5_bucket_sql
 
     return md5_bucket_sql(expr, salt=f"cms{row}:", modulus=width)
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys (<= k rows per partition).
+
+    One Arrow pass per partition holding at most k counters: each batch is
+    pre-aggregated with value_counts (vectorized), merged into the running
+    summary, then the summary is shrunk back to k entries by subtracting
+    the (k+1)-th largest count and dropping non-positives — the mergeable-
+    summaries MG merge (Agarwal et al., "Mergeable Summaries", PODS'12),
+    which preserves the deterministic guarantee: any key with true
+    partition frequency > n_p / k survives in that partition's output.
+    By pigeonhole, any key with GLOBAL frequency > n / k therefore appears
+    in at least one partition's candidates — the recall contract
+    :func:`heavy_keys` builds on. State is O(k) per partition regardless
+    of input size or cardinality; that is the point.
+    """
+    import pandas as pd
+
+    field = df.schema[key_col]
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest count from everyone;
+                # at most k entries can stay positive afterwards
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c - cut > 0
+                }
+        if counters:
+            yield pd.DataFrame({key_col: list(counters.keys())})
+
+    return df.select(key_col).mapInPandas(
+        summarize, schema=f"{key_col} {field.dataType.simpleString()}"
+    )
+
+
+def heavy_keys(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters — every key with frequency > n/k — via the
+    two-pass shape that scales: pass 1 generates candidates with bounded
+    state (:func:`mg_candidates`, a superset of the answer by the MG
+    guarantee); pass 2 exactly recounts CANDIDATES ONLY (a broadcast
+    semi-join — at most k x n_partitions keys — then one partial+final
+    agg) and keeps those above the global threshold. The output is
+    therefore partitioning-INDEPENDENT even though the intermediate
+    candidate set is not: plain GROUP BY HAVING count * k > n is a true
+    oracle. The global n rides in as a 1-row scalar aggregate crossJoin.
+    """
+    cands = mg_candidates(df, key_col, k).distinct()
+    total = df.agg(F.count("*").alias("_n"))
+    return (
+        df.join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("_n"))
+        .select(key_col, "cnt")
+    )

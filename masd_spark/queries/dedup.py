@@ -710,3 +710,83 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_TFIDF_COS_TAU,
         max_df=_TFIDF_COS_MAX_DF,
     )
+
+
+def _incr_minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = n_hashes // n_bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
+    )
+
+    def band_sel(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, md5({c}) AS band_hash FROM {src}".format(
+                b=b,
+                c=" || '|' || ".join(
+                    f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+                ),
+                src=src,
+            )
+            for b in range(n_bands)
+        )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                     for i in range(1, len(ts) - 1)])) AS shingle
+        FROM toks WHERE len(ts) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+    sh_i AS (SELECT doc_id, shingle FROM sh WHERE source = 'src0'),
+    sh_h AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+    sigs_i AS (SELECT doc_id, {sig_cols} FROM sh_i GROUP BY doc_id),
+    sigs_h AS (SELECT doc_id, {sig_cols} FROM sh_h GROUP BY doc_id),
+    bands_i AS ({band_sel('sigs_i')}),
+    bands_h AS ({band_sel('sigs_h')}),
+    candidates AS (
+        SELECT DISTINCT i.doc_id AS doc_new, h.doc_id AS doc_hist
+        FROM bands_i i JOIN bands_h h USING (band, band_hash)
+    ),
+    inter AS (
+        SELECT c.doc_new, c.doc_hist, count(*) AS n_inter
+        FROM candidates c
+        JOIN sh_i a ON a.doc_id = c.doc_new
+        JOIN sh_h b ON b.doc_id = c.doc_hist AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_new, doc_hist,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_new = sa.doc_id
+    JOIN sizes sb ON doc_hist = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.set_size + sb.set_size - n_inter), 6) >= {threshold}
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_incr_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup: incoming batch (source='src0') probed against
+    the historical corpus' LSH band index — the approximate twin of
+    dedup_incremental_new_docs' exact anti-join. Candidate generation is
+    an equi-join of the batch's band rows against the (persistable)
+    history index, so per-batch cost is O(|batch| + matches) regardless
+    of history size; incoming-vs-incoming pairs are structurally
+    excluded. Verification re-shingles only SEMI-JOINED candidate history
+    docs (bounded by candidate count).
+    (operators/dedup.py:incremental_minhash_pairs)
+    """
+    from masd_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_minhash_pairs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )

@@ -473,3 +473,79 @@ def pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(
         docs, id_col="doc_id", k=_NEG_K, n_buckets=_NEG_BUCKETS, salt=_NEG_SALT
     )
+
+
+# --------------------------------------------------------------------------
+# Model scoring: linear classifier over hashed features (fasttext-style
+# quality filter, weights as plan literals)
+# --------------------------------------------------------------------------
+
+_LM_W_SALT = "lmw:"
+_LM_W_SPAN = 2001  # weights in [-1000, 1000] milli-units
+
+
+@register(
+    "ml_linear_score_docs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               {md5_bucket_sql("tok", modulus=256)} AS feature_idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(n * ({md5_bucket_sql("feature_idx", salt=_LM_W_SALT, modulus=_LM_W_SPAN)} - 1000))
+                    AS BIGINT) AS logit_milli
+        FROM feats GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, logit_milli,
+           ROUND(CAST(logit_milli AS DOUBLE) / n_tokens / 1000.0, 6) AS score,
+           logit_milli > 0 AS keep
+    FROM scored
+    """,
+)
+def ml_linear_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model document scoring — the fasttext-style quality-filter
+    shape: hashed token features (256 buckets, the ml_feature_hash_docs
+    space) dotted with a weight vector that lives as PLAN LITERALS
+    (here md5-derived per-bucket milli-unit weights standing in for
+    trained coefficients; a real model swaps in its 256 floats, same
+    plan). The logit is an exact integer sum — no transcendental
+    functions, because sigmoid is monotone, so thresholding the logit
+    IS thresholding the probability; the per-token mean score is one
+    exact-integer division rounded at the end.
+
+    Scale: tokenize + hash are map-side; ONE (doc, bucket) partial agg
+    then a per-doc agg that reuses the doc_id partitioning. No vocab
+    build, no joins, no weight broadcast even — the "model" is O(dim)
+    constants folded into the expression. This is how a 100 TB corpus
+    gets classifier-filtered in a single pass.
+    """
+    from masd_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", hash_bucket(F.col("tok"), modulus=256).alias("feature_idx"))
+        .groupBy("doc_id", "feature_idx")
+        .agg(F.count("*").alias("n"))
+    )
+    w = hash_bucket(F.col("feature_idx"), salt=_LM_W_SALT, modulus=_LM_W_SPAN) - 1000
+    scored = feats.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * w).alias("logit_milli"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logit_milli",
+        F.round(F.col("logit_milli").cast("double") / F.col("n_tokens") / 1000.0, 6).alias("score"),
+        (F.col("logit_milli") > 0).alias("keep"),
+    )

@@ -615,3 +615,99 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_seed=_IVF_SEED,
         pq_seed=_PQ_SEED,
     )
+
+
+_MMR_K = 5
+_MMR_M = 20
+
+
+def _mmr_oracle(k: int = _MMR_K, m: int = _MMR_M) -> str:
+    """Unrolled-greedy SQL twin of the MMR selection: k rounds, each an
+    argmax over the remaining candidates of (rel6 - max sim6 to the
+    already-selected set), ties to the lowest vec_id — the identical
+    integer arithmetic the Arrow greedy loop performs. Every round CTE is
+    MATERIALIZED (the k-core lesson: round r is referenced by r+1 twice;
+    inlining doubles the reference tree per round)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cand AS MATERIALIZED (
+        SELECT query_id, vec_id, rel6 FROM (
+            SELECT q.query_id, e.vec_id,
+                   CAST(ROUND(ROUND(list_cosine_similarity(
+                            q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                        * 1000000) AS BIGINT) AS rel6,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                                DESC, e.vec_id) AS rnk
+            FROM q JOIN embeddings e ON e.vec_id != q.query_id
+        ) WHERE rnk <= {m}
+    ),
+    sims AS MATERIALIZED (
+        SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+               CAST(ROUND(list_cosine_similarity(
+                        CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])) * 1000000)
+                    AS BIGINT) AS sim6
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, vec_id, rel6, rel6 AS mmr6,
+               CAST(1 AS BIGINT) AS sel_rank
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel6 DESC, vec_id) = 1
+    ),
+    acc1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f"""scored{r} AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id, c.rel6, c.rel6 - max(s.sim6) AS mmr6
+        FROM cand c
+        JOIN sims s ON s.query_id = c.query_id AND s.ca = c.vec_id
+        JOIN acc{r - 1} p ON p.query_id = s.query_id AND p.vec_id = s.cb
+        WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} x
+                          WHERE x.query_id = c.query_id
+                            AND x.vec_id = c.vec_id)
+        GROUP BY 1, 2, 3
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT query_id, vec_id, rel6, mmr6, CAST({r} AS BIGINT) AS sel_rank
+        FROM scored{r}
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY mmr6 DESC, vec_id) = 1
+    ),
+    acc{r} AS MATERIALIZED (
+        SELECT * FROM acc{r - 1} UNION ALL SELECT * FROM sel{r}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT query_id, vec_id, rel6, mmr6, sel_rank FROM acc{k}"
+    )
+
+
+@register("ann_mmr_rerank", oracle=_mmr_oracle())
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: MMR re-rank (lambda=0.5) of each query's
+    top-20 exact-cosine candidates down to 5 picks — the standard
+    redundancy-suppression step between ANN retrieval and a RAG/labeling
+    consumer. Relevance and pair similarities snap to integer micro-units
+    BEFORE the greedy loop, so selection is pure integer arithmetic —
+    bit-deterministic, and provable by the unrolled 5-round SQL twin.
+    Candidate generation is distributed (any index plan slots in);
+    the greedy runs per query group under applyInPandas, bounded by m.
+    (operators/similarity.py:mmr_topk)
+    """
+    from masd_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        emb, _queries_df(emb), k=_MMR_K, m=_MMR_M, dim=EMBEDDING_DIM
+    )

@@ -91,3 +91,34 @@ def sketch_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("hll_users"),
     )
     return typed.unionAll(merged)
+
+
+_MG_K = 128
+
+
+@register(
+    "sketch_mg_heavy_users",
+    oracle=f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * {_MG_K} > (SELECT count(*) FROM events)
+    """,
+)
+def sketch_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (users with > n/{k} of all events, k=128) via
+    the bounded-state two-pass shape: per-partition Misra-Gries candidate
+    summaries (O(k) state each, Arrow-batched — the mergeable-summaries
+    merge) unioned, then an exact recount of candidates only. The
+    fixture's 150 distinct users exceed the 128 counters, so evictions
+    genuinely happen, yet the result equals the plain GROUP BY HAVING
+    oracle on any partitioning — the MG guarantee (every key above n/k
+    survives some partition's summary) makes the candidate set a certain
+    superset, and the recount makes the final answer exact. At 100 TB:
+    pass 1 never shuffles (map-side summaries), pass 2 shuffles only
+    candidate-key rows. (operators/sketches.py:heavy_keys)
+    """
+    from masd_spark.operators.sketches import heavy_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_keys(ev, "user_id", _MG_K)

@@ -545,3 +545,104 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS hr,
+               CAST(value AS DECIMAL(18,6)) AS vq
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, hr,
+               CAST(round((CAST(sum(vq) AS DOUBLE) / count(*)) * 1000000)
+                    AS BIGINT) AS m6
+        FROM e GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([{', '.join(str(l) for l in _ACF_LAGS)}]) AS lag),
+    paired AS (
+        SELECT a.event_type, l.lag, a.m6 AS x, b.m6 AS y
+        FROM hourly a
+        CROSS JOIN lags l
+        JOIN hourly b
+          ON b.event_type = a.event_type AND b.hr = a.hr + l.lag
+    ),
+    s AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM paired GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS acf
+    FROM s
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k=1..3) of each event type's HOURLY mean
+    series — the memory/periodicity diagnostic behind seasonal modeling
+    (an ACF near zero at all lags says the hourly means are white noise;
+    a slow decay says trend). Sample ACF via the lagged-Pearson form:
+    hours pair with hour+k when both exist (gap-tolerant — no grid
+    fill). Portable numerics: hourly means snap to integer micro-units
+    (decimal-quantized sums), the five correlation sums are exact
+    BIGINTs, and the only floating point is the final closed-form ratio
+    over identical integers — bit-identical cross-engine.
+
+    Scale: the fact table is touched ONCE (partial-agg to |types| x
+    |hours| rows); the lag self-join and the Pearson reduction run on
+    the tiny hourly aggregate, never on raw events.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts div 1000000) div {_HOUR_MS}").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("vq"),
+    )
+    hourly = e.groupBy("event_type", "hr").agg(
+        F.round((F.sum("vq").cast("double") / F.count("*")) * 1e6)
+        .cast("bigint")
+        .alias("m6")
+    )
+    lags = F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS])).alias("lag")
+    a = hourly.select("event_type", "hr", F.col("m6").alias("x"), lags)
+    b = hourly.select(
+        "event_type", F.col("hr").alias("hr_b"), F.col("m6").alias("y")
+    )
+    paired = a.join(
+        b,
+        (a["event_type"] == b["event_type"]) & (F.col("hr_b") == F.col("hr") + F.col("lag")),
+    ).select(a["event_type"], "lag", "x", "y")
+    s = paired.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    num = n * F.col("sxy") - sx * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * F.col("sx")) * (n * F.col("syy") - sy * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )

@@ -334,3 +334,37 @@ def test_ann_recall_report_parity_and_floors(spark):
     }
     for method, recall in got.items():
         assert floors[method] <= recall <= 1.0, (method, recall)
+
+
+def test_mmr_rerank_parity(spark):
+    compare_query(spark, REGISTRY["ann_mmr_rerank"], SF_ORACLE)
+
+
+def test_mmr_rerank_semantics(spark):
+    """Pick 1 is the plain top-1 (no redundancy yet); every query emits
+    exactly k=5 distinct picks from its candidate set; and the penalty
+    actually bites — some query's selection departs from the plain
+    top-5 ordering (else the re-rank would be a no-op on this corpus)."""
+    from pyspark.sql import functions as F
+
+    mmr = REGISTRY["ann_mmr_rerank"].fn(spark, SF_ORACLE).cache()
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).cache()
+    by_q = {}
+    for r in mmr.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    top = {}
+    for r in exact.collect():
+        top.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(by_q) == set(top)
+    departed = False
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["sel_rank"])
+        picks = [r["vec_id"] for r in rows]
+        assert len(picks) == 5 and len(set(picks)) == 5
+        top5 = [v for _, v in sorted(top[qid])][:5]
+        assert picks[0] == top5[0]
+        if picks != top5:
+            departed = True
+        for a, b in zip(rows, rows[1:]):
+            assert a["mmr6"] >= b["mmr6"] or a["sel_rank"] == 1, (qid, rows)
+    assert departed

