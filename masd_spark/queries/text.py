@@ -658,3 +658,255 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
     )
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of two lexical rankings
+# --------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_TOPK = 10
+
+_QL_ORACLE = f"""
+    WITH q AS (SELECT DISTINCT query_id, term FROM ({_BM25_QUERY_SQL})),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2
+    ),
+    ql AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ROUND(1000000.0 * sum(tf.tf) / any_value(dl.dl))
+                    AS BIGINT) AS ql6
+        FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, ql6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ql6 DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM ql QUALIFY rank <= {_BM25_TOPK}
+"""
+
+
+def _ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood (length-normalized term frequency) top-k for the
+    same fixed query set BM25 uses: ql6 = round(1e6 * sum(tf)/dl) —
+    integer micro-units, ties on doc_id. The deliberately-different
+    second ranking RRF fuses with BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, q in _BM25_QUERIES for t in q.split(" ")}),
+        "query_id int, term string",
+    )
+    terms_only = qterms.select("term").distinct()
+    toked = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = docs.select("doc_id", F.size(tokens("text")).cast("bigint").alias("dl"))
+    tf = (
+        toked.join(F.broadcast(terms_only), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ql = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.lit(1000000.0) * F.sum("tf") / F.any_value("dl"))
+            .cast("bigint")
+            .alias("ql6")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ql6").desc(), F.col("doc_id"))
+    return (
+        ql.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+    )
+
+
+def _rrf_oracle() -> str:
+    from masd_spark.queries import REGISTRY
+
+    bm25_sql = REGISTRY["text_bm25_search"].oracle
+    return f"""
+    WITH bm25_ranked AS MATERIALIZED (
+        SELECT query_id, doc_id, rank FROM ({bm25_sql})
+    ),
+    ql_ranked AS MATERIALIZED (
+        SELECT query_id, doc_id, rank FROM ({_QL_ORACLE})
+    ),
+    fused AS (
+        SELECT coalesce(b.query_id, s.query_id) AS query_id,
+               coalesce(b.doc_id, s.doc_id) AS doc_id,
+               CAST(ROUND(1000000.0 *
+                    (coalesce(1.0 / ({_RRF_C} + b.rank), 0.0)
+                     + coalesce(1.0 / ({_RRF_C} + s.rank), 0.0))) AS BIGINT)
+                   AS rrf6,
+               b.rank IS NOT NULL AS in_bm25,
+               s.rank IS NOT NULL AS in_ql
+        FROM bm25_ranked b
+        FULL OUTER JOIN ql_ranked s
+          ON b.query_id = s.query_id AND b.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, rrf6, in_bm25, in_ql,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf6 DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM fused QUALIFY rank <= {_RRF_TOPK}
+    """
+
+
+@register("text_rrf_hybrid_search", oracle=_rrf_oracle())
+def text_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two rankings
+    over the same fixed query set: BM25 and length-normalized query
+    likelihood. RRF works on RANKS only — 1/(c + rank), c=60 — so fusing
+    needs no score calibration between the lists; docs appearing in one
+    list still contribute (FULL OUTER). Fused scores snap to integer
+    micro-units computed from integer ranks, so the ordering is
+    bit-deterministic (ties on doc_id). The oracle composes the
+    registered BM25 oracle as a subquery (composed-oracle pattern).
+
+    Scale: each input ranking is already top-k per query; fusion is a
+    FULL OUTER equi-join + window over <= 2k rows per query. Any ranking
+    source slots in — this is the standard hybrid (lexical + vector)
+    retrieval combiner.
+    """
+    bm25 = text_bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_b")
+    )
+    ql = _ql_topk(spark, sf_dir).select(
+        F.col("query_id").alias("_qs"),
+        F.col("doc_id").alias("_ds"),
+        F.col("rank").alias("rank_s"),
+    )
+    fused = bm25.join(
+        ql,
+        (F.col("query_id") == F.col("_qs")) & (F.col("doc_id") == F.col("_ds")),
+        "full_outer",
+    ).select(
+        F.coalesce("query_id", "_qs").alias("query_id"),
+        F.coalesce("doc_id", "_ds").alias("doc_id"),
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_b")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_s")), F.lit(0.0))
+            )
+        )
+        .cast("bigint")
+        .alias("rrf6"),
+        F.col("rank_b").isNotNull().alias("in_bm25"),
+        F.col("rank_s").isNotNull().alias("in_ql"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf6").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _RRF_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture diagnostics: source shares, entropy, Gini
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mixture_report",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n_src
+            FROM per_src),
+    ent AS (
+        SELECT CAST(sum(CAST(ROUND(-1000000.0
+                   * (CAST(n_tokens AS DOUBLE) / t)
+                   * ln(CAST(n_tokens AS DOUBLE) / t)) AS BIGINT))
+               AS BIGINT) AS entropy6
+        FROM per_src CROSS JOIN tot
+    ),
+    gin AS (
+        SELECT CAST(ROUND(1000000.0 * sum(abs(a.n_tokens - b.n_tokens))
+                    / (2.0 * tot.n_src * tot.t)) AS BIGINT) AS gini6
+        FROM per_src a CROSS JOIN per_src b CROSS JOIN tot
+        GROUP BY tot.n_src, tot.t
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(CAST(p.n_tokens AS DOUBLE) / tot.t, 6) AS token_share,
+           ent.entropy6, gin.gini6
+    FROM per_src p CROSS JOIN tot CROSS JOIN ent CROSS JOIN gin
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture diagnostics — the one-page answer to "what is this
+    corpus made of and how concentrated is it": per-source doc/token
+    counts and token share, plus two corpus-level concentration numbers
+    repeated on every row — Shannon entropy of the source token
+    distribution and the Gini coefficient (mean absolute pairwise
+    difference form). Both are computed from exact integer token counts;
+    entropy quantizes each source's -p*ln(p) term to integer micro-units
+    BEFORE summing (exact integer total), Gini is one exact integer
+    pairwise sum over |sources|^2 rows.
+
+    Scale: token counts come from size(split(...)) per row — NO explode,
+    one partial agg to |sources| rows; everything else (entropy, the
+    pairwise Gini self-join) runs on the materialized tiny aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"), F.count("*").alias("n_src")
+    )
+    p = F.col("n_tokens").cast("double") / F.col("t")
+    ent = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.lit(-1000000.0) * p * F.log(p)).cast("bigint").alias("e6")
+        )
+        .agg(F.sum("e6").cast("bigint").alias("entropy6"))
+    )
+    a = per_src.select(F.col("n_tokens").alias("xa"))
+    b = per_src.select(F.col("n_tokens").alias("xb"))
+    gin = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_src", "t")
+        .agg(F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("sad"))
+        .select(
+            F.round(
+                F.lit(1000000.0) * F.col("sad")
+                / (F.lit(2.0) * F.col("n_src") * F.col("t"))
+            )
+            .cast("bigint")
+            .alias("gini6")
+        )
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("token_share"),
+        )
+        .crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(gin))
+    )

@@ -614,6 +614,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m6")
     )
+    # materialize the tiny aggregate so BOTH self-join sides read the same
+    # blocks — without this each side re-scans and re-aggregates the fact
+    # table (plan-asserted in test_autocorrelation_single_fact_scan)
+    hourly = hourly.localCheckpoint(eager=True)
     lags = F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS])).alias("lag")
     a = hourly.select("event_type", "hr", F.col("m6").alias("x"), lags)
     b = hourly.select(

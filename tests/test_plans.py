@@ -299,3 +299,54 @@ def test_interpolation_single_window_partitioning(spark):
     n_window_exchanges = plan.lower().count("hashpartitioning(event_type#")
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert count_exchanges(df) <= 5, plan
+
+
+def test_mg_heavy_keys_plan_shape(spark):
+    """Pass 1 is map-side Arrow (MapInPandas, no exchange feeding it
+    beyond the scan); pass 2 recounts via a BROADCAST left-semi of the
+    tiny candidate set — the big table never sort-merge-joins."""
+    df = _q(spark, "sketch_mg_heavy_users")
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_incremental_minhash_no_nested_loop(spark):
+    """Candidate generation is an equi-join on (band, band_hash); the
+    verify stage equi-joins shingles — nothing degenerates into a
+    nested-loop/cartesian pair enumeration."""
+    df = _q(spark, "dedup_incremental_minhash")
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_autocorrelation_single_fact_scan(spark):
+    """The events table is scanned ONCE: the hourly aggregate is
+    materialized (localCheckpoint) so both lag self-join sides read the
+    same blocks instead of re-scanning + re-aggregating the fact table."""
+    df = _q(spark, "ts_autocorrelation")
+    plan = physical_plan(df)
+    assert "FileScan parquet" not in plan, plan  # only checkpoint scans
+    assert plan.count("Scan ExistingRDD") <= 2, plan
+
+
+def test_linear_score_no_joins(spark):
+    """Model scoring is joinless: weights fold into the projection, the
+    only exchanges are the (doc, bucket) partial agg and the per-doc
+    agg reusing the doc partitioning."""
+    df = _q(spark, "ml_linear_score_docs")
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_mmr_groups_by_query_only(spark):
+    """The greedy runs under one FlatMapGroupsInPandas keyed by query_id;
+    candidate pair-building stays equi-join/broadcast (the only
+    nested-loop is the broadcast of the tiny query set, the same shape
+    ann_cosine_topk pins)."""
+    df = _q(spark, "ann_mmr_rerank")
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Cartesian" not in plan, plan

@@ -34,7 +34,40 @@ ORACLE_QUERIES = [
     "text_zipf_fit",
     "dedup_incremental_minhash",
     "ml_linear_score_docs",
+    "text_rrf_hybrid_search",
+    "corpus_mixture_report",
 ]
+
+
+def test_corpus_mixture_semantics(spark):
+    """Shares sum to ~1; entropy is near-uniform ln(20) for the balanced
+    fixture (each source = 25 docs) and bounded by it; Gini is near 0
+    for the same reason."""
+    import math
+
+    rows = REGISTRY["corpus_mixture_report"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    max_ent6 = round(1e6 * math.log(20))
+    ent6 = rows[0]["entropy6"]
+    assert 0.95 * max_ent6 <= ent6 <= max_ent6 + 20  # +20: per-term rounding
+    assert 0 <= rows[0]["gini6"] <= 100_000  # well below 0.1 when balanced
+
+
+def test_rrf_fusion_semantics(spark):
+    """Each query fuses to exactly top-10; single-list docs survive (the
+    FULL OUTER matters on this fixture); a doc in BOTH lists at rank 1
+    beats a doc in one list at rank 1 (2/(c+1) > 1/(c+1))."""
+    out = REGISTRY["text_rrf_hybrid_search"].fn(spark, SF_ORACLE).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 10 for v in by_q.values())
+    assert any(r["in_bm25"] != r["in_ql"] for r in out)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["rrf6"] >= b["rrf6"]
 
 
 def test_linear_score_semantics(spark):
