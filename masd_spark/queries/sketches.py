@@ -122,3 +122,80 @@ def sketch_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_keys(ev, "user_id", _MG_K)
+
+
+_JS_WIDTH = 1024  # 1500 distinct custkeys: width >= keys keeps collisions rare
+_JS_CK = "CAST(o_custkey AS VARCHAR)"
+_JS_CK_B = "CAST(c_custkey AS VARCHAR)"
+_JS_CASE_A = (
+    "CASE i "
+    + " ".join(
+        f"WHEN {i} THEN {cms_bucket_sql(_JS_CK, i, _JS_WIDTH)}"
+        for i in range(CMS_DEPTH)
+    )
+    + " END"
+)
+_JS_CASE_B = (
+    "CASE i "
+    + " ".join(
+        f"WHEN {i} THEN {cms_bucket_sql(_JS_CK_B, i, _JS_WIDTH)}"
+        for i in range(CMS_DEPTH)
+    )
+    + " END"
+)
+
+
+@register(
+    "sketch_cms_join_size",
+    oracle=f"""
+    WITH seeds(i) AS (VALUES (0), (1), (2)),
+    cells_a AS (
+        SELECT i, {_JS_CASE_A} AS bucket, CAST(count(*) AS BIGINT) AS cnt_a
+        FROM orders, seeds GROUP BY 1, 2
+    ),
+    cells_b AS (
+        SELECT i, {_JS_CASE_B} AS bucket, CAST(count(*) AS BIGINT) AS cnt_b
+        FROM customer, seeds GROUP BY 1, 2
+    ),
+    per_row AS (
+        SELECT i, CAST(sum(cnt_a * cnt_b) AS BIGINT) AS ip
+        FROM cells_a JOIN cells_b USING (i, bucket) GROUP BY 1
+    ),
+    est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM per_row),
+    tru AS (
+        SELECT CAST(count(*) AS BIGINT) AS true_join_size
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est.est_join_size, tru.true_join_size
+    FROM est CROSS JOIN tru
+    """,
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches: the CM
+    inner-product estimate |A join B| <= min over sketch rows of
+    sum_bucket cntA[b]*cntB[b] (Cormode-Muthukrishnan) — the classic
+    sketch a planner consults BEFORE committing to a join strategy.
+    Both sketches build map-side (partial+final agg, no key shuffle of
+    either table); the inner product runs on two <= depth x width cell
+    tables. The true size rides along for calibration. All counters are
+    exact integers — the estimate is deterministic, value-checked by
+    DuckDB recomputing the identical grids.
+    """
+    from masd_spark.operators.sketches import cms_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ska = cms_build(orders.select(F.col("o_custkey").alias("k")), "k", width=_JS_WIDTH)
+    skb = cms_build(customer.select(F.col("c_custkey").alias("k")), "k", width=_JS_WIDTH)
+    per_row = (
+        ska.withColumnRenamed("cnt", "cnt_a")
+        .join(skb.withColumnRenamed("cnt", "cnt_b"), ["sketch_row", "bucket"])
+        .groupBy("sketch_row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    tru = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .agg(F.count("*").cast("bigint").alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(tru))

@@ -346,3 +346,70 @@ def streaming_timer_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(provider_key, saved_provider)
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register("streaming_sensor_ewma")
+def streaming_sensor_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(station, sensor) EWMA of valid readings carried across
+    micro-batches in GroupState (applyInPandasWithState) — the
+    smoothing/denoising custom stateful operator, registered so the
+    family's applyInPandasWithState leg is a first-class harness entry
+    like the TWS legs. The result is the LAST emission per key (the
+    running (n_valid, ewma) after the final trigger), which
+    test_stateful_ewma_matches_sequential_fold pins equal to the
+    sequential time-ordered fold over the full history. ewma is rounded
+    to 6dp for presentation; the fold itself is float-exact per the
+    chunk-concat + single-sort discipline in streaming/stateful.py.
+
+    Scale: state per key is (count, ewma) — O(keys) total, point
+    updates per trigger; emission is per-key-per-trigger in update
+    mode. ``sf_dir`` selects nothing (seeded generator input).
+    """
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.streaming.stateful import streaming_sensor_ewma
+
+    workdir = tempfile.mkdtemp(prefix="masd_ewma_q_")
+    src = os.path.join(workdir, "drops")
+    sink_dir = os.path.join(workdir, "sink")
+    try:
+        cfg = SimulatorConfig(duration_ms=120_000, seed=13)
+        write_json_drops(src, cfg, n_files=3, split="time")
+
+        stream = classify_validity(read_file_sensor_stream(spark, src))
+        out = streaming_sensor_ewma(stream, alpha=0.3)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(sink_dir)
+            )
+
+        q = (
+            out.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("station_id", "sensor_id").orderBy(
+            F.col("batch_id").desc()
+        )
+        latest = (
+            spark.read.parquet(sink_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "station_id",
+                "sensor_id",
+                "n_valid",
+                F.round("ewma", 6).alias("ewma"),
+            )
+        )
+        return latest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

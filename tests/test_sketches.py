@@ -124,3 +124,17 @@ def test_mg_heavy_keys_partitioning_independent(spark):
             map(tuple, heavy_keys(base.repartition(parts), "user_id", k).collect())
         )
         assert out == expect, parts
+
+
+def test_cms_join_size_parity(spark):
+    compare_query(spark, REGISTRY["sketch_cms_join_size"], SF_ORACLE)
+
+
+def test_cms_join_size_bounds(spark):
+    """The CM inner product never underestimates, and the overshoot is
+    within the analytic slack (expected excess ~ nA*nB/width per row;
+    allow 3x for variance)."""
+    r = REGISTRY["sketch_cms_join_size"].fn(spark, SF_ORACLE).first()
+    n_a, n_b, width = 15000, 1500, 1024
+    assert r["est_join_size"] >= r["true_join_size"]
+    assert r["est_join_size"] <= r["true_join_size"] + 3 * n_a * n_b / width

@@ -1004,3 +1004,33 @@ def test_stream_union_two_sources(spark, tmp_path):
         for r in sensor_pipeline(both, nest=False).collect()
     }
     assert last == expected
+
+
+def test_registered_ewma_query_matches_fold(spark):
+    """The registered streaming_sensor_ewma harness query (last emission
+    per key) must equal the sequential time-ordered fold over the full
+    seeded history — same contract as the operator-level test, pinned at
+    the registry surface."""
+    from masd_spark.queries import load_all
+    from masd_spark.sources.simulator import generate_readings
+    from tests.conftest import SF_SMOKE
+
+    rows = load_all()["streaming_sensor_ewma"].fn(spark, SF_SMOKE).collect()
+    got = {
+        (r["station_id"], r["sensor_id"]): (r["n_valid"], r["ewma"])
+        for r in rows
+    }
+    cfg = SimulatorConfig(duration_ms=120_000, seed=13)
+    expected: dict = {}
+    for r in sorted(generate_readings(cfg), key=lambda x: x["timestamp"]):
+        if r["value"] == "<<bad_data>>":
+            continue
+        key = (r["station_id"], str(r["sensor_id"]))
+        n, ew = expected.get(key, (0, None))
+        v = float(r["value"])
+        ew = v if ew is None else 0.3 * v + 0.7 * ew
+        expected[key] = (n + 1, ew)
+    assert set(got) == set(expected)
+    for k, (n, ew) in expected.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - round(ew, 6)) <= 1e-6, k
