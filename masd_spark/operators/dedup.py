@@ -773,3 +773,60 @@ def incremental_minhash_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_new", "doc_hist", "jaccard")
     )
+
+
+def shingle_rows_mapside(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Shuffle-FREE twin of :func:`shingle_rows`: same (id, shingle,
+    set_size) rows, built entirely map-side.
+
+    The window-lead form pays one doc-keyed sort shuffle purely to dodge
+    Catalyst's project-collapse trap (an array expression referenced by
+    explode AND size() gets inlined and re-evaluated). This variant
+    dodges it differently: each intermediate array is passed through
+    ``explode(array(...))`` — a Generate evaluates its child ONCE per
+    row and emits the result as a bound ATTRIBUTE, which downstream
+    expressions reference by slot instead of re-inlining. Three chained
+    Generates (token array -> distinct-shingle array -> shingle rows),
+    zero exchanges; positional shingles come from slice() over the
+    materialized token attribute, never from re-split text.
+
+    Measured head-to-head at sf0.1 (warm): build 0.56s vs 0.69s for the
+    window-lead form — but its checkpoint inherits the SCAN's partition
+    count (3 files here), so downstream consumers start less parallel
+    than from the lead form's 32 shuffle partitions (jaccard 1.8s vs
+    1.1s). At fixture scale the lead form therefore stays the default;
+    at real scale the trade flips — input splits provide parallelism and
+    this form shuffles NOTHING, while the lead form shuffles the
+    exploded token rows (k x corpus tokens), its single biggest cost.
+    Equality with shingle_rows is pinned by test (exact multiset).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    )
+    n_spans = F.size("_toks") - (k - 1)
+    sh_arr = F.when(
+        n_spans >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, k)),
+            )
+        ),
+    )
+    per_doc = toks.select(
+        F.col(id_col), F.explode(F.array(sh_arr)).alias("_set")
+    ).filter(F.col("_set").isNotNull())
+    out = per_doc.select(
+        F.col(id_col),
+        F.size("_set").cast("bigint").alias("set_size"),
+        F.explode("_set").alias("shingle"),
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -89,6 +89,21 @@ def cms_bucket_sql(expr: str, row: int, width: int = CMS_WIDTH) -> str:
     return md5_bucket_sql(expr, salt=f"cms{row}:", modulus=width)
 
 
+def mg_merge(counters: dict, add, k: int) -> dict:
+    """Merge (key, count) pairs into a Misra-Gries summary of <= k
+    counters: add, then subtract the (k+1)-th largest count from every
+    counter and drop non-positives (the Mergeable Summaries merge, which
+    caps the total decrement any key ever absorbs at n/(k+1)). Pure —
+    the MG guarantee is property-tested directly on this function
+    (tests/test_properties.py)."""
+    for key, cnt in add:
+        counters[key] = counters.get(key, 0) + int(cnt)
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {key: c - cut for key, c in counters.items() if c - cut > 0}
+    return counters
+
+
 def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries candidate keys (<= k rows per partition).
 
@@ -112,15 +127,7 @@ def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
         counters: dict = {}
         for pdf in batches:
             vc = pdf[key_col].value_counts(dropna=True)
-            for key, cnt in vc.items():
-                counters[key] = counters.get(key, 0) + int(cnt)
-            if len(counters) > k:
-                # subtract the (k+1)-th largest count from everyone;
-                # at most k entries can stay positive afterwards
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    key: c - cut for key, c in counters.items() if c - cut > 0
-                }
+            counters = mg_merge(counters, vc.items(), k)
         if counters:
             yield pd.DataFrame({key_col: list(counters.keys())})
 

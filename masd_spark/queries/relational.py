@@ -885,3 +885,73 @@ def join_full_outer_period_reconcile(
         .otherwise(F.lit("both"))
         .alias("presence"),
     )
+
+
+# --------------------------------------------------------------------------
+# Modern Spark surface: VARIANT semi-structured data + SQL pipe syntax
+# --------------------------------------------------------------------------
+
+
+@register(
+    "variant_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           json_extract(props, '$.k') IS NOT NULL AS has_k,
+           json_extract(props, '$.missing') IS NOT NULL AS has_missing
+    FROM events
+    """,
+)
+def variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json once
+    into a variant value, then typed path extraction with variant_get /
+    try_variant_get — the open-schema path for payload columns whose
+    structure drifts (vs from_json's fixed schema, masd_parse_sensor_json,
+    or per-path get_json_object re-parses, json_extract_events). VARIANT
+    parses the JSON ONCE into a binary encoding; each extraction is a
+    cheap path walk, which is the at-scale argument when many paths are
+    pulled from one payload. try_variant_get on an absent path yields
+    NULL (probed as has_missing).
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_num"),
+        F.try_variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
+        F.try_variant_get(v, "$.missing", "string").isNotNull().alias("has_missing"),
+    )
+
+
+@register(
+    "sql_pipe_order_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door, in Spark 4 pipe syntax (`|>`): the engine's
+    tables are ordinary temp views, so users can run chained-operator
+    SQL directly — each |> stage maps 1:1 onto the same logical plan the
+    DataFrame API builds (one scan, pushed filter, partial+final agg).
+    Money sums quantize to DECIMAL(18,2) before aggregating (exact,
+    order-independent).
+    """
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                AS DOUBLE), 2) AS total_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, total_price
+        """
+    )

@@ -33,7 +33,23 @@ RELATIONAL = [
     "subquery_scalar_above_avg",
     "orderby_nulls_last_limit",
     "join_full_outer_period_reconcile",
+    "variant_extract_events",
+    "sql_pipe_order_counts",
 ]
+
+
+def test_variant_extract_semantics(spark):
+    """Every event has $.k (the fixture writes it), none has $.missing,
+    and the variant-typed extraction agrees with the string-path one."""
+    v = REGISTRY["variant_extract_events"].fn(spark, SF_ORACLE)
+    rows = v.collect()
+    assert all(r["has_k"] and not r["has_missing"] for r in rows)
+    j = {
+        r["event_id"]: r["k_num"]
+        for r in REGISTRY["json_extract_events"].fn(spark, SF_ORACLE).collect()
+    }
+    for r in rows:
+        assert r["k_num"] == j[r["event_id"]]
 
 
 def test_full_outer_exercises_all_branches(spark):

@@ -444,3 +444,17 @@ def test_incremental_dedup_excludes_history(spark):
         out_fp.groupBy("fingerprint").count().filter(F.col("count") > 1).count()
     )
     assert dups == 0
+
+
+def test_shingle_mapside_equals_window_lead(spark):
+    """The shuffle-free shingle builder must produce the identical
+    (id, shingle, set_size) multiset as the window-lead default."""
+    from masd_spark.operators.dedup import shingle_rows, shingle_rows_mapside
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = sorted(map(tuple, shingle_rows(docs, materialize=False).collect()))
+    b = sorted(
+        map(tuple, shingle_rows_mapside(docs, materialize=False).collect())
+    )
+    assert a == b and len(a) > 0
