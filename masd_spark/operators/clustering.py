@@ -334,3 +334,95 @@ def pca_top_component(
     if v[pivot] < 0:
         v = -v
     return [float(c) for c in v], eig, n
+
+
+def kmeans_exact_longform(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    scale: int = 10**4,
+) -> DataFrame:
+    """Integer fixed-point Lloyd k-means — the hash-checkable twin of
+    :func:`kmeans_assign` (whose float accumulation order varies in the
+    last ULPs). Determinism recipe (same family as pagerank_exact / MMR):
+
+    - vectors quantize ONCE to integer ``1/scale`` units;
+    - distances are exact BIGINT sums of squared integer diffs
+      (scale=1e4 keeps sum-over-corpus < 2^63 far beyond fixture sizes);
+    - centroid updates are per-dim floor means (BIGINT ``div``);
+    - argmin ties break on cluster id; init is the md5-seeded sample
+      (portable plan literal rule, as IVF).
+
+    Everything is LONG-FORM relational — (vec, dim, x) rows joined to
+    (cid, dim, x) centroid rows — so an unrolled n_iter-round SQL twin
+    reproduces it bit-for-bit. An empty cluster drops out of the
+    centroid table (deterministically, both engines). The float kernel
+    stays the scale path (map-side argmin, no per-round dim shuffle);
+    this variant is the verification surface.
+
+    Returns the final assignment (id, cluster, dist2) where dist2 is in
+    squared ``1/scale`` units.
+    """
+    q = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.round(v.cast("double") * scale).cast("bigint"),
+            )
+        ).alias("pos", "x"),
+    ).select(id_col, (F.col("pos") + 1).alias("dim"), "x")
+    q = q.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    seed_order = Window.orderBy(
+        F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    init_ids = (
+        df.select(id_col)
+        .withColumn("_rn", F.row_number().over(seed_order))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col), (F.col("_rn") - 1).cast("bigint").alias("cid"))
+    )
+    cents = (
+        q.join(init_ids, id_col)
+        .select("cid", "dim", "x")
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents_df):
+        dist = (
+            q.join(
+                cents_df.select(
+                    F.col("cid"), F.col("dim"), F.col("x").alias("cx")
+                ),
+                "dim",
+            )
+            .groupBy(id_col, "cid")
+            .agg(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+                .alias("d")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
+        return (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("cid").alias("cluster"), F.col("d").alias("dist2"))
+        )
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        cents = (
+            a.join(q, id_col)
+            .groupBy(F.col("cluster").alias("cid"), F.col("dim"))
+            .agg(F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return assign(cents)

@@ -399,3 +399,86 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Integer fixed-point PageRank — bit-deterministic and therefore
+    SQL-oracle-checkable, unlike the float kernel above (whose
+    accumulation order is partition-dependent in the last ULPs).
+
+    Ranks live in integer ``1/scale`` units (pico-units at the default);
+    every operation is exact BIGINT arithmetic with floor division:
+
+        contrib(v) = sum over u->v of (rank(u) * w(u,v)) div W(u)
+        rank'(v)   = ((den-num)*scale) div (den*N)
+                     + (num * (contrib(v) + D div N)) div den
+
+    with D the dangling mass. Floor losses mean total rank decays by a
+    few units per iteration (bounded by ~2*edges+N units) — a DEFINED
+    deterministic variant, not an approximation error; the float kernel
+    remains the analytically-clean reference (numpy-pinned), and the two
+    agree to ~1e-9 after 10 iterations (tested). Overflow bound:
+    rank*w <= scale * max_weight must stay under 2^63 — fine through
+    SF where per-edge weights < ~9e6.
+
+    Scale shape identical to :func:`pagerank`: one edge join + one agg
+    per iteration, localCheckpoint lineage truncation, only the loop
+    counter and the (scalar) dangling mass on the driver.
+    """
+    w = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
+    )
+    from pyspark.sql import Window
+
+    total_out = F.sum("_w").over(Window.partitionBy("_src"))
+    trans = e.select(
+        "_src", "_dst", "_w", total_out.alias("_tw")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    has_out = trans.select(F.col("_src").alias("node")).distinct()
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        dangling = int(
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        d_share = dangling // n
+        contrib = (
+            trans.join(ranks, trans["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("(rank * _w) div _tw").alias("c0"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c0").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damp_num} * (coalesce(c, CAST(0 AS BIGINT))"
+                    f" + {d_share})) div {damp_den} AS BIGINT)"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -711,3 +711,90 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         emb, _queries_df(emb), k=_MMR_K, m=_MMR_M, dim=EMBEDDING_DIM
     )
+
+
+_KM_SCALE = 10**4
+_KM_K = 8
+_KM_ITER = 5
+_KM_SEED = 42
+
+
+def _kmeans_exact_oracle(
+    n_iter: int = _KM_ITER, k: int = _KM_K, scale: int = _KM_SCALE,
+    seed: int = _KM_SEED, dim: int = 64,
+) -> str:
+    """Unrolled Lloyd twin of kmeans_exact_longform: identical BIGINT
+    arithmetic per round, MATERIALIZED round CTEs (each feeds two
+    consumers in the next round)."""
+    seed_order = f"md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id"
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+                   AS x
+        FROM embeddings CROSS JOIN range(1, {dim + 1}) t(i)
+    ),
+    init AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY {seed_order}) - 1 AS BIGINT)
+                   AS cid
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY {seed_order}) <= {k}
+    ),
+    c0 AS MATERIALIZED (
+        SELECT i.cid, q.dim, q.x AS cx FROM init i JOIN q USING (vec_id)
+    )"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""dist{r} AS MATERIALIZED (
+        SELECT q.vec_id, c.cid,
+               CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS d
+        FROM q JOIN c{r - 1} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    a{r} AS MATERIALIZED (
+        SELECT vec_id, cid, d FROM dist{r}
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1
+    ),
+    c{r} AS MATERIALIZED (
+        SELECT a.cid, q.dim, CAST(sum(q.x) // count(*) AS BIGINT) AS cx
+        FROM a{r} a JOIN q USING (vec_id)
+        GROUP BY 1, 2
+    )""")
+    final = n_iter + 1
+    parts.append(f"""dist{final} AS MATERIALIZED (
+        SELECT q.vec_id, c.cid,
+               CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS d
+        FROM q JOIN c{n_iter} c USING (dim)
+        GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cid AS cluster, d AS dist2
+    FROM dist{final}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1"""
+    )
+
+
+@register("cluster_kmeans_embeddings_exact", oracle=_kmeans_exact_oracle())
+def cluster_kmeans_embeddings_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point Lloyd k-means (k=8, 5 rounds) — the
+    HASH-CHECKABLE twin of cluster_kmeans_embeddings: vectors quantized
+    once to 1e-4 units, distances and centroid floor-means all exact
+    BIGINT, md5-seeded init, ties on cluster id. The full 500-row
+    assignment (vec_id, cluster, dist2) is value-checked against a
+    5-round unrolled Lloyd in SQL — converting the last iterative-float
+    rows-only family member into hard oracle evidence. The float kernel
+    (map-side argmin, no per-round dim shuffle) remains the 100 TB
+    path; this long-form variant is the verification surface.
+    (operators/clustering.py:kmeans_exact_longform)
+    """
+    from masd_spark.operators.clustering import kmeans_exact_longform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_exact_longform(
+        emb, dim=EMBEDDING_DIM, k=_KM_K, n_iter=_KM_ITER,
+        seed=_KM_SEED, scale=_KM_SCALE,
+    )

@@ -253,3 +253,25 @@ def test_label_propagation_round_zero_and_determinism(spark):
         map(tuple, label_propagation(edges.repartition(5), n_rounds=2).collect())
     )
     assert one == two
+
+
+def test_pagerank_exact_parity(spark):
+    from tests.oracle import compare_query
+
+    compare_query(spark, REGISTRY["graph_pagerank_trade_exact"], SF_ORACLE)
+
+
+def test_pagerank_exact_agrees_with_float_kernel(spark):
+    """Pico-unit floor arithmetic is a determinism device, not an
+    accuracy loss: after 10 rounds the integer and float kernels agree
+    to well under the 6dp surface."""
+    flt = {
+        r.nationkey: r.pagerank
+        for r in REGISTRY["graph_pagerank_trade"].fn(spark, SF_ORACLE).collect()
+    }
+    ext = {
+        r.nationkey: r.pagerank
+        for r in REGISTRY["graph_pagerank_trade_exact"].fn(spark, SF_ORACLE).collect()
+    }
+    assert set(flt) == set(ext)
+    assert max(abs(flt[k] - ext[k]) for k in flt) <= 1e-6

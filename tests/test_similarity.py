@@ -368,3 +368,19 @@ def test_mmr_rerank_semantics(spark):
         for a, b in zip(rows, rows[1:]):
             assert a["mmr6"] >= b["mmr6"] or a["sel_rank"] == 1, (qid, rows)
     assert departed
+
+
+def test_kmeans_exact_parity(spark):
+    compare_query(spark, REGISTRY["cluster_kmeans_embeddings_exact"], SF_ORACLE)
+
+
+def test_kmeans_exact_invariants(spark):
+    """Every vector assigned exactly once, cluster ids in range, the
+    partition is non-trivial, and dist2 is the true distance to the
+    assigned centroid (non-negative, zero only for exact hits)."""
+    rows = REGISTRY["cluster_kmeans_embeddings_exact"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    assert len({r["vec_id"] for r in rows}) == 500
+    clusters = {r["cluster"] for r in rows}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    assert all(r["dist2"] >= 0 for r in rows)
