@@ -345,6 +345,7 @@ def kmeans_exact_longform(
     vec_col: str = "embedding",
     seed: int = 42,
     scale: int = 10**4,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Integer fixed-point Lloyd k-means — the hash-checkable twin of
     :func:`kmeans_assign` (whose float accumulation order varies in the
@@ -365,7 +366,9 @@ def kmeans_exact_longform(
     this variant is the verification surface.
 
     Returns the final assignment (id, cluster, dist2) where dist2 is in
-    squared ``1/scale`` units.
+    squared ``1/scale`` units — or, with ``return_centroids``, the final
+    long-form centroid table (cid, dim, x) for index builds (exact
+    refined IVF).
     """
     q = df.select(
         F.col(id_col),
@@ -425,4 +428,6 @@ def kmeans_exact_longform(
             .agg(F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("x"))
             .localCheckpoint(eager=True)
         )
+    if return_centroids:
+        return cents
     return assign(cents)

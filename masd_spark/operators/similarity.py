@@ -968,3 +968,91 @@ def mmr_topk(
         )
 
     return pairs.groupBy(query_id_col).applyInPandas(greedy, schema=out_schema)
+
+
+def ivf_exact_refined_topk(
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 3,
+    seed: int = 42,
+    scale: int = 10**4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat with Lloyd-REFINED centroids, fully hash-checkable: the
+    index build is the integer fixed-point k-means
+    (clustering.kmeans_exact_longform with return_centroids), so unlike
+    ann_ivf_refined_topk's float centroids the whole pipeline — build,
+    assignment, probe selection, exact cosine re-rank — is reproducible
+    by one SQL statement. Assignment/probe metric is the exact BIGINT
+    squared L2 in 1/scale units (ties on cid); queries are every 100th
+    vector; final ranking is rounded double cosine (desc, id).
+
+    Scale: one long-form distance table serves BOTH corpus assignment
+    and query probes (queries are corpus rows); candidates are
+    cell-bounded (n_probe cells per query), re-rank touches candidates
+    only. The float refined variant stays the latency path; this is the
+    provable one.
+    """
+    from masd_spark.operators.clustering import kmeans_exact_longform
+
+    cents = kmeans_exact_longform(
+        corpus, dim, k=n_centroids, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, seed=seed, scale=scale, return_centroids=True,
+    ).select("cid", "dim", F.col("x").alias("cx"))
+    q = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda v: F.round(v.cast("double") * scale).cast("bigint"),
+            )
+        ).alias("pos", "x"),
+    ).select(id_col, (F.col("pos") + 1).alias("dim"), "x")
+    dall = (
+        q.join(F.broadcast(cents), "dim")
+        .groupBy(id_col, "cid")
+        .agg(
+            F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+            .alias("d")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d"), F.col("cid"))
+    ranked = dall.withColumn("_rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("_rn") == 1).select(
+        F.col(id_col).alias("_cand"), "cid"
+    )
+    probes = ranked.filter(
+        (F.col(id_col) % 100 == 0) & (F.col("_rn") <= n_probe)
+    ).select(F.col(id_col).alias("query_id"), "cid")
+    cands = (
+        probes.join(assigned, "cid")
+        .filter(F.col("_cand") != F.col("query_id"))
+        .select("query_id", F.col("_cand").alias(id_col))
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cands.join(
+            vecs.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            ),
+            "query_id",
+        )
+        .join(vecs, id_col)
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -549,3 +549,89 @@ def ml_linear_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("logit_milli").cast("double") / F.col("n_tokens") / 1000.0, 6).alias("score"),
         (F.col("logit_milli") > 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inference batching: length-bucketed batch assignment + padding waste
+# --------------------------------------------------------------------------
+
+_LB_BUCKET_TOKENS = 64  # length-bucket granularity
+_LB_BATCH_SIZE = 16
+
+
+@register(
+    "pipeline_length_bucketing",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tokens,
+               n_tokens // {_LB_BUCKET_TOKENS} AS bucket,
+               CAST((row_number() OVER (PARTITION BY n_tokens // {_LB_BUCKET_TOKENS}
+                                        ORDER BY n_tokens, doc_id) - 1)
+                    // {_LB_BATCH_SIZE} AS BIGINT) AS batch_in_bucket
+        FROM lens
+    ),
+    batches AS (
+        SELECT bucket, batch_in_bucket,
+               max(n_tokens) AS batch_max,
+               CAST(count(*) AS BIGINT) AS batch_n,
+               CAST(sum(n_tokens) AS BIGINT) AS batch_tokens
+        FROM bucketed GROUP BY 1, 2
+    )
+    SELECT b.doc_id, b.n_tokens, b.bucket, b.batch_in_bucket,
+           t.batch_max,
+           CAST(t.batch_max * t.batch_n - t.batch_tokens AS BIGINT)
+               AS batch_pad_waste
+    FROM bucketed b JOIN batches t USING (bucket, batch_in_bucket)
+    """,
+)
+def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: documents group into
+    {bs}-doc batches WITHIN a token-length bucket (granularity
+    {gran} tokens), ordered (n_tokens, doc_id) inside the bucket so
+    near-equal lengths share a batch — the standard padding-waste
+    minimizer in front of batched model inference. Each row carries its
+    batch's max length and total pad waste (max*count - sum), the number
+    a serving stack actually optimizes. Deterministic: bucket id, batch
+    id, and waste are all integer arithmetic over a total order.
+
+    Scale: one map-side length projection; the only shuffle is the
+    per-bucket window (buckets are the partition key — thousands of
+    independent partitions at corpus scale); batch stats reuse the same
+    partitioning.
+    """.format(bs=_LB_BATCH_SIZE, gran=_LB_BUCKET_TOKENS)
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    bucket = F.expr(f"n_tokens div {_LB_BUCKET_TOKENS}")
+    w = Window.partitionBy(bucket).orderBy("n_tokens", "doc_id")
+    bucketed = lens.select(
+        "doc_id",
+        "n_tokens",
+        bucket.alias("bucket"),
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY n_tokens div {_LB_BUCKET_TOKENS} "
+            f"ORDER BY n_tokens, doc_id) - 1) div {_LB_BATCH_SIZE} AS BIGINT)"
+        ).alias("batch_in_bucket"),
+    )
+    batches = bucketed.groupBy("bucket", "batch_in_bucket").agg(
+        F.max("n_tokens").alias("batch_max"),
+        F.count("*").alias("batch_n"),
+        F.sum("n_tokens").alias("batch_tokens"),
+    )
+    return bucketed.join(batches, ["bucket", "batch_in_bucket"]).select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "batch_in_bucket",
+        "batch_max",
+        (F.col("batch_max") * F.col("batch_n") - F.col("batch_tokens"))
+        .cast("bigint")
+        .alias("batch_pad_waste"),
+    )

@@ -719,13 +719,12 @@ _KM_ITER = 5
 _KM_SEED = 42
 
 
-def _kmeans_exact_oracle(
-    n_iter: int = _KM_ITER, k: int = _KM_K, scale: int = _KM_SCALE,
-    seed: int = _KM_SEED, dim: int = 64,
-) -> str:
-    """Unrolled Lloyd twin of kmeans_exact_longform: identical BIGINT
-    arithmetic per round, MATERIALIZED round CTEs (each feeds two
-    consumers in the next round)."""
+def _kmeans_exact_ctes(
+    n_iter: int, k: int, scale: int, seed: int, dim: int,
+) -> list:
+    """CTE parts for the unrolled integer-Lloyd rounds (shared by the
+    kmeans oracle and the exact refined-IVF oracle): q (long-form
+    quantized dims), init, c0, then dist{r}/a{r}/c{r} per round."""
     seed_order = f"md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id"
     parts = [
         f"""q AS MATERIALIZED (
@@ -762,6 +761,17 @@ def _kmeans_exact_oracle(
         FROM a{r} a JOIN q USING (vec_id)
         GROUP BY 1, 2
     )""")
+    return parts
+
+
+def _kmeans_exact_oracle(
+    n_iter: int = _KM_ITER, k: int = _KM_K, scale: int = _KM_SCALE,
+    seed: int = _KM_SEED, dim: int = 64,
+) -> str:
+    """Unrolled Lloyd twin of kmeans_exact_longform: identical BIGINT
+    arithmetic per round, MATERIALIZED round CTEs (each feeds two
+    consumers in the next round)."""
+    parts = _kmeans_exact_ctes(n_iter, k, scale, seed, dim)
     final = n_iter + 1
     parts.append(f"""dist{final} AS MATERIALIZED (
         SELECT q.vec_id, c.cid,
@@ -797,4 +807,70 @@ def cluster_kmeans_embeddings_exact(spark: SparkSession, sf_dir: str) -> DataFra
     return kmeans_exact_longform(
         emb, dim=EMBEDDING_DIM, k=_KM_K, n_iter=_KM_ITER,
         seed=_KM_SEED, scale=_KM_SCALE,
+    )
+
+
+def _ivf_exact_refined_oracle(
+    k: int = 10, n_centroids: int = _IVF_CENTROIDS, n_probe: int = _IVF_PROBE,
+    n_iter: int = 3, seed: int = _IVF_SEED, scale: int = _KM_SCALE, dim: int = 64,
+) -> str:
+    """Composed oracle: the integer-Lloyd CTEs build the refined
+    centroids, then assignment/probe by exact BIGINT L2 and a rounded
+    cosine re-rank — the full provable IVF pipeline in one statement."""
+    parts = _kmeans_exact_ctes(n_iter, n_centroids, scale, seed, dim)
+    parts.append(f"""dall AS MATERIALIZED (
+        SELECT q.vec_id, c.cid,
+               CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS d
+        FROM q JOIN c{n_iter} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, cid FROM dall
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1
+    ),
+    probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, cid FROM dall
+        WHERE vec_id % 100 = 0
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) <= {n_probe}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(ec.embedding AS DOUBLE[])),
+                     6) AS cos_sim
+        FROM probes p
+        JOIN assigned a USING (cid)
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings ec ON ec.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM scored QUALIFY rank <= {k}"""
+    )
+
+
+@register("ann_ivf_exact_refined_topk", oracle=_ivf_exact_refined_oracle())
+def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined IVF, end-to-end hash-checkable: centroids from the
+    integer fixed-point Lloyd (3 rounds, md5-seeded), cell assignment
+    and probe selection by exact BIGINT L2, candidates cell-bounded,
+    exact cosine re-rank of candidates only. Closes the last
+    index-build determinism gap: ann_ivf_refined_topk's float centroids
+    forced rows-only evidence, this twin proves the identical pipeline
+    shape value-for-value. (operators/similarity.py:ivf_exact_refined_topk)
+    """
+    from masd_spark.operators.similarity import ivf_exact_refined_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_exact_refined_topk(
+        emb, k=10, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        n_iter=3, seed=_IVF_SEED, scale=_KM_SCALE, dim=EMBEDDING_DIM,
     )

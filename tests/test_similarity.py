@@ -384,3 +384,22 @@ def test_kmeans_exact_invariants(spark):
     clusters = {r["cluster"] for r in rows}
     assert clusters <= set(range(8)) and len(clusters) > 1
     assert all(r["dist2"] >= 0 for r in rows)
+
+
+def test_ivf_exact_refined_parity(spark):
+    compare_query(spark, REGISTRY["ann_ivf_exact_refined_topk"], SF_ORACLE)
+
+
+def test_ivf_exact_refined_recall(spark):
+    """The provable refined index must retrieve usefully: recall@10 vs
+    the exact baseline at least matches the md5-seeded IVF's floor."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in REGISTRY["ann_ivf_exact_refined_topk"].fn(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, recall

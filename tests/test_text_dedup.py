@@ -36,7 +36,28 @@ ORACLE_QUERIES = [
     "ml_linear_score_docs",
     "text_rrf_hybrid_search",
     "corpus_mixture_report",
+    "pipeline_length_bucketing",
 ]
+
+
+def test_length_bucketing_semantics(spark):
+    """No batch exceeds the batch size, every doc's batch stays inside
+    its length bucket, and the reported pad waste equals the recomputed
+    sum(max - len) per batch."""
+    from collections import defaultdict
+
+    rows = REGISTRY["pipeline_length_bucketing"].fn(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    batches = defaultdict(list)
+    for r in rows:
+        assert r["bucket"] == r["n_tokens"] // 64
+        batches[(r["bucket"], r["batch_in_bucket"])].append(r)
+    for rs in batches.values():
+        assert len(rs) <= 16
+        mx = max(r["n_tokens"] for r in rs)
+        waste = sum(mx - r["n_tokens"] for r in rs)
+        for r in rs:
+            assert r["batch_max"] == mx and r["batch_pad_waste"] == waste
 
 
 def test_corpus_mixture_semantics(spark):
