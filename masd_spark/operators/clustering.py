@@ -190,6 +190,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means-cluster the
     embeddings, then find near-duplicate pairs (cosine >= ``threshold``)
@@ -211,9 +212,16 @@ def semantic_dedup(
     """
     from masd_spark.functions.vectors import dot_fixed, norm_fixed
 
-    assigned = kmeans_assign(
-        df, dim=dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, seed=seed
-    ).select(id_col, "cluster")
+    # callers may inject a precomputed (id, cluster) assignment — e.g. the
+    # integer-Lloyd one, which makes the whole pipeline oracle-checkable
+    assigned = (
+        assignment.select(id_col, "cluster")
+        if assignment is not None
+        else kmeans_assign(
+            df, dim=dim, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        ).select(id_col, "cluster")
+    )
     with_norm = (
         df.join(assigned, id_col)
         .select(

@@ -790,3 +790,86 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+def _semantic_exact_oracle() -> str:
+    """Composed oracle: integer-Lloyd assignment CTEs (shared generator
+    with the kmeans/IVF oracles) + within-cluster cosine pairs + the
+    keep-first verdict, reduced to per-cluster counts."""
+    from masd_spark.queries.similarity import (
+        _KM_ITER,
+        _KM_K,
+        _KM_SCALE,
+        _KM_SEED,
+        _kmeans_exact_ctes,
+    )
+
+    n_iter = _KM_ITER
+    parts = _kmeans_exact_ctes(n_iter, _KM_K, _KM_SCALE, _KM_SEED, 64)
+    parts.append(f"""dfin AS MATERIALIZED (
+        SELECT q.vec_id, c.cid,
+               CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS d
+        FROM q JOIN c{n_iter} c USING (dim)
+        GROUP BY 1, 2
+    ),
+    afin AS MATERIALIZED (
+        SELECT vec_id, cid FROM dfin
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) = 1
+    ),
+    simpairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM afin x
+        JOIN afin y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        JOIN embeddings ea ON ea.vec_id = x.vec_id
+        JOIN embeddings eb ON eb.vec_id = y.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])),
+                    6) >= {_EMB_THRESHOLD}
+    ),
+    dropped AS (SELECT DISTINCT id_b AS vec_id FROM simpairs),
+    verdicts AS (
+        SELECT a.cid AS cluster, a.vec_id,
+               d.vec_id IS NULL AS keep
+        FROM afin a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM verdicts GROUP BY cluster"""
+    )
+
+
+@register("dedup_semantic_clusters_exact", oracle=_semantic_exact_oracle())
+def dedup_semantic_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a PROVABLE block structure: clusters come from the
+    integer fixed-point Lloyd (hash-checkable), within-cluster pairs use
+    the rounded exact cosine, keep-first verdicts reduce to per-cluster
+    counts — so the whole semantic-dedup pipeline, including the index
+    build that forced the float variant rows-only, is value-checked by
+    one composed SQL statement. The float variant remains the latency
+    path. (operators/clustering.py:semantic_dedup with injected
+    assignment)
+    """
+    from masd_spark.operators.clustering import (
+        kmeans_exact_longform,
+        semantic_dedup,
+    )
+    from masd_spark.queries.similarity import _KM_ITER, _KM_K, _KM_SCALE, _KM_SEED
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment = kmeans_exact_longform(
+        emb, dim=64, k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED, scale=_KM_SCALE
+    ).select("vec_id", "cluster")
+    verdicts = semantic_dedup(
+        emb, dim=64, threshold=_EMB_THRESHOLD, assignment=assignment
+    )
+    return verdicts.groupBy("cluster").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
+    )

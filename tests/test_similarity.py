@@ -403,3 +403,15 @@ def test_ivf_exact_refined_recall(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_semantic_exact_parity(spark):
+    compare_query(spark, REGISTRY["dedup_semantic_clusters_exact"], SF_ORACLE)
+
+
+def test_semantic_exact_counts_conserve(spark):
+    rows = REGISTRY["dedup_semantic_clusters_exact"].fn(spark, SF_ORACLE).collect()
+    assert sum(r["n_total"] for r in rows) == 500
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_total"]
+        assert r["n_kept"] >= 1  # smallest id in a cluster always survives
