@@ -874,3 +874,49 @@ def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=10, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
         n_iter=3, seed=_IVF_SEED, scale=_KM_SCALE, dim=EMBEDDING_DIM,
     )
+
+
+@register(
+    "emb_gram_upper",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+                   AS x
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           CAST(sum(a.x * b.x) AS BIGINT) AS gram
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+    """,
+)
+def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gram matrix X^T X (upper triangle, 64x65/2 = 2080 cells) over
+    1e-4-quantized embeddings — exact BIGINT sums, fully hash-checked.
+    This is the DISTRIBUTED 95% of the PCA pipeline: emb_pca_top_component
+    reduces the corpus to exactly this d x d matrix (Arrow/BLAS partials)
+    and only the final d x d eigensolve runs driver-local — so this query
+    turns the scan+reduce stage of the one rows-only linear-algebra
+    kernel into hard oracle evidence, leaving only numpy's eigh outside
+    the proof. Long-form dim self-join keyed by vec_id: one shuffle of
+    dim rows, partial-aggregable products.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.round(v.cast("double") * _KM_SCALE).cast("bigint"),
+            )
+        ).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    a = q.select("vec_id", F.col("dim").alias("dim_i"), F.col("x").alias("xi"))
+    b = q.select("vec_id", F.col("dim").alias("dim_j"), F.col("x").alias("xj"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("gram"))
+    )

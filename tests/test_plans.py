@@ -350,3 +350,18 @@ def test_mmr_groups_by_query_only(spark):
     plan = physical_plan(df)
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_rrf_no_cartesian(spark):
+    df = _q(spark, "text_rrf_hybrid_search")
+    plan = physical_plan(df)
+    assert "Cartesian" not in plan, plan
+
+
+def test_length_bucketing_single_scan(spark):
+    """One documents scan feeds both the per-doc rows and the batch
+    stats (the groupBy reuses the window's bucket partitioning)."""
+    df = _q(spark, "pipeline_length_bucketing")
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan

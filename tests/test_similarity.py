@@ -415,3 +415,28 @@ def test_semantic_exact_counts_conserve(spark):
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_total"]
         assert r["n_kept"] >= 1  # smallest id in a cluster always survives
+
+
+def test_gram_upper_parity(spark):
+    compare_query(spark, REGISTRY["emb_gram_upper"], SF_ORACLE)
+
+
+def test_gram_upper_matches_numpy(spark):
+    """The quantized BIGINT Gram must equal numpy's on the same
+    quantized matrix (full cross-check of the distributed reduction)."""
+    import numpy as np
+
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").orderBy("vec_id").collect()
+    X = np.round(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * 10**4
+    ).astype(np.int64)
+    G = X.T @ X
+    got = {
+        (r["dim_i"], r["dim_j"]): r["gram"]
+        for r in REGISTRY["emb_gram_upper"].fn(spark, SF_ORACLE).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    for (i, j), v in got.items():
+        assert v == int(G[i - 1, j - 1]), (i, j)
