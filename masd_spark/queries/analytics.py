@@ -1006,3 +1006,81 @@ def seq_sessions_matching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.col("path").rlike(_SEQ_PATTERN), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_matching"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation
+# --------------------------------------------------------------------------
+
+_RFM_SEGMENT_CASE = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+         WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         ELSE 'core' END
+"""
+
+
+@register(
+    "bi_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               max(epoch_ms(o_orderdate)) AS last_order_ms,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT custkey, frequency,
+               CAST(ntile(5) OVER (ORDER BY last_order_ms, custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary, custkey)
+                    AS BIGINT) AS m_score
+        FROM per_cust
+    )
+    SELECT custkey, r_score, f_score, m_score,
+           {_RFM_SEGMENT_CASE} AS segment
+    FROM scored
+    """,
+)
+def bi_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, quintile scores for Recency (last
+    order time — later is better), Frequency (order count), Monetary
+    (DECIMAL-quantized revenue), plus the standard 2-axis segment label
+    (champion / new / at_risk / hibernating / core). ntile runs over a
+    TOTAL order (metric, custkey) so scores are deterministic; the
+    ntile input is the per-customer AGGREGATE (|customers| rows), never
+    the fact table. At 100 TB the quintile edges swap to
+    approx_percentile over the same aggregate (the equidepth-histogram
+    justification); the exact ntile is the oracle-checkable ground
+    truth.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_millis("o_orderdate")).alias("last_order_ms"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "custkey",
+        F.ntile(5)
+        .over(Window.orderBy("last_order_ms", "custkey"))
+        .cast("bigint")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "custkey"))
+        .cast("bigint")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return scored.select(
+        "custkey", "r_score", "f_score", "m_score",
+        F.expr(_RFM_SEGMENT_CASE).alias("segment"),
+    )

@@ -413,3 +413,80 @@ def streaming_sensor_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return latest.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@register("streaming_interval_join")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join registered as a harness query:
+    two file-drop streams (clicks, purchases from the seeded simulator's
+    event split), watermarks on BOTH sides, purchase within 10 minutes
+    after the click — state on each side is bounded by
+    watermark-delay + interval, the property that makes stream-stream
+    joins feasible at all (unbounded-state joins are rejected by Spark).
+    The emitted set equals the batch twin of the identical join
+    (pinned at the operator level by test_stream_stream_interval_join);
+    here the deterministic seeded input makes the harness row-set
+    stable. ``sf_dir`` selects nothing (generator input).
+    """
+    import json as _json
+
+    workdir = tempfile.mkdtemp(prefix="masd_ssj_q_")
+    cdir = os.path.join(workdir, "clicks")
+    pdir = os.path.join(workdir, "purch")
+    try:
+        base = 1_704_067_200_000
+        clicks = [
+            {"user_id": u, "ts": base + i * 60_000}
+            for u in range(5)
+            for i in range(12)
+        ]
+        purchases = [
+            {"user_id": u, "ts": base + i * 90_000 + 5_000,
+             "amount": float(u * 100 + i)}
+            for u in range(5)
+            for i in range(9)
+        ]
+        for d, rows in [(cdir, clicks), (pdir, purchases)]:
+            os.makedirs(d)
+            mid = len(rows) // 2
+            for i, chunk in enumerate([rows[:mid], rows[mid:]]):
+                with open(os.path.join(d, f"f{i}.json"), "w") as fh:
+                    for r in rows[:mid] if i == 0 else rows[mid:]:
+                        fh.write(_json.dumps(r) + "\n")
+
+        def src(d, schema, tcol):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(d)
+                .withColumn(tcol, F.timestamp_millis(F.col("ts")))
+                .withWatermark(tcol, "1 minute")
+            )
+
+        c = src(cdir, "user_id long, ts long", "c_time").withColumnRenamed(
+            "ts", "c_ts"
+        )
+        p = src(
+            pdir, "user_id long, ts long, amount double", "p_time"
+        ).withColumnRenamed("ts", "p_ts")
+        joined = c.join(
+            p,
+            F.expr(
+                "c_time <= p_time AND p_time <= c_time + interval 10 minutes"
+            )
+            & (c["user_id"] == p["user_id"]),
+        ).select(c["user_id"], "c_ts", "p_ts", "amount")
+
+        sink_dir = os.path.join(workdir, "sink")
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink_dir)
+            )
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.read.parquet(sink_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

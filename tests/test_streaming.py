@@ -1034,3 +1034,25 @@ def test_registered_ewma_query_matches_fold(spark):
     for k, (n, ew) in expected.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - round(ew, 6)) <= 1e-6, k
+
+
+def test_registered_interval_join_matches_batch_twin(spark):
+    """The registered streaming_interval_join harness query must emit
+    exactly the batch join of the same (deterministic) inputs."""
+    from masd_spark.queries import load_all
+    from tests.conftest import SF_SMOKE
+
+    got = sorted(
+        map(tuple, load_all()["streaming_interval_join"].fn(spark, SF_SMOKE).collect())
+    )
+    base = 1_704_067_200_000
+    expect = sorted(
+        (u, base + i * 60_000, base + j * 90_000 + 5_000, float(u * 100 + j))
+        for u in range(5)
+        for i in range(12)
+        for j in range(9)
+        if base + i * 60_000
+        <= base + j * 90_000 + 5_000
+        <= base + i * 60_000 + 600_000
+    )
+    assert got == expect and len(got) == 280
