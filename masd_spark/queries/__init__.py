@@ -106,6 +106,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         text,
         dedup,
+        sql_front,
         ann_eval,  # must import after similarity: composes its oracles
     )
 
