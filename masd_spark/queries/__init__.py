@@ -107,6 +107,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         dedup,
         sql_front,
+        pyds_q,
         ann_eval,  # must import after similarity: composes its oracles
     )
 

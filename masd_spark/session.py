@@ -28,6 +28,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # A driver-provided session keeps Spark's default 200 shuffle
     # partitions — wrong for both this 32-core box and the fixture sizes.
     "spark.sql.shuffle.partitions": "32",
+    # The Python Data Source sensor feed (sources/pyds.py) implements
+    # pushFilters(); Spark refuses a reader that implements it while this
+    # flag (default false in 4.1) is off.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
