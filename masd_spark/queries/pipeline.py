@@ -635,3 +635,59 @@ def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("batch_pad_waste"),
     )
+
+
+_ES_EPOCH = 3
+_ES_SHARDS = 8
+
+
+@register(
+    "pipeline_epoch_shard_order",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               {md5_bucket_sql("CAST(doc_id AS VARCHAR)", salt=f"shard-e{_ES_EPOCH}:", modulus=_ES_SHARDS)} AS shard,
+               md5('ord-e{_ES_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS ord_key
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+    FROM assigned
+    """,
+)
+def pipeline_epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle + sharding: every document
+    gets a shard (md5-bucket of its id, salted by epoch number) and a
+    position within the shard (rank of an epoch-salted md5 — a keyed
+    pseudorandom permutation). Re-salting the epoch re-deals both, which
+    is exactly how a trainer gets a fresh global shuffle per epoch
+    WITHOUT any RNG state: reproducible from (epoch, doc_id) alone,
+    independent of partitioning, cluster size, or insertion order —
+    the same determinism recipe as the md5 sampling family
+    (operators/sampling.py).
+
+    Scale: one shuffle on the shard key; at 100 TB this materializes as
+    write.partitionBy(shard) + sortWithinPartitions(ord_key) — shards
+    are the training reader's parallel unit, and within-shard order is
+    already the permutation, so the trainer streams sequentially.
+    """
+    from masd_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        "doc_id",
+        hash_bucket(
+            F.col("doc_id"), salt=f"shard-e{_ES_EPOCH}:", modulus=_ES_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(F.lit(f"ord-e{_ES_EPOCH}:"), F.col("doc_id").cast("string"))
+        ).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return assigned.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -1056,3 +1056,121 @@ def test_registered_interval_join_matches_batch_twin(spark):
         <= base + i * 60_000 + 600_000
     )
     assert got == expect and len(got) == 280
+
+
+def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
+    """Stream-stream FULL OUTER interval join: unmatched rows on BOTH
+    sides must surface null-extended after watermark eviction — clicks
+    without purchases (users 1,2) AND purchases without clicks (user 5).
+    Same staged-sentinel watermark advancement as the LEFT OUTER test;
+    the final multiset must equal the closed-form batch full-outer twin."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = 1_704_067_200_000
+    clicks = [
+        {"user_id": u, "ts": base + i * 60_000} for u in range(3) for i in range(4)
+    ]
+    purchases = [
+        {"user_id": 0, "ts": base + i * 60_000 + 5_000, "amount": float(i)}
+        for i in range(4)
+    ] + [
+        {"user_id": 5, "ts": base + i * 60_000 + 7_000, "amount": 100.0 + i}
+        for i in range(3)
+    ]
+    sent_c = [{"user_id": 99, "ts": base + 100 * 60_000}]
+    sent_p = [{"user_id": 99, "ts": base + 100 * 60_000, "amount": 0.0}]
+    sent2_c = [{"user_id": 98, "ts": base + 200 * 60_000}]
+    sent2_p = [{"user_id": 98, "ts": base + 200 * 60_000, "amount": 0.0}]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(cdir)
+    os.makedirs(pdir)
+
+    def w(path, rows):
+        with open(path, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    for i, (cs, ps) in enumerate(
+        [(clicks, purchases), (sent_c, sent_p), (sent2_c, sent2_p)]
+    ):
+        w(os.path.join(cdir, f"f{i}.json"), cs)
+        w(os.path.join(pdir, f"f{i}.json"), ps)
+        _time.sleep(0.05)
+
+    def src(d, schema, tcol):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .withColumn(tcol, F.timestamp_millis(F.col("ts")))
+            .withWatermark(tcol, "1 minute")
+        )
+
+    c = src(cdir, "user_id long, ts long", "c_time").withColumnRenamed("ts", "c_ts")
+    p = src(pdir, "user_id long, ts long, amount double", "p_time").withColumnRenamed(
+        "ts", "p_ts"
+    )
+    joined = c.join(
+        p,
+        F.expr("c_time <= p_time AND p_time <= c_time + interval 10 minutes")
+        & (c["user_id"] == p["user_id"]),
+        "full_outer",
+    ).select(
+        F.coalesce(c["user_id"], p["user_id"]).alias("user_id"),
+        "c_ts",
+        "p_ts",
+        "amount",
+    )
+
+    collected: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda df, bid: collected.append(df.collect())
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = [
+        (r["user_id"], r["c_ts"], r["p_ts"], r["amount"])
+        for batch in collected
+        for r in batch
+    ]
+
+    all_clicks = clicks + sent_c + sent2_c
+    all_purch = purchases + sent_p + sent2_p
+    expected = []
+    matched_p = set()
+    for c_ in all_clicks:
+        matches = [
+            p_
+            for p_ in all_purch
+            if p_["user_id"] == c_["user_id"]
+            and c_["ts"] <= p_["ts"] <= c_["ts"] + 600_000
+        ]
+        if matches:
+            for p_ in matches:
+                matched_p.add((p_["user_id"], p_["ts"]))
+                expected.append((c_["user_id"], c_["ts"], p_["ts"], p_["amount"]))
+        else:
+            expected.append((c_["user_id"], c_["ts"], None, None))
+    for p_ in all_purch:
+        if (p_["user_id"], p_["ts"]) not in matched_p:
+            expected.append((p_["user_id"], None, p_["ts"], p_["amount"]))
+
+    keyf = lambda t: (
+        t[0],
+        t[1] is not None,
+        t[1] or 0,
+        t[2] is not None,
+        t[2] or 0,
+        t[3] or 0.0,
+    )
+    assert sorted(got, key=keyf) == sorted(expected, key=keyf)
+    right_nulls = [t for t in got if t[1] is None]
+    assert len(right_nulls) == 3  # user 5's purchases have no clicks
