@@ -77,6 +77,14 @@ def main() -> None:
         from masd_spark.queries.dedup import _SHINGLE_CACHE
 
         _SHINGLE_CACHE.clear()
+        # ...and their localCheckpoint blocks must actually be RELEASED:
+        # the JVM frees them via ContextCleaner only after Python GC drops
+        # the DataFrame refs. Stale pass-1 blocks otherwise sit in executor
+        # storage memory through pass 2, inflating its dedup timings.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
 
     timings = per_pass[-1]
     total = round(sum(timings.values()), 3)

@@ -188,3 +188,45 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) x
         """
     )
+
+
+@register(
+    "agg_percentile_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6)
+               AS price_p25,
+           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6)
+               AS price_p75,
+           ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+               AS price_p50_disc
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard inverse-distribution aggregates: exact
+    ``percentile_cont`` (linear interpolation between adjacent order
+    statistics) and ``percentile_disc`` (an actual data value) WITHIN
+    GROUP. Both are exact order statistics over the group's multiset —
+    deterministic on any engine; the single interpolation is one IEEE
+    expression whose last-ulp slack the 6-dp surface rounding absorbs
+    (registry convention). The exact ground-truth twin of
+    ``approx_aggregates``' t-digest quantiles: at 100 TB the sort per
+    group makes THIS the expensive form, which is exactly why the
+    approximate variant exists alongside it.
+    """
+    _view(spark, sf_dir, "orders", "pwg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                   AS price_p25,
+               ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                   AS price_p75,
+               ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                   AS price_p50_disc
+        FROM pwg_orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -14,6 +14,7 @@ ORACLE_QUERIES = [
     "hierarchy_rollup_recursive",
     "agg_ordered_set_profile",
     "lateral_topk_customers",
+    "agg_percentile_within_group",
 ]
 
 
