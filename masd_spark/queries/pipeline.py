@@ -691,3 +691,63 @@ def pipeline_epoch_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) AS tsq
+        FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(CAST(p.n_tokens AS DOUBLE) / tot.t, 6) AS natural_share,
+           ROUND(sqrt(CAST(p.n_tokens AS DOUBLE)) / tot.tsq, 6) AS temp_share,
+           ROUND((sqrt(CAST(p.n_tokens AS DOUBLE)) / tot.tsq)
+                 / (CAST(p.n_tokens AS DOUBLE) / tot.t), 6) AS boost
+    FROM per_src p CROSS JOIN tot
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha = 0.5): the standard
+    multilingual/multi-source recipe (exponentiate source token masses,
+    renormalize — mBERT/XLM-R style) that upweights small sources without
+    letting any dominate. Per source: natural token share, the
+    temperature share n^0.5 / sum(n^0.5), and the boost ratio a sampler
+    applies on top of natural frequency (>1 = upsample; feeds
+    upsample_mixture's integer replication weights).
+
+    Portability: alpha=0.5 is computed as sqrt() — IEEE-exact (correctly
+    rounded) on both engines, unlike pow(x, 0.5) whose libm rounding is
+    unspecified; the only order-sensitive float sum spans |sources| rows
+    and the 6-dp surface absorbs its ulp. Scale: size(split) per row, one
+    partial agg to |sources| rows, every share computed on the broadcast
+    tiny aggregate — the fact table is scanned exactly once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tsq"),
+    )
+    nat = F.col("n_tokens").cast("double") / F.col("t")
+    tmp = F.sqrt(F.col("n_tokens").cast("double")) / F.col("tsq")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(nat, 6).alias("natural_share"),
+        F.round(tmp, 6).alias("temp_share"),
+        F.round(tmp / nat, 6).alias("boost"),
+    )

@@ -246,3 +246,19 @@ def test_epoch_resalt_redeals_the_permutation(spark):
     )
     shards = {r["doc_id"]: r["shard"] for r in assigned.collect()}
     assert all(e3[k][0] == shards[k] for k in shards)
+
+
+def test_temperature_mixture_semantics(spark):
+    compare_query(spark, REGISTRY["pipeline_temperature_mixture"], SF_ORACLE)
+    rows = REGISTRY["pipeline_temperature_mixture"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    # shares each sum to ~1
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    # temperature flattens: smallest source boosted, largest damped
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    if smallest["n_tokens"] < largest["n_tokens"]:
+        assert smallest["boost"] >= 1.0
+        assert largest["boost"] <= 1.0
+        assert smallest["boost"] >= largest["boost"]
