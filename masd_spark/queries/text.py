@@ -910,3 +910,67 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ent))
         .crossJoin(F.broadcast(gin))
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3} \d{2,4} \d{4,8}"
+
+_PII_ORACLE = """
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or +39 075 55'
+                    || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' now.'
+               AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '@E@')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '@P@')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '@I@')) AS BIGINT) AS n_ipv4,
+           (len(regexp_extract_all(raw, '@E@'))
+            + len(regexp_extract_all(raw, '@P@'))
+            + len(regexp_extract_all(raw, '@I@'))) > 0 AS has_pii
+    FROM dirty
+""".replace("@E@", _PII_EMAIL).replace("@P@", _PII_PHONE).replace("@I@", _PII_IPV4)
+
+
+@register("text_pii_report", oracle=_PII_ORACLE)
+def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection report — the audit step in front of text_clean_scrub's
+    redaction: per document, counts of email / phone / IPv4 matches and a
+    has_pii verdict. PII is INJECTED deterministically per doc_id (same
+    recipe as text_clean_scrub) so the detector provably fires and both
+    engines scan the identical composed string; the patterns are the
+    portable common subset of Java regex and RE2 (character classes,
+    bounded repetition, word boundaries — no lookarounds). Map-side
+    column math over one scan, no shuffle; at 100 TB the verdict column
+    is the partition key of a quarantine-split write, same shape as
+    dq_quarantine_readings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +39 075 55"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" now."),
+    )
+    n_e = F.size(F.regexp_extract_all(raw, F.lit(_PII_EMAIL), 0))
+    n_p = F.size(F.regexp_extract_all(raw, F.lit(_PII_PHONE), 0))
+    n_i = F.size(F.regexp_extract_all(raw, F.lit(_PII_IPV4), 0))
+    return docs.select(
+        "doc_id",
+        n_e.cast("bigint").alias("n_emails"),
+        n_p.cast("bigint").alias("n_phones"),
+        n_i.cast("bigint").alias("n_ipv4"),
+        ((n_e + n_p + n_i) > 0).alias("has_pii"),
+    )

@@ -32,6 +32,7 @@ ORACLE_QUERIES = [
     "corpus_ngram_topk",
     "dedup_tfidf_cosine",
     "text_zipf_fit",
+    "text_pii_report",
     "dedup_incremental_minhash",
     "ml_linear_score_docs",
     "text_rrf_hybrid_search",
@@ -479,3 +480,13 @@ def test_shingle_mapside_equals_window_lead(spark):
         map(tuple, shingle_rows_mapside(docs, materialize=False).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_pii_report_detects_injected_and_flags(spark):
+    """Every doc carries exactly the injected PII (>=1 of each kind) and
+    the verdict column is consistent with the counts."""
+    rows = REGISTRY["text_pii_report"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1 and r["n_ipv4"] >= 1
+        assert r["has_pii"] == ((r["n_emails"] + r["n_phones"] + r["n_ipv4"]) > 0)
