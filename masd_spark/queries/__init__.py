@@ -68,24 +68,68 @@ def register(
     return deco
 
 
+# Pinned first in every round's window: entry()'s flagship must always be
+# registered and driver-smoke-checked.
+FLAGSHIP = "masd_sensor_rollup"
+
+
+def last_checked_rounds() -> dict[str, int]:
+    """Map query name -> latest round whose CORRECTNESS_r{N}.json lists it.
+
+    The CORRECTNESS artifacts committed at the repo root by the external
+    driver ARE the rotation state: deriving ``last_checked_round`` from
+    them (instead of a hand-maintained file) makes the round-robin
+    self-updating — the moment the driver lands round N's results, round
+    N+1's import order pushes freshly-checked queries to the back.
+    Queries absent from every artifact (never checked) map to 0.
+    """
+    import json
+    import re
+
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    out: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def rotation_order(names: list[str], checked: dict[str, int]) -> list[str]:
+    """Deterministic round-robin: stalest-first, flagship pinned to slot 0.
+
+    Sort key ``(name != FLAGSHIP, last_checked_round, registration
+    position)`` — never-checked queries (round 0) always fill the window
+    before anything already confirmed, and among equals the original
+    module registration order (a deliberate family grouping) breaks ties.
+    With W=DRIVER_WINDOW slots and N queries this guarantees every query
+    is re-checked at least every ceil((N-1)/(W-1)) rounds
+    (tests/test_rotation.py simulates and asserts this bound).
+    """
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (n != FLAGSHIP, checked.get(n, 0), pos[n]))
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY).
+    """Import every query module (side effect: fills REGISTRY), then apply
+    the standing rotation policy (VERDICT r4 item 1).
 
-    Import order IS the driver's verification order: the external
-    CORRECTNESS harness executes only the first ``DRIVER_WINDOW`` (50)
-    registered queries each round, so this list is rotated per round to
-    move never-driver-checked queries into the window.
-
-    Round-4 rotation (openly stated, per VERDICT r3 item 1): ``masd_core``
-    stays first (the flagship ``entry()`` query must remain registered and
-    its family is the reference's core semantics); then ``similarity``
-    (containing the three queries that were RED in round 2 —
-    ``ann_lsh_topk``, ``ann_ivf_topk``, ``cluster_kmeans_embeddings`` —
-    whose fixes were never driver-confirmed), ``multimodal``, ``advanced``
-    and ``tpch_full``, none of which the driver has ever executed.
-    Round-3 window occupants ``relational``/``text``/``dedup`` (all green
-    in CORRECTNESS_r03.json) rotate to the back; the local oracle twin
-    (tests/oracle.py) still value-checks every query regardless of order.
+    Import order is NOT the driver's verification order anymore: after all
+    modules register, REGISTRY is reordered stalest-first via
+    ``rotation_order`` so the external CORRECTNESS harness (which executes
+    only the first ``DRIVER_WINDOW`` queries each round) always sees the
+    queries that have gone longest without a driver-confirmed row. The
+    local oracle twin (tests/oracle.py) still value-checks every query
+    regardless of order.
     """
     from masd_spark.queries import (  # noqa: F401
         masd_core,
@@ -111,6 +155,11 @@ def load_all() -> dict[str, QuerySpec]:
         ann_eval,  # must import after similarity: composes its oracles
     )
 
+    order = rotation_order(list(REGISTRY), last_checked_rounds())
+    if order != list(REGISTRY):
+        reordered = {n: REGISTRY[n] for n in order}
+        REGISTRY.clear()
+        REGISTRY.update(reordered)
     return REGISTRY
 
 
@@ -119,8 +168,11 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
 
     Emitted to ``registry_manifest.json`` each round so coverage drift of
     the driver's 50-query window is visible without reverse-engineering
-    import order (VERDICT r3 item 8).
+    import order (VERDICT r3 item 8). ``last_checked_round`` (VERDICT r4
+    item 8) is derived from the committed CORRECTNESS_r*.json artifacts —
+    0 means the driver has never executed the query.
     """
+    checked = last_checked_rounds()
     rows = []
     for i, spec in enumerate(load_all().values()):
         rows.append(
@@ -130,6 +182,7 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
                 "oracled": spec.oracle is not None,
                 "headline": spec.headline,
                 "position": i,
+                "last_checked_round": checked.get(spec.name, 0),
                 "driver_checked_this_round": i < round_checked,
             }
         )

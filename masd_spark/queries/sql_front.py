@@ -69,6 +69,13 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py:bfs_distances) whose per-round dedup gives set
     semantics. Each recursion step is one shuffle-free projection; the
     rollup is a single partial+final agg on ~9 roots.
+
+    Row-limit guard: Spark 4.1 caps recursive-CTE output at
+    ``spark.sql.cteRecursionRowLimit`` (default 1,000,000 rows) — the
+    O(n * depth) walk crosses that around SF1 (~790k rows at SF1, ~1.7M at
+    SF2). RUNTIME_CONFS (session.py) raises the ceiling to 100M, good to
+    ~SF60; past that, keep the guard proportional or switch to the
+    iterative operator.
     """
     _view(spark, sf_dir, "customer", "rc_customer")
     return spark.sql(

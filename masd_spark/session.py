@@ -32,6 +32,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # pushFilters(); Spark refuses a reader that implements it while this
     # flag (default false in 4.1) is off.
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Recursive CTEs (queries/sql_front.py hierarchy walks) emit O(rows *
+    # depth) intermediate rows; the 4.1 default ceiling of 1M rows trips
+    # around SF1 on the customer-digit walk. 100M keeps the guard (runaway
+    # recursion still errors) with ~100x headroom.
+    "spark.sql.cteRecursionRowLimit": "100000000",
 }
 
 

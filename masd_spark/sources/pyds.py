@@ -147,6 +147,12 @@ class SensorStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 500))
         self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+        # fail fast: rows_per_batch <= 0 would return empty batches with an
+        # unchanged offset forever — a stream that silently never advances
+        if self.rows_per_batch <= 0:
+            raise ValueError(f"rows_per_batch must be > 0, got {self.rows_per_batch}")
+        if self.max_rows < 0:
+            raise ValueError(f"max_rows must be >= 0, got {self.max_rows}")
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"offset": 0}

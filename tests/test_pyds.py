@@ -127,6 +127,18 @@ def test_stream_reader_offsets_and_replay():
     )
 
 
+def test_stream_reader_rejects_non_advancing_config():
+    """rows_per_batch=0 would loop forever returning empty batches with an
+    unchanged offset; the reader must fail fast at construction instead."""
+    import pytest
+
+    for bad in ({"rows_per_batch": "0"}, {"rows_per_batch": "-5"}):
+        with pytest.raises(ValueError, match="rows_per_batch"):
+            SensorStreamReader(bad)
+    with pytest.raises(ValueError, match="max_rows"):
+        SensorStreamReader({"rows_per_batch": "10", "max_rows": "-1"})
+
+
 def test_streaming_end_to_end_memory_sink(spark, tmp_path):
     """The feed through readStream: micro-batches drain into a memory
     sink; after processAllAvailable the sink holds exactly rows

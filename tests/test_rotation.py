@@ -1,0 +1,93 @@
+"""Standing rotation policy for the driver's 50-query verification window.
+
+VERDICT r4 item 1: the external CORRECTNESS harness executes only the first
+DRIVER_WINDOW registered queries per round, so registration order must be a
+deterministic round-robin that (a) fills the window with never-checked
+queries first and (b) bounds how long any registered query can go without a
+driver-confirmed row. These tests pin the policy itself — not just this
+round's ordering — by simulating future rounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from masd_spark.queries import (
+    DRIVER_WINDOW,
+    FLAGSHIP,
+    last_checked_rounds,
+    load_all,
+    manifest,
+    rotation_order,
+)
+
+REG = load_all()
+NAMES = list(REG)
+CHECKED = last_checked_rounds()
+
+
+def test_flagship_pinned_first():
+    assert NAMES[0] == FLAGSHIP
+
+
+def test_window_is_the_stalest_set():
+    """Every in-window query (bar the pinned flagship) is at least as stale
+    as every out-of-window query — the defining invariant of the policy."""
+    window, rest = NAMES[1:DRIVER_WINDOW], NAMES[DRIVER_WINDOW:]
+    max_in = max(CHECKED.get(n, 0) for n in window)
+    min_out = min(CHECKED.get(n, 0) for n in rest)
+    assert max_in <= min_out
+
+
+def test_round5_window_clears_backlog_first():
+    """While never-checked queries remain, the window spends every
+    non-flagship slot on them (49 first-time checks this round)."""
+    window = NAMES[:DRIVER_WINDOW]
+    first_time = [n for n in window if CHECKED.get(n, 0) == 0]
+    never_total = sum(1 for n in NAMES if CHECKED.get(n, 0) == 0)
+    assert len(first_time) == min(DRIVER_WINDOW - 1, never_total)
+
+
+def test_registry_growth_frozen_until_backlog_clears():
+    """VERDICT r4 item 2: verification, not surface — registry stays <= 210
+    while the never-checked backlog exists."""
+    never = sum(1 for n in NAMES if CHECKED.get(n, 0) == 0)
+    if never > 0:
+        assert len(NAMES) <= 210
+
+
+def test_simulated_staleness_bound():
+    """Simulate the policy forward 3 full cycles: no query ever exceeds the
+    theoretical re-check period ceil((N-1)/(W-1)) rounds between
+    driver-confirmed rows, and the backlog clears monotonically."""
+    n, w = len(NAMES), DRIVER_WINDOW
+    period = math.ceil((n - 1) / (w - 1))
+    checked = dict(CHECKED)
+    start = max(checked.values(), default=0) + 1
+    max_gap = 0
+    backlog_prev = sum(1 for q in NAMES if checked.get(q, 0) == 0)
+    for rnd in range(start, start + 3 * period + 2):
+        order = rotation_order(NAMES, checked)
+        assert order[0] == FLAGSHIP
+        for q in order[:w]:
+            prev = checked.get(q, 0)
+            # gaps straddling the pre-policy history carry a one-round
+            # transient while the 114-query backlog drains; measure the
+            # steady-state bound from the first full policy cycle on
+            if prev >= start:
+                max_gap = max(max_gap, rnd - prev)
+            checked[q] = rnd
+        backlog = sum(1 for q in NAMES if checked.get(q, 0) == 0)
+        assert backlog <= max(0, backlog_prev - (w - 1)) or backlog == 0
+        backlog_prev = backlog
+    assert backlog_prev == 0, "never-checked backlog must clear"
+    # every query was visited in the simulation, so each has a bounded gap
+    assert max_gap <= period, f"staleness {max_gap} exceeds period {period}"
+
+
+def test_manifest_carries_rotation_state():
+    rows = manifest()
+    assert [r["name"] for r in rows][: DRIVER_WINDOW] == NAMES[:DRIVER_WINDOW]
+    for r in rows:
+        assert "last_checked_round" in r
+        assert r["last_checked_round"] == CHECKED.get(r["name"], 0)
