@@ -466,6 +466,7 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     threshold: float = 0.5,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -478,10 +479,35 @@ def minhash_lsh_pairs(
     shared, materialized shingle set; banding explodes n_bands rows/doc;
     the bucket self-join only ever joins docs whose band-hash matches;
     verification touches candidates only. No all-pairs stage anywhere.
+
+    ``max_bucket`` bounds the one remaining skew channel: a band bucket
+    holding d docs (boilerplate/identical documents all sharing a
+    signature slice) contributes d^2 candidate rows to ONE reducer.
+    When set, buckets with occupancy > max_bucket are skipped for
+    candidate generation (standard LSH overfull-bucket policy), bounding
+    per-bucket join work by max_bucket^2; a pair is still found through
+    any of its non-overfull bands, and the result is bit-identical to the
+    uncapped join whenever max_bucket >= the max bucket occupancy
+    (tests/test_skew_soak.py pins both properties under planted skew).
+    The pipeline discipline for truly identical docs remains exact dedup
+    (``dedup_exact``) upstream — identical docs are overfull in EVERY
+    band, which no per-band policy can recover.
     """
     sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, shingles=sh)
     banded = band_rows(sigs, id_col, n_hashes, n_bands)
+    if max_bucket is not None:
+        # agg + join share the (band, band_hash) partitioning: one shuffle.
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("_occupancy")
+        )
+        banded = (
+            banded.join(
+                sizes.filter(F.col("_occupancy") <= max_bucket),
+                ["band", "band_hash"],
+            )
+            .drop("_occupancy")
+        )
     lhs = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     rhs = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     candidates = (

@@ -147,6 +147,7 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via OR-amplified random-hyperplane LSH —
     the corpus-scale replacement for ``cosine_pairs``'s all-pairs join.
@@ -163,11 +164,31 @@ def cosine_pairs_bucketed(
     pairs (the dedup regime) are found with ~certainty while low-cosine
     pairs may be missed. Measured against the exact join in
     tests/test_similarity.py.
+
+    ``max_bucket``: identical/near-identical embedding clusters of size d
+    land in the SAME bucket of every table, putting d^2 candidate rows on
+    one reducer. When set, overfull buckets (> max_bucket rows) are
+    skipped per (table, bucket), bounding per-bucket work by
+    max_bucket^2; bit-identical to the uncapped join whenever max_bucket
+    >= max occupancy (tests/test_skew_soak.py measures both under a
+    planted hot bucket). Exact-duplicate vectors belong in exact dedup
+    upstream — they are overfull in every table.
     """
     bucketed = df.select(
         F.col(id_col),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
     ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("table", "bucket").agg(
+            F.count(F.lit(1)).alias("_occupancy")
+        )
+        bucketed = (
+            bucketed.join(
+                sizes.filter(F.col("_occupancy") <= max_bucket),
+                ["table", "bucket"],
+            )
+            .drop("_occupancy")
+        )
     lhs = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
     rhs = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (
