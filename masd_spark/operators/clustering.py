@@ -344,6 +344,138 @@ def pca_top_component(
     return [float(c) for c in v], eig, n
 
 
+def pca_power_iteration_exact(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+    big: int = 4 * 10**15,
+    n_squarings: int = 12,
+) -> DataFrame:
+    """Top principal component by INTEGER power iteration — the
+    hash-checkable twin of :func:`pca_top_component`'s driver-local
+    ``numpy.linalg.eigh`` (the one remaining unproven step of the PCA
+    pipeline once ``emb_gram_upper`` oracles the distributed Gram).
+
+    Determinism recipe (same family as pagerank_exact / kmeans_exact):
+
+    - vectors quantize ONCE to integer ``1/scale`` units; the covariance
+      surrogate ``M0 = n*P - s*s^T`` (P = X^T X, s = column sums, all
+      BIGINT-exact) has the same eigenvectors as the sample covariance
+      (it is ``n*(n-1)`` times it);
+    - instead of ~1000 matvecs (the fixture spectrum is near-flat,
+      lambda2/lambda1 ~ 0.987), ``n_squarings`` repeated SQUARINGS give
+      2^n_squarings effective iterations — 12 squarings = 4096, driving
+      subdominant contamination below 1e-11 at that gap;
+    - before each squaring the matrix renormalizes to ``|x| <= big`` via
+      ``x div q`` with ``q = greatest(maxabs div big, 1)`` — integer
+      truncating division, verified identical (toward zero) between
+      Spark's ``div`` and DuckDB's ``//``; big = 4e15 keeps every matmul
+      cell <= 64*big^2 ~ 1e33, exact in Spark DECIMAL(38,0) and DuckDB
+      HUGEINT, and every renormalized entry < 2^53, exact as a double;
+    - the output column is the one under the LARGEST DIAGONAL cell of the
+      final (PSD, even-power) matrix: diag_j ~ lambda^k * v1[j]^2, so
+      argmax-diag IS pca_top_component's sign pivot, and the column comes
+      out in canonical orientation (pivot coordinate positive) with no
+      separate sign fix;
+    - the final unit normalization divides exact-integer doubles by the
+      sqrt of an exactly-summed HUGEINT/DECIMAL norm^2 — one deterministic
+      IEEE rounding per value — then rounds to 6 decimals (repo float
+      convention).
+
+    Scale: every stage is a join/agg over d^2 = 4096 rows — independent
+    of n after the Gram reduction, which reuses emb_gram_upper's
+    one-shuffle long-form shape. tests/test_similarity.py pins agreement
+    with eigh on the SAME quantized matrix to <= 1e-6 per coordinate.
+    """
+    idx = F.posexplode(
+        F.transform(
+            F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
+        )
+    )
+    q = df.select(F.col(id_col).alias("_rid"), idx.alias("pos", "x")).select(
+        "_rid", (F.col("pos") + 1).alias("dim"), "x"
+    )
+
+    p = (
+        q.select(F.col("_rid"), F.col("dim").alias("i"), F.col("x").alias("xi"))
+        .join(
+            q.select(F.col("_rid"), F.col("dim").alias("j"), F.col("x").alias("xj")),
+            "_rid",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("p"))
+    )
+    s = q.groupBy(F.col("dim").alias("i")).agg(F.sum("x").alias("s"))
+    n = df.count()  # scalar plan literal, like the k-means centroid count
+
+    m = (
+        p.join(s.select(F.col("i"), F.col("s").alias("si")), "i")
+        .join(s.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
+        .select(
+            "i",
+            "j",
+            (F.lit(n) * F.col("p") - F.col("si") * F.col("sj"))
+            .cast("decimal(38,0)")
+            .alias("x"),
+        )
+    )
+
+    def renorm(mat: DataFrame) -> DataFrame:
+        mx = mat.agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        return (
+            mat.crossJoin(F.broadcast(mx))
+            .select(
+                "i",
+                "j",
+                F.expr(f"x div greatest(mx div {big}, 1)").alias("x"),
+            )
+        )
+
+    for r in range(n_squarings):
+        rm = renorm(m).select(
+            "i", "j", F.col("x").cast("decimal(18,0)").alias("x")
+        )
+        if r % 3 == 0:
+            # truncate the join/agg lineage every few rounds: 4096-row
+            # materialization, keeps the 12-round plan out of analyzer
+            # and codegen blowup territory
+            rm = rm.localCheckpoint(eager=True)
+        a = rm.select(F.col("i"), F.col("j").alias("k"), F.col("x").alias("xa"))
+        b = rm.select(F.col("i").alias("k"), F.col("j"), F.col("x").alias("xb"))
+        m = (
+            a.join(b, "k")
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("x"))
+        )
+
+    mf = renorm(m)
+    jstar = (
+        mf.filter(F.col("i") == F.col("j"))
+        .orderBy(F.desc("x"), F.asc("i"))
+        .limit(1)
+        .select(F.col("i").alias("js"))
+    )
+    colv = mf.join(F.broadcast(jstar), mf["j"] == F.col("js")).select(
+        F.col("i").alias("dim"), F.col("x").alias("y")
+    )
+    nrm = colv.agg(
+        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("n2")
+    )
+    return (
+        colv.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(
+                F.col("y").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
+            ).alias("loading"),
+        )
+    )
+
+
 def kmeans_exact_longform(
     df: DataFrame,
     dim: int,

@@ -920,3 +920,88 @@ def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim_i", "dim_j")
         .agg(F.sum(F.col("xi") * F.col("xj")).alias("gram"))
     )
+
+
+_PI_BIG = 4 * 10**15  # renorm bound: entries stay < 2^53 (double-exact)
+_PI_SQUARINGS = 12  # 2^12 = 4096 effective power iterations
+
+
+def _pca_power_oracle(
+    dim: int = EMBEDDING_DIM,
+    scale: int = 10**4,
+    big: int = _PI_BIG,
+    n_squarings: int = _PI_SQUARINGS,
+) -> str:
+    """DuckDB twin of pca_power_iteration_exact: the identical integer
+    squaring chain in HUGEINT (int128 holds the <=1e33 matmul cells that
+    Spark carries in DECIMAL(38,0)); `//` and Spark's `div` both truncate
+    toward zero (verified), so every intermediate is the same integer."""
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id AS rid, i AS dim,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS x
+        FROM embeddings CROSS JOIN range(1, {dim + 1}) t(i))""",
+        """p AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS p
+          FROM q a JOIN q b ON a.rid = b.rid GROUP BY 1, 2)""",
+        "s AS MATERIALIZED (SELECT dim AS i, CAST(sum(x) AS HUGEINT) AS s FROM q GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings)",
+        """m0 AS MATERIALIZED (
+        SELECT p.i, p.j, (SELECT n FROM nn) * p.p - sa.s * sb.s AS x
+        FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j)""",
+    ]
+    for r in range(n_squarings):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+        SELECT i, j,
+               x // greatest((SELECT max(abs(x)) FROM m{r}) // {big}, 1) AS x
+        FROM m{r})"""
+        )
+        parts.append(
+            f"""m{r + 1} AS MATERIALIZED (
+        SELECT a.i AS i, b.j AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS x
+        FROM r{r} a JOIN r{r} b ON a.j = b.i GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f"""rf AS MATERIALIZED (
+        SELECT i, j,
+               x // greatest((SELECT max(abs(x)) FROM m{n_squarings}) // {big}, 1)
+                   AS x
+        FROM m{n_squarings})"""
+    )
+    parts.append(
+        "jstar AS MATERIALIZED (SELECT i AS js FROM rf WHERE i = j ORDER BY x DESC, i LIMIT 1)"
+    )
+    parts.append(
+        """colv AS MATERIALIZED (
+        SELECT rf.i AS dim, rf.x AS y FROM rf
+        WHERE rf.j = (SELECT js FROM jstar))"""
+    )
+    parts.append("nrm AS MATERIALIZED (SELECT CAST(sum(y * y) AS HUGEINT) AS n2 FROM colv)")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(CAST(y AS DOUBLE)
+                 / sqrt(CAST((SELECT n2 FROM nrm) AS DOUBLE)), 6) AS loading
+    FROM colv"""
+    )
+
+
+@register("emb_pca_power_iteration", oracle=_pca_power_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component, end-to-end hash-checkable: 12 integer
+    matrix SQUARINGS (= 4096 power iterations, enough for the fixture's
+    near-flat spectrum) over the quantized covariance surrogate
+    n*P - s*s^T, with truncating-division renormalization — every
+    intermediate an exact integer in both engines. Proves the eigensolve
+    step that emb_pca_top_component leaves to driver-local numpy.eigh
+    (VERDICT r4 item 7); the distributed Gram stage is emb_gram_upper's.
+    (operators/clustering.py:pca_power_iteration_exact)
+    """
+    from masd_spark.operators.clustering import pca_power_iteration_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_power_iteration_exact(
+        emb, dim=EMBEDDING_DIM, scale=_KM_SCALE, big=_PI_BIG,
+        n_squarings=_PI_SQUARINGS,
+    )
