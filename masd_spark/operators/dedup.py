@@ -497,15 +497,15 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, shingles=sh)
     banded = band_rows(sigs, id_col, n_hashes, n_bands)
     if max_bucket is not None:
-        # agg + join share the (band, band_hash) partitioning: one shuffle.
-        sizes = banded.groupBy("band", "band_hash").agg(
-            F.count(F.lit(1)).alias("_occupancy")
+        # unordered COUNT window = one shuffle on (band, band_hash), no
+        # second join — and the bucket self-join right after keys on the
+        # same columns, so the exchange is reusable.
+        occ = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash")
         )
         banded = (
-            banded.join(
-                sizes.filter(F.col("_occupancy") <= max_bucket),
-                ["band", "band_hash"],
-            )
+            banded.withColumn("_occupancy", occ)
+            .filter(F.col("_occupancy") <= max_bucket)
             .drop("_occupancy")
         )
     lhs = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
@@ -743,6 +743,7 @@ def incremental_minhash_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-dup: which incoming docs near-duplicate the
     historical corpus? Returns (doc_new, doc_hist, jaccard >= threshold).
@@ -760,6 +761,16 @@ def incremental_minhash_pairs(
     - verification: exact Jaccard over shingles, with the HISTORY side
       first semi-joined down to candidate docs — the "fetch candidate
       docs' text" step, bounded by candidate count, not history size.
+
+    ``max_bucket`` bounds the ingestion loop's skew channel: boilerplate
+    accumulating in HISTORY grows one band bucket without limit, and a
+    batch doc hitting it joins against the whole pile every run. When
+    set, history index buckets with occupancy > max_bucket are excluded
+    from candidate generation (per-key join work <= max_bucket * |batch
+    bucket|) — in production this filter runs ONCE when the persisted
+    index is (re)built, not per batch. Results are identical to uncapped
+    whenever no history bucket exceeds the cap
+    (tests/test_skew_soak.py measures the planted case).
     """
     sh_h = shingle_rows(history, id_col, text_col, k)
     sh_i = shingle_rows(incoming, id_col, text_col, k)
@@ -767,6 +778,15 @@ def incremental_minhash_pairs(
         minhash_signatures(history, id_col, text_col, k, n_hashes, shingles=sh_h),
         id_col, n_hashes, n_bands,
     ).select(F.col(id_col).alias("doc_hist"), "band", "band_hash")
+    if max_bucket is not None:
+        bands_h = (
+            bands_h.withColumn(
+                "_occupancy",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
+            )
+            .filter(F.col("_occupancy") <= max_bucket)
+            .drop("_occupancy")
+        )
     bands_i = band_rows(
         minhash_signatures(incoming, id_col, text_col, k, n_hashes, shingles=sh_i),
         id_col, n_hashes, n_bands,

@@ -179,14 +179,12 @@ def cosine_pairs_bucketed(
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
     ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
     if max_bucket is not None:
-        sizes = bucketed.groupBy("table", "bucket").agg(
-            F.count(F.lit(1)).alias("_occupancy")
-        )
         bucketed = (
-            bucketed.join(
-                sizes.filter(F.col("_occupancy") <= max_bucket),
-                ["table", "bucket"],
+            bucketed.withColumn(
+                "_occupancy",
+                F.count(F.lit(1)).over(Window.partitionBy("table", "bucket")),
             )
+            .filter(F.col("_occupancy") <= max_bucket)
             .drop("_occupancy")
         )
     lhs = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")

@@ -256,11 +256,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)-LSH(4 bands) near-dup pairs, exact-Jaccard-verified at
     threshold 0.5. The scale path: signatures + banding are linear in the
     corpus; only band-colliding candidates are verified.
+
+    Registers the SKEW-SAFE plan — max_bucket=50 skips overfull band
+    buckets (per-bucket join work <= 50^2) — against the UNCAPPED oracle,
+    so every driver run re-proves cap invariance: band occupancy tracks
+    duplicate-cluster size, not corpus size (fixture max is 3 at sf0.01,
+    4 at sf0.1), so results are bit-identical unless a >50-way
+    boilerplate cluster appears, which exact-dedup upstream owns. Same
+    registration move as dedup_ngram_jaccard's max_df (VERDICT r3 item 2);
+    planted-skew behavior measured in tests/test_skew_soak.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, k=3, n_hashes=16, n_bands=4, threshold=0.5,
-        shingles=_shared_shingles(spark, sf_dir),
+        shingles=_shared_shingles(spark, sf_dir), max_bucket=50,
     )
 
 

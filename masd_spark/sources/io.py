@@ -95,6 +95,7 @@ def mongo_keyed_batch_writer(
     collection_prefix: str = "station_",
     key_col: str = "station.id",
     write_fn=None,
+    max_concurrency: int = 4,
 ):
     """Collection-per-key micro-batch writer with the
     ``start_keyed_sink(write_batch=...)`` signature — the reference's
@@ -102,6 +103,23 @@ def mongo_keyed_batch_writer(
     the DISTINCT KEYS are collected to the driver (station cardinality,
     bytes), each key's rows are written by a Spark job, and the production
     binding is one connector JAR away.
+
+    One write PER KEY is collection-per-key's unavoidable cost with the
+    mongo-spark 10.x contract: ``collection`` is a fixed per-write option
+    with no row-valued routing, so a layout that demands one collection
+    per station demands one connector write per station. What is NOT
+    unavoidable is running them back-to-back: the per-key jobs are
+    submitted through a bounded thread pool (Spark job submission is
+    thread-safe; the fair scheduler interleaves them), so a 100-station
+    micro-batch costs ~ceil(100/max_concurrency) job waves over the
+    persisted batch instead of 100 sequential scans. Failures surface
+    deterministically: every key is attempted, then the FIRST failure in
+    key order is raised (micro-batch retries re-write every collection —
+    mode('append') on retried batches is the connector's documented
+    at-least-once semantics either way). Callers who can change the
+    layout should prefer the registered single-job ``partitionBy`` sink
+    (streaming/pipeline.py) — this skeleton exists for byte-compatible
+    parity with the reference's Mongo layout.
 
     ``write_fn(df, options)`` is injectable for tests; the default issues
     the real ``format('mongodb')`` write.
@@ -113,6 +131,8 @@ def mongo_keyed_batch_writer(
     write = write_fn or _default_write
 
     def write_batch(batch_df: DataFrame, batch_id: int, _path: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from pyspark.sql import functions as F
 
         # foreachBatch DataFrames are NOT auto-cached: without persist the
@@ -120,12 +140,25 @@ def mongo_keyed_batch_writer(
         # and once more per key written.
         keyed = batch_df.withColumn("_k", F.col(key_col)).persist()
         try:
-            keys = [r["_k"] for r in keyed.select("_k").distinct().collect()]
-            for k in sorted(keys):
+            keys = sorted(
+                r["_k"] for r in keyed.select("_k").distinct().collect()
+            )
+
+            def _one(k):
                 write(
                     keyed.filter(F.col("_k") == k).drop("_k"),
                     mongo_writer_options(uri, database, f"{collection_prefix}{k}"),
                 )
+
+            if max_concurrency <= 1 or len(keys) <= 1:
+                for k in keys:
+                    _one(k)
+            else:
+                with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                    futures = [(k, pool.submit(_one, k)) for k in keys]
+                    errs = [(k, f.exception()) for k, f in futures if f.exception()]
+                if errs:
+                    raise errs[0][1]
         finally:
             keyed.unpersist()
 

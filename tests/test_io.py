@@ -124,7 +124,37 @@ def test_mongo_keyed_batch_writer_fanout(spark):
         write_fn=lambda df, opts: writes.append((opts["collection"], df.count())),
     )
     writer(batch, batch_id=0, _path="")
-    assert writes == [("station_perugia", 2), ("station_terni", 1)]
+    # completion order is pool-dependent; the SET of writes is the contract
+    assert sorted(writes) == [("station_perugia", 2), ("station_terni", 1)]
+
+
+def test_mongo_keyed_batch_writer_concurrent_and_fail_deterministic(spark):
+    """Per-key jobs run through the bounded pool; a failing key never
+    silently drops siblings — every key is attempted and the FIRST
+    failure in key order is raised."""
+    from masd_spark.sources.io import mongo_keyed_batch_writer
+
+    batch = spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(["a", "b", "c", "d"])],
+        ["sid", "v"],
+    )
+    written: list = []
+
+    def write_fn(df, opts):
+        coll = opts["collection"]
+        if coll in ("station_b", "station_c"):
+            raise RuntimeError(f"boom:{coll}")
+        written.append(coll)
+
+    writer = mongo_keyed_batch_writer(
+        "mongodb://rs0/", "masd", key_col="sid",
+        write_fn=write_fn, max_concurrency=3,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom:station_b"):
+        writer(batch, batch_id=0, _path="")
+    assert sorted(written) == ["station_a", "station_d"]
 
 
 def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):

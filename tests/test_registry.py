@@ -35,9 +35,15 @@ def test_committed_manifest_is_current():
     assert committed == manifest()
 
 
-def test_round4_window_leads_with_ex_red_queries():
-    """The round-2 RED queries must sit inside the driver window until a
-    green driver row exists for them (VERDICT r3 item 1)."""
+def test_ex_red_queries_have_driver_green_or_window_slot():
+    """The round-2 RED queries had to stay in the window until a green
+    driver row existed (VERDICT r3 item 1). All three went green in
+    CORRECTNESS_r04.json, so under the standing rotation policy
+    (tests/test_rotation.py) they now rotate like everyone else — this
+    guard only re-arms if their green evidence ever disappears."""
+    from masd_spark.queries import last_checked_rounds
+
+    checked = last_checked_rounds()
     window = [r["name"] for r in manifest()[:DRIVER_WINDOW]]
     for name in ("ann_lsh_topk", "ann_ivf_topk", "cluster_kmeans_embeddings"):
-        assert name in window
+        assert checked.get(name, 0) >= 4 or name in window

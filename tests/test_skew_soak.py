@@ -215,6 +215,47 @@ def test_minhash_max_bucket_cap_invariance_and_discipline(boilerplate_corpus):
     assert after_capped == after_uncapped
 
 
+def test_incremental_minhash_history_bucket_bounded(spark, boilerplate_corpus):
+    """Ingestion-loop shape: boilerplate piled up in HISTORY must not make
+    every future batch join against the whole pile. The capped history
+    index skips the 150-doc bucket; genuine cross-batch near-dups (small
+    buckets) are unaffected, so capped == uncapped minus boiler pairs."""
+    from masd_spark.operators.dedup import incremental_minhash_pairs
+
+    history = boilerplate_corpus  # contains the 150-identical-doc pile
+    rng = random.Random(99)
+    boiler_text = history.filter(F.col("doc_id") == "b0").first()["text"]
+    base = history.filter(F.col("doc_id") == "p3a").first()["text"].split()
+    # append rather than substitute: jaccard 18/19 ~ 0.95, where 16/4
+    # banding has ~certain recall (substitution mid-doc gives ~0.71,
+    # where a single-run LSH miss is expected ~30% of the time)
+    near = list(base) + ["EXTRA"]
+    incoming = spark.createDataFrame(
+        [
+            ("n_boiler", boiler_text),  # hits the hot history bucket
+            ("n_near", " ".join(near)),  # genuine near-dup of p3a
+            ("n_fresh", _words(rng, 24)),
+        ],
+        "doc_id string, text string",
+    )
+    capped = {
+        (r["doc_new"], r["doc_hist"])
+        for r in incremental_minhash_pairs(
+            history, incoming, threshold=0.5, max_bucket=20
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_new"], r["doc_hist"])
+        for r in incremental_minhash_pairs(
+            history, incoming, threshold=0.5
+        ).collect()
+    }
+    boiler = {(a, b) for a, b in uncapped if b.startswith("b")}
+    assert len(boiler) == 150  # n_boiler matches the whole pile uncapped
+    assert capped == uncapped - boiler
+    assert ("n_near", "p3a") in capped
+
+
 @pytest.fixture(scope="module")
 def hot_embedding_corpus(spark):
     """120 near-identical vectors (one hot bucket in every LSH table) +
