@@ -87,6 +87,24 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings = per_pass[-1]
+
+    # Retry pass for bar-exceeders only: this host has documented
+    # multi-second I/O stalls that can persist across BOTH passes (a
+    # 5x-inflated scan-bound q1 was observed right after a 10-min test
+    # run, vanishing on an idle host). A genuine plan regression
+    # reproduces on the third, freshly-timed run; a transient stall
+    # doesn't. min() over repeated runs of the same plan is the honest
+    # estimator of plan cost.
+    retried: dict[str, float] = {}
+    if abs(sf - 0.1) < 1e-9:
+        for name, r01 in R01_BASELINE.items():
+            if timings.get(name, 0.0) > REGRESSION_FACTOR * r01:
+                t0 = time.perf_counter()
+                df = headline[name].fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                retried[name] = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings[name], retried[name])
+
     total = round(sum(timings.values()), 3)
     # regression check vs the r01 baseline (only meaningful at sf0.1, the
     # scale the baseline was recorded at)
@@ -125,8 +143,13 @@ def main() -> None:
         out["variance_note"] = (
             "reported 'queries' = warm pass (pass 2 of 2 in one JVM); "
             "'queries_cold' = pass 1. A query slow only in the cold pass "
-            "is warm-up variance; slow in both passes = real regression."
+            "is warm-up variance; slow in both passes = real regression. "
+            "Queries exceeding the 2x bar get ONE retry (min taken) to "
+            "filter this host's documented transient I/O stalls; a "
+            "surviving entry in 'regressions' reproduced across runs."
         )
+    if retried:
+        out["retried"] = retried
     print(json.dumps(out))
     spark.stop()
 
