@@ -117,6 +117,74 @@ spark.stop()
 """
 
 
+_WINDOW_SCRIPT = r"""
+import json, sys, tempfile
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from masd_spark.session import get_spark
+from masd_spark.vendor import ensure_protobuf
+
+ensure_protobuf()
+spark = get_spark(
+    app_name="lc-window",
+    master="local-cluster[2,4,4096]",
+    shuffle_partitions=16,
+    driver_memory="4g",
+    extra_confs={
+        "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="lc_warehouse_"),
+        "spark.executorEnv.PYTHONPATH": ":".join(
+            p for p in ["/root/repo", __import__("os").environ.get("PYTHONPATH", "")] if p
+        ),
+    },
+)
+spark.range(1000).selectExpr("id % 7 k").groupBy("k").count().count()
+
+from masd_spark.queries import load_all, DRIVER_WINDOW
+from oracle import compare_query
+
+REG = load_all()
+SF = "/root/testdata/sf0.01"
+ok, fail = [], []
+for name in list(REG)[:DRIVER_WINDOW]:
+    spec = REG[name]
+    try:
+        if spec.oracle is not None:
+            compare_query(spark, spec, SF)
+        else:
+            assert spec.fn(spark, SF).count() >= 0
+        ok.append(name)
+    except Exception as exc:  # noqa: BLE001
+        fail.append([name, repr(exc)[:300]])
+print("LCRESULT " + json.dumps({"ok": len(ok), "fail": fail}))
+spark.stop()
+"""
+
+
+def test_local_cluster_driver_window():
+    """The ENTIRE round-5 driver verification window — TPC-H full,
+    warehouse, analytics, graph, the PCA power iteration — value-checked
+    against DuckDB under real multi-process execution. Anything that
+    silently depended on single-JVM locality (driver-side state, lineage
+    through Python objects, partitioning assumptions) fails here before
+    the external driver sees it."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}".rstrip(":")
+    proc = subprocess.run(
+        [sys.executable, "-c", _WINDOW_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env=env,
+        cwd=str(REPO),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("LCRESULT ")]
+    assert lines, f"no result line\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-3000:]}"
+    res = json.loads(lines[-1][len("LCRESULT "):])
+    assert not res["fail"], res["fail"]
+    assert res["ok"] == 50
+
+
 def test_local_cluster_smoke():
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}".rstrip(":")
