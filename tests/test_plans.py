@@ -365,3 +365,19 @@ def test_length_bucketing_single_scan(spark):
     plan = physical_plan(df)
     assert plan.count("Scan parquet") <= 2, plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_registry_wide_plan_lint(spark):
+    """Blanket guard over EVERY registered query's physical plan: no
+    CartesianProduct (an equi-join that lost its keys) and no
+    BatchEvalPython (a row-at-a-time Python UDF snuck into the hot
+    path — only Arrow-batched Pandas exec nodes are acceptable, per the
+    zero-row-at-a-time-UDF discipline). Audited clean across all 207
+    queries in round 5; this keeps it that way."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        plan = physical_plan(spec.fn(spark, SF_SMOKE))
+        for marker in ("CartesianProduct", "BatchEvalPython"):
+            if marker in plan:
+                offenders.setdefault(marker, []).append(name)
+    assert not offenders, offenders
