@@ -74,14 +74,21 @@ FLAGSHIP = "masd_sensor_rollup"
 
 
 def last_checked_rounds() -> dict[str, int]:
-    """Map query name -> latest round whose CORRECTNESS_r{N}.json lists it.
+    """Map query name -> latest round with a GREEN row in
+    CORRECTNESS_r{N}.json.
 
     The CORRECTNESS artifacts committed at the repo root by the external
     driver ARE the rotation state: deriving ``last_checked_round`` from
     them (instead of a hand-maintained file) makes the round-robin
     self-updating — the moment the driver lands round N's results, round
-    N+1's import order pushes freshly-checked queries to the back.
-    Queries absent from every artifact (never checked) map to 0.
+    N+1's import order pushes freshly-GREEN queries to the back. Two
+    deliberate asymmetries:
+
+    - only green rows count (see :func:`_row_is_green`): a query that
+      FAILED its check keeps last_checked 0 unless an earlier round was
+      green, so a regression re-enters the very next window instead of
+      hiding for a full rotation cycle;
+    - queries absent from every artifact (never checked) map to 0.
     """
     import json
     import re
@@ -99,9 +106,30 @@ def last_checked_rounds() -> dict[str, int]:
             data = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for name in data:
-            out[name] = max(out.get(name, 0), rnd)
+        for name, row in data.items():
+            if _row_is_green(row):
+                out[name] = max(out.get(name, 0), rnd)
     return out
+
+
+def _row_is_green(row) -> bool:
+    """A driver correctness row counts as green evidence when the oracle
+    comparison fully matched, or the query is rows-only by design
+    (err == 'no_oracle') and executed (spark_rows present). Any failure —
+    hash/schema/rows mismatch or an execution error — does NOT count, so
+    the rotation keeps the query in the front of the next window."""
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err")
+    if err == "no_oracle":
+        return row.get("spark_rows") is not None
+    if err is not None:
+        return False
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    )
 
 
 def rotation_order(names: list[str], checked: dict[str, int]) -> list[str]:

@@ -85,6 +85,41 @@ def test_simulated_staleness_bound():
     assert max_gap <= period, f"staleness {max_gap} exceeds period {period}"
 
 
+def test_failed_checks_do_not_count_as_green():
+    """A red driver row must keep (or put back) its query at the front of
+    the next window — only fully-green rows advance last_checked_round."""
+    from masd_spark.queries import _row_is_green
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 5, "oracle_rows": None, "err": "no_oracle"}
+    hash_red = dict(green, hash_match=False)
+    exec_err = {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": "AnalysisException(...)"}
+    assert _row_is_green(green)
+    assert _row_is_green(rows_only)
+    assert not _row_is_green(hash_red)
+    assert not _row_is_green(exec_err)
+    assert not _row_is_green(None)
+
+    # end-to-end: a red query sorts ahead of every green one
+    names = ["flag", "was_green", "went_red", "never"]
+    checked = {"was_green": 3, "went_red": 0}  # red => no green round
+    from masd_spark.queries import rotation_order
+    import masd_spark.queries as q
+
+    old = q.FLAGSHIP
+    q.FLAGSHIP = "flag"
+    try:
+        order = rotation_order(names, checked)
+    finally:
+        q.FLAGSHIP = old
+    assert order.index("went_red") < order.index("was_green")
+    assert order[0] == "flag"
+
+
 def test_manifest_carries_rotation_state():
     rows = manifest()
     assert [r["name"] for r in rows][: DRIVER_WINDOW] == NAMES[:DRIVER_WINDOW]
