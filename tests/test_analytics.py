@@ -18,6 +18,11 @@ QUERIES = [
     "cohort_retention_daily",
     "agg_mad_robust",
     "text_unigram_logprob",
+    # round-5 audit (tests/test_parity_audit.py) found these two oracled
+    # analytics queries had no local compare_query row — both sit in the
+    # round-5 driver window, so the local twin must run before the driver
+    "basket_brand_affinity",
+    "bi_rfm_segments",
 ]
 
 

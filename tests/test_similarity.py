@@ -18,6 +18,17 @@ def test_bucketed_cosine_parity(spark):
     compare_query(spark, REGISTRY["dedup_embedding_cosine_bucketed"], SF_ORACLE)
 
 
+def test_ann_lsh_topk_parity(spark):
+    """The LSH plan's oracle reproduces the same hyperplane buckets in SQL
+    (driver hash-green in r04); keep the local twin so a registry change
+    can't silently break the deterministic bucketing before a driver run."""
+    compare_query(spark, REGISTRY["ann_lsh_topk"], SF_ORACLE)
+
+
+def test_ann_ivf_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_ivf_topk"], SF_ORACLE)
+
+
 def test_bucketed_cosine_recall_and_precision(spark):
     """The bucketed near-dup must (a) return ONLY pairs the exact join
     returns, with identical scores (precision 1.0 — verification is exact),
