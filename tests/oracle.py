@@ -19,6 +19,10 @@ from masd_spark.sources.tables import TABLE_NAMES
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # duckdb's progress bar writes \r-terminated fragments to stdout on
+    # slow queries; subprocess harnesses (test_local_cluster) parse stdout
+    # line-markers, and a bar fragment left before the marker breaks them
+    con.execute("SET enable_progress_bar=false")
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

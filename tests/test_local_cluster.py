@@ -178,7 +178,9 @@ def test_local_cluster_driver_window():
         env=env,
         cwd=str(REPO),
     )
-    lines = [l for l in proc.stdout.splitlines() if l.startswith("LCRESULT ")]
+    # marker may share a line with a stray \r-progress fragment; split on
+    # the marker itself rather than requiring it at line start
+    lines = [l[l.find("LCRESULT "):] for l in proc.stdout.splitlines() if "LCRESULT " in l]
     assert lines, f"no result line\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-3000:]}"
     res = json.loads(lines[-1][len("LCRESULT "):])
     assert not res["fail"], res["fail"]
@@ -196,7 +198,9 @@ def test_local_cluster_smoke():
         env=env,
         cwd=str(REPO),
     )
-    lines = [l for l in proc.stdout.splitlines() if l.startswith("LCRESULT ")]
+    # marker may share a line with a stray \r-progress fragment; split on
+    # the marker itself rather than requiring it at line start
+    lines = [l[l.find("LCRESULT "):] for l in proc.stdout.splitlines() if "LCRESULT " in l]
     assert lines, f"no result line\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-3000:]}"
     res = json.loads(lines[-1][len("LCRESULT "):])
     # driver + 2 executor block managers => genuinely multi-process
