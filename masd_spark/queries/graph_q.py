@@ -72,18 +72,35 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared by the id-oriented and degree-oriented triangle queries — both
-# orientations must reproduce this enumeration exactly.
-_TRIANGLE_ORACLE = """
-    WITH und AS (
-        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
-                        greatest(c.c_nationkey, s.s_nationkey) AS v
+# Undirected simple nation-pair edge CTEs shared by the triangle and BFS
+# oracles. The shape matters for DuckDB's planner: with `c_nationkey <>
+# s_nationkey` sitting in the 4-table join block, the optimizer joined
+# customer x supplier FIRST on that inequality (14.4M-row nested loop at
+# sf0.1, 144M rows after the orders hash join — ~80s per CTE reference,
+# and the triangle oracle references `und` four times: 400s total, found
+# by scripts/parity_sweep.py at sf0.1). Building the distinct nation
+# pairs from pure equi-joins and applying `<>` AFTER — behind MATERIALIZED
+# fences so the filter can't be pushed back into the join and the CTE is
+# computed once — takes the same oracle to 0.1s with identical output.
+_UND_EDGES_SQL = """
+    np AS MATERIALIZED (
+        SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
     ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(cn, sn) AS u, greatest(cn, sn) AS v
+        FROM np WHERE cn <> sn
+    )
+"""
+
+# Shared by the id-oriented and degree-oriented triangle queries — both
+# orientations must reproduce this enumeration exactly.
+_TRIANGLE_ORACLE = f"""
+    WITH {_UND_EDGES_SQL},
     tris AS (
         SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM und e1
@@ -151,15 +168,7 @@ _BFS_SOURCE = 0
 @register(
     "graph_bfs_distances",
     oracle=f"""
-    WITH RECURSIVE und AS (
-        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
-                        greatest(c.c_nationkey, s.s_nationkey) AS v
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        WHERE c.c_nationkey <> s.s_nationkey
-    ),
+    WITH RECURSIVE {_UND_EDGES_SQL},
     sym AS (
         SELECT u, v FROM und UNION SELECT v, u FROM und
     ),

@@ -1,0 +1,68 @@
+"""Full-registry DuckDB parity sweep at an arbitrary scale factor.
+
+The driver's correctness gate and the pytest suite both compare at
+sf0.01; this tool re-runs EVERY oracled registered query against its
+DuckDB twin at a larger SF (default sf0.1, 10x the gate) to catch
+bugs that only appear with more data — caps binding differently,
+overflow, skew-path behavior, window frames straddling more rows.
+
+Usage:
+    python scripts/parity_sweep.py [sf_dir] [--only substr]
+
+Prints one line per query (PASS/FAIL + wall seconds) and a final
+summary line ``SWEEP {"sf_dir":..., "pass": N, "fail": [...]}``.
+Exit code 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+for p in (str(REPO), str(REPO / "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+
+    from masd_spark.queries import load_all
+    from masd_spark.session import get_spark
+    from oracle import compare_query
+
+    spark = get_spark(app_name="parity-sweep")
+    reg = load_all()
+    names = [n for n, s in reg.items() if s.oracle is not None]
+    if only:
+        names = [n for n in names if only in n]
+
+    passed, failed = [], []
+    for i, name in enumerate(names):
+        t0 = time.monotonic()
+        try:
+            compare_query(spark, reg[name], sf_dir)
+            dt = time.monotonic() - t0
+            passed.append(name)
+            print(f"[{i + 1}/{len(names)}] PASS {name} ({dt:.1f}s)", flush=True)
+        except Exception as exc:  # noqa: BLE001
+            dt = time.monotonic() - t0
+            failed.append([name, repr(exc)[:400]])
+            print(f"[{i + 1}/{len(names)}] FAIL {name} ({dt:.1f}s): {exc!r}"[:600], flush=True)
+    print(
+        "SWEEP "
+        + json.dumps({"sf_dir": sf_dir, "pass": len(passed), "fail": failed})
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
