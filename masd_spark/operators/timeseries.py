@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from masd_spark.functions.quantize import qround6
+
 
 def resample_gap_fill(
     df: DataFrame,
@@ -79,7 +81,7 @@ def resample_gap_fill(
         )
         .withColumn("is_observed", F.col("_v").isNotNull())
         .withColumn(
-            "value_filled", F.round(F.last("_v", ignorenulls=True).over(w), 6)
+            "value_filled", qround6(F.last("_v", ignorenulls=True).over(w))
         )
         .drop("_v")
     )
@@ -104,10 +106,11 @@ def resample_interpolate(
     ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``; buckets
     after a key's last observation hold the last value (no extrapolation);
     leading buckets are observed by construction (the grid starts at the
-    key's first observation). Bucket averages are rounded to 6 dp BEFORE
-    interpolation so both engines lerp from identical anchors, and the
-    lerp is written with the same operation order in the oracle SQL —
-    float parity by construction, not luck.
+    key's first observation). Bucket averages are quantized to 6 dp
+    BEFORE interpolation (functions/quantize.py:qround6 — IEEE-only ops,
+    identical in Spark and DuckDB) so both engines lerp from identical
+    anchors, and the lerp is written with the same operation order in
+    the oracle SQL — float parity by construction, not luck.
 
     Scale: same shape as resample_gap_fill — a 3-column span agg bounds
     the grid explode, then TWO window passes (previous / next anchor)
@@ -119,7 +122,7 @@ def resample_interpolate(
     observed = (
         df.withColumn("_b", bucket)
         .groupBy(*key_cols, "_b")
-        .agg(F.round(F.avg(value_col), 6).alias("_v"))
+        .agg(qround6(F.avg(value_col)).alias("_v"))
     )
     spans = observed.groupBy(*key_cols).agg(
         F.min("_b").alias("_mn"), F.max("_b").alias("_mx")
@@ -168,11 +171,10 @@ def resample_interpolate(
     )
     return joined.withColumn(
         "value_interp",
-        F.round(
+        qround6(
             F.when(F.col("is_observed"), F.col("_v"))
             .when(F.col("_nv").isNull(), F.col("_pv"))
-            .otherwise(lerp),
-            6,
+            .otherwise(lerp)
         ),
     ).drop("_v", "_pv", "_pt", "_nv", "_nt")
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from masd_spark.functions.quantize import qround6, qround6_sql
 from masd_spark.operators.dedup import dedup_exact, jaccard_pairs
 from masd_spark.operators.sampling import md5_bucket_sql
 from masd_spark.operators.text import (
@@ -506,7 +507,8 @@ _LM_W_SPAN = 2001  # weights in [-1000, 1000] milli-units
         FROM feats GROUP BY 1
     )
     SELECT doc_id, n_tokens, logit_milli,
-           ROUND(CAST(logit_milli AS DOUBLE) / n_tokens / 1000.0, 6) AS score,
+           {qround6_sql('CAST(logit_milli AS DOUBLE) / n_tokens / 1000.0')}
+               AS score,
            logit_milli > 0 AS keep
     FROM scored
     """,
@@ -546,7 +548,7 @@ def ml_linear_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "logit_milli",
-        F.round(F.col("logit_milli").cast("double") / F.col("n_tokens") / 1000.0, 6).alias("score"),
+        qround6(F.col("logit_milli").cast("double") / F.col("n_tokens") / 1000.0).alias("score"),
         (F.col("logit_milli") > 0).alias("keep"),
     )
 

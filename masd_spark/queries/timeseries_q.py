@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from masd_spark.functions.quantize import qround6_sql
 from masd_spark.operators.timeseries import detect_gaps, resample_gap_fill
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
@@ -38,10 +39,10 @@ _GAP_MS = 6 * _HOUR_MS
         FROM grid g LEFT JOIN obs o USING (event_type, bucket_ms)
     )
     SELECT event_type, bucket_ms,
-           ROUND(last_value(v IGNORE NULLS)
+           {qround6_sql('''last_value(v IGNORE NULLS)
                  OVER (PARTITION BY event_type ORDER BY bucket_ms
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 6) AS value_filled,
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+               AS value_filled,
            v IS NOT NULL AS is_observed
     FROM j
     """,
@@ -98,7 +99,7 @@ _ZS_WINDOW_MS = 6 * _HOUR_MS
     obs AS (
         SELECT event_type,
                ts_ms - (ts_ms % {_HOUR_MS}) AS bucket_ms,
-               ROUND(avg(value), 6) AS v
+               {qround6_sql('avg(value)')} AS v
         FROM e GROUP BY 1, 2
     ),
     spans AS (
@@ -129,11 +130,11 @@ _ZS_WINDOW_MS = 6 * _HOUR_MS
                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, bucket_ms,
-           ROUND(CASE WHEN is_observed THEN v
+           {qround6_sql('''CASE WHEN is_observed THEN v
                       WHEN nv IS NULL THEN pv
                       ELSE pv + (nv - pv) *
                            ((bucket_ms - pt) / (nt - pt))
-                 END, 6) AS value_interp,
+                 END''')} AS value_interp,
            is_observed
     FROM a
     """,
