@@ -7,7 +7,12 @@ bugs that only appear with more data — caps binding differently,
 overflow, skew-path behavior, window frames straddling more rows.
 
 Usage:
-    python scripts/parity_sweep.py [sf_dir] [--only substr]
+    python scripts/parity_sweep.py [sf_dir] [--only substr] [--master url]
+
+``--master local-cluster[2,4,4096]`` runs the whole sweep under a real
+Master + two Worker JVMs (network shuffle, executor-side Python
+workers), turning the single-JVM parity evidence into distributed
+parity evidence for every oracled query.
 
 Prints one line per query (PASS/FAIL + wall seconds) and a final
 summary line ``SWEEP {"sf_dir":..., "pass": N, "fail": [...]}``.
@@ -28,17 +33,50 @@ for p in (str(REPO), str(REPO / "tests")):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    only = master = None
+    flag_values = set()
+    for flag in ("--only", "--master"):
+        if flag in argv:
+            val = argv[argv.index(flag) + 1]
+            flag_values.add(val)
+            if flag == "--only":
+                only = val
+            else:
+                master = val
+    args = [a for a in argv if not a.startswith("--") and a not in flag_values]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    only = None
-    if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
 
     from masd_spark.queries import load_all
     from masd_spark.session import get_spark
     from oracle import compare_query
 
-    spark = get_spark(app_name="parity-sweep")
+    extra_confs = {}
+    if master and master.startswith("local-cluster"):
+        # Same traps as tests/test_local_cluster.py: executorEnv.PYTHONPATH
+        # OVERRIDES env inheritance, so compose it AFTER resolving the
+        # protobuf shim dir, and keep shuffle partitions modest for the
+        # 2x4-core worker topology.
+        import os
+        import tempfile
+
+        from masd_spark.vendor import ensure_protobuf
+
+        ensure_protobuf()
+        extra_confs = {
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sweep_wh_"),
+            "spark.executorEnv.PYTHONPATH": ":".join(
+                p
+                for p in [str(REPO), os.environ.get("PYTHONPATH", "")]
+                if p
+            ),
+        }
+    spark = get_spark(
+        app_name="parity-sweep",
+        master=master,
+        shuffle_partitions=16 if master and master.startswith("local-cluster") else None,
+        extra_confs=extra_confs,
+    )
     reg = load_all()
     names = [n for n, s in reg.items() if s.oracle is not None]
     if only:
@@ -58,7 +96,14 @@ def main() -> int:
             print(f"[{i + 1}/{len(names)}] FAIL {name} ({dt:.1f}s): {exc!r}"[:600], flush=True)
     print(
         "SWEEP "
-        + json.dumps({"sf_dir": sf_dir, "pass": len(passed), "fail": failed})
+        + json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "master": spark.sparkContext.master,
+                "pass": len(passed),
+                "fail": failed,
+            }
+        )
     )
     spark.stop()
     return 1 if failed else 0
