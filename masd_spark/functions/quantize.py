@@ -32,12 +32,25 @@ from pyspark.sql import functions as F
 
 _SCALE = 1e6
 
+# Pass-through bound: Spark's floor(double) returns LONG, so x * 1e6
+# overflows past ~9.22e18 (Long.MAX) — NaN would become 0, +Inf would
+# become ~9.22e12, and |x| > ~9.2e12 would saturate — while DuckDB's
+# floor stays DOUBLE (NaN -> NaN, Inf -> Inf, big -> identity). Past
+# this bound a double has < 6 fractional digits anyway, so BOTH engines
+# pass the raw value through under the SAME predicate, keeping parity.
+_PASS_ABS = 9.0e12
+
 
 def qround6(col: Column) -> Column:
     """6-dp quantization of a double column using IEEE-only ops."""
-    return F.floor(col * F.lit(_SCALE) + F.lit(0.5)) / F.lit(_SCALE)
+    return F.when(
+        F.isnan(col) | (F.abs(col) >= F.lit(_PASS_ABS)), col
+    ).otherwise(F.floor(col * F.lit(_SCALE) + F.lit(0.5)) / F.lit(_SCALE))
 
 
 def qround6_sql(expr: str) -> str:
     """The identical quantization as a DuckDB SQL fragment."""
-    return f"(floor(({expr}) * 1e6 + 0.5) / 1e6)"
+    return (
+        f"(CASE WHEN isnan({expr}) OR abs({expr}) >= 9.0e12 THEN ({expr}) "
+        f"ELSE floor(({expr}) * 1e6 + 0.5) / 1e6 END)"
+    )

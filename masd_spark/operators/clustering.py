@@ -18,6 +18,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from masd_spark.functions.quantize import qround6
 from masd_spark.functions.vectors import dot
 
 
@@ -416,7 +417,13 @@ def pca_power_iteration_exact(
         .select(
             "i",
             "j",
-            (F.lit(n) * F.col("p") - F.col("si") * F.col("sj"))
+            # operands cast to decimal BEFORE the arithmetic: n*p in 64-bit
+            # long overflows around sf10+ (n ~ 2e5, p ~ n*(1e4*|v|)^2) while
+            # the DuckDB oracle computes the same expression in HUGEINT
+            (
+                F.lit(n).cast("decimal(38,0)") * F.col("p").cast("decimal(38,0)")
+                - F.col("si").cast("decimal(38,0)") * F.col("sj").cast("decimal(38,0)")
+            )
             .cast("decimal(38,0)")
             .alias("x"),
         )
@@ -469,8 +476,10 @@ def pca_power_iteration_exact(
         colv.crossJoin(F.broadcast(nrm))
         .select(
             F.col("dim").cast("bigint").alias("dim"),
-            F.round(
-                F.col("y").cast("double") / F.sqrt(F.col("n2").cast("double")), 6
+            # qround6, not ROUND: Spark/DuckDB round(x, 6) diverge on
+            # half-boundary doubles (see functions/quantize.py)
+            qround6(
+                F.col("y").cast("double") / F.sqrt(F.col("n2").cast("double"))
             ).alias("loading"),
         )
     )

@@ -42,6 +42,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from masd_spark.operators.skew import drop_overfull_buckets
 from masd_spark.operators.text import fingerprint_md5, simhash32, tokens
 
 
@@ -495,19 +496,11 @@ def minhash_lsh_pairs(
     """
     sh = shingles if shingles is not None else shingle_rows(df, id_col, text_col, k)
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes, shingles=sh)
-    banded = band_rows(sigs, id_col, n_hashes, n_bands)
-    if max_bucket is not None:
-        # unordered COUNT window = one shuffle on (band, band_hash), no
-        # second join — and the bucket self-join right after keys on the
-        # same columns, so the exchange is reusable.
-        occ = F.count(F.lit(1)).over(
-            Window.partitionBy("band", "band_hash")
-        )
-        banded = (
-            banded.withColumn("_occupancy", occ)
-            .filter(F.col("_occupancy") <= max_bucket)
-            .drop("_occupancy")
-        )
+    banded = drop_overfull_buckets(
+        band_rows(sigs, id_col, n_hashes, n_bands),
+        ["band", "band_hash"],
+        max_bucket,
+    )
     lhs = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     rhs = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     candidates = (
@@ -778,15 +771,7 @@ def incremental_minhash_pairs(
         minhash_signatures(history, id_col, text_col, k, n_hashes, shingles=sh_h),
         id_col, n_hashes, n_bands,
     ).select(F.col(id_col).alias("doc_hist"), "band", "band_hash")
-    if max_bucket is not None:
-        bands_h = (
-            bands_h.withColumn(
-                "_occupancy",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash")),
-            )
-            .filter(F.col("_occupancy") <= max_bucket)
-            .drop("_occupancy")
-        )
+    bands_h = drop_overfull_buckets(bands_h, ["band", "band_hash"], max_bucket)
     bands_i = band_rows(
         minhash_signatures(incoming, id_col, text_col, k, n_hashes, shingles=sh_i),
         id_col, n_hashes, n_bands,

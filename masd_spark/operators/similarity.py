@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from masd_spark.operators.skew import drop_overfull_buckets
 from masd_spark.functions.vectors import (
     cosine,
     cosine_fixed,
@@ -178,15 +179,7 @@ def cosine_pairs_bucketed(
         F.col(id_col),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
     ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
-    if max_bucket is not None:
-        bucketed = (
-            bucketed.withColumn(
-                "_occupancy",
-                F.count(F.lit(1)).over(Window.partitionBy("table", "bucket")),
-            )
-            .filter(F.col("_occupancy") <= max_bucket)
-            .drop("_occupancy")
-        )
+    bucketed = drop_overfull_buckets(bucketed, ["table", "bucket"], max_bucket)
     lhs = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
     rhs = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (

@@ -30,6 +30,33 @@ _SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
              "leftsemi", "semi", "left_anti", "leftanti", "anti"}
 
 
+def drop_overfull_buckets(
+    df: DataFrame, key_cols: Sequence[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop every row of any key group larger than ``max_bucket``.
+
+    The shared skew cap of the LSH/banding candidate generators
+    (minhash bands, embedding LSH tables, the incremental-minhash
+    history index): a bucket with more than ``max_bucket`` members is a
+    degenerate near-constant feature (boilerplate shingle, hot band) —
+    its O(bucket^2) candidate pairs would dominate reducer work while
+    contributing near-zero precision. One unordered COUNT window = one
+    shuffle on the key columns, and the bucket self-join right after
+    keys on the same columns, so the exchange is reusable.
+    ``max_bucket=None`` disables the cap (exact/uncapped oracle twins).
+    """
+    if max_bucket is None:
+        return df
+    from pyspark.sql import Window
+
+    occ = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    return (
+        df.withColumn("_occupancy", occ)
+        .filter(F.col("_occupancy") <= max_bucket)
+        .drop("_occupancy")
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -147,7 +147,7 @@ def rotation_order(names: list[str], checked: dict[str, int]) -> list[str]:
     return sorted(names, key=lambda n: (n != FLAGSHIP, checked.get(n, 0), pos[n]))
 
 
-def load_all() -> dict[str, QuerySpec]:
+def load_all(checked: dict[str, int] | None = None) -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY), then apply
     the standing rotation policy (VERDICT r4 item 1).
 
@@ -183,7 +183,9 @@ def load_all() -> dict[str, QuerySpec]:
         ann_eval,  # must import after similarity: composes its oracles
     )
 
-    order = rotation_order(list(REGISTRY), last_checked_rounds())
+    if checked is None:
+        checked = last_checked_rounds()
+    order = rotation_order(list(REGISTRY), checked)
     if order != list(REGISTRY):
         reordered = {n: REGISTRY[n] for n in order}
         REGISTRY.clear()
@@ -200,9 +202,11 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
     item 8) is derived from the committed CORRECTNESS_r*.json artifacts —
     0 means the driver has never executed the query.
     """
+    # parse the CORRECTNESS artifacts ONCE and share with load_all's
+    # rotation, so position and last_checked_round can never disagree
     checked = last_checked_rounds()
     rows = []
-    for i, spec in enumerate(load_all().values()):
+    for i, spec in enumerate(load_all(checked).values()):
         rows.append(
             {
                 "name": spec.name,

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from masd_spark.functions.quantize import qround6_sql
 from masd_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
@@ -981,8 +982,11 @@ def _pca_power_oracle(
         "WITH " + ",\n    ".join(parts)
         + """
     SELECT CAST(dim AS BIGINT) AS dim,
-           ROUND(CAST(y AS DOUBLE)
-                 / sqrt(CAST((SELECT n2 FROM nrm) AS DOUBLE)), 6) AS loading
+           """
+        + qround6_sql(
+            "CAST(y AS DOUBLE) / sqrt(CAST((SELECT n2 FROM nrm) AS DOUBLE))"
+        )
+        + """ AS loading
     FROM colv"""
     )
 

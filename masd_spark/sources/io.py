@@ -151,8 +151,16 @@ def mongo_keyed_batch_writer(
                 )
 
             if max_concurrency <= 1 or len(keys) <= 1:
+                # same contract as the pooled path: attempt EVERY key,
+                # then raise the first failure in key order
+                errs = []
                 for k in keys:
-                    _one(k)
+                    try:
+                        _one(k)
+                    except Exception as exc:  # noqa: BLE001
+                        errs.append((k, exc))
+                if errs:
+                    raise errs[0][1]
             else:
                 with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
                     futures = [(k, pool.submit(_one, k)) for k in keys]

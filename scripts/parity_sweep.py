@@ -34,17 +34,24 @@ for p in (str(REPO), str(REPO / "tests")):
 
 def main() -> int:
     argv = sys.argv[1:]
-    only = master = None
-    flag_values = set()
-    for flag in ("--only", "--master"):
-        if flag in argv:
-            val = argv[argv.index(flag) + 1]
-            flag_values.add(val)
-            if flag == "--only":
-                only = val
-            else:
-                master = val
-    args = [a for a in argv if not a.startswith("--") and a not in flag_values]
+    flags = {"--only": None, "--master": None}
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in flags:
+            if i + 1 >= len(argv):
+                print(f"error: {a} requires a value", file=sys.stderr)
+                return 2
+            flags[a] = argv[i + 1]
+            i += 2
+        elif a.startswith("--"):
+            print(f"error: unknown flag {a}", file=sys.stderr)
+            return 2
+        else:
+            args.append(a)
+            i += 1
+    only, master = flags["--only"], flags["--master"]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from masd_spark.queries import load_all

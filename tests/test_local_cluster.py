@@ -184,7 +184,9 @@ def test_local_cluster_driver_window():
     assert lines, f"no result line\nstdout:{proc.stdout[-2000:]}\nstderr:{proc.stderr[-3000:]}"
     res = json.loads(lines[-1][len("LCRESULT "):])
     assert not res["fail"], res["fail"]
-    assert res["ok"] == 50
+    from masd_spark.queries import DRIVER_WINDOW
+
+    assert res["ok"] == DRIVER_WINDOW
 
 
 def test_local_cluster_smoke():
