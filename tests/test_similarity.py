@@ -486,3 +486,32 @@ def test_gram_upper_matches_numpy(spark):
     assert len(got) == 64 * 65 // 2
     for (i, j), v in got.items():
         assert v == int(G[i - 1, j - 1]), (i, j)
+
+
+def test_pca_power_iteration_survives_long_overflow_magnitudes(spark):
+    """Regression: the covariance surrogate n*P - s*s^T must be computed
+    in DECIMAL, not 64-bit long. With 100 vectors of magnitude ~1e4
+    (quantized xi ~ 1e8), P fits BIGINT (~1e18) but n*P ~ 1e20 exceeds
+    Long.MAX — the pre-fix long arithmetic raised under ANSI (or wrapped
+    silently without it) while the DuckDB oracle's HUGEINT stayed exact.
+    This is the magnitude regime the sf10+ fixture would reach."""
+    import numpy as np
+
+    from masd_spark.operators.clustering import pca_power_iteration_exact
+
+    rng = [(i, [1.0e4 + (i % 7), 0.5e4 + ((3 * i) % 5)]) for i in range(100)]
+    df = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    rows = pca_power_iteration_exact(df, dim=2).collect()
+    got = np.array(
+        [r["loading"] for r in sorted(rows, key=lambda r: r["dim"])]
+    )
+
+    X = np.round(np.array([v for _, v in rng]) * 10**4)
+    n = X.shape[0]
+    M0 = n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))
+    w, vecs = np.linalg.eigh(M0)
+    v = vecs[:, -1]
+    piv = int(np.argmax(np.abs(v)))
+    if v[piv] < 0:
+        v = -v
+    assert np.max(np.abs(got - v)) <= 1e-5, (got, v)
