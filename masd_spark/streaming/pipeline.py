@@ -35,7 +35,6 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from masd_spark.operators.nest import nest_sensor_document
@@ -149,6 +148,10 @@ def start_keyed_sink(
     doesn't advance past a failed write (the reference logs and loses the
     batch instead).
     """
+    if on_error not in ("fail", "skip"):
+        # anything else would silently become at-most-once batch skipping
+        # — the exact data-loss wart this sink exists to fix
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def _default_write(batch_df: DataFrame, batch_id: int, out_path: str) -> None:
         (
@@ -161,15 +164,22 @@ def start_keyed_sink(
     writer = write_batch or _default_write
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # foreachBatch DataFrames are NOT auto-cached: without persist,
+        # the isEmpty() probe and the write would each run the full
+        # micro-batch plan (shuffle + agg) — doubling per-trigger compute
+        batch_df.persist()
         try:
-            writer(batch_df, batch_id, path)
-        except Exception:
-            if on_error == "fail":
-                raise
-            # "skip": reference behavior (consumer.py:205-206) — log only.
-            print(f"[masd_spark] WARN batch {batch_id} sink failed; skipped")
+            if batch_df.isEmpty():
+                return
+            try:
+                writer(batch_df, batch_id, path)
+            except Exception:
+                if on_error == "fail":
+                    raise
+                # "skip": reference behavior (consumer.py:205-206) — log only
+                print(f"[masd_spark] WARN batch {batch_id} sink failed; skipped")
+        finally:
+            batch_df.unpersist()
 
     ws = aggregated.writeStream.foreachBatch(handle).outputMode(output_mode).option(
         "checkpointLocation", checkpoint_dir

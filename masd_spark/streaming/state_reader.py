@@ -32,6 +32,7 @@ def read_state(
     *,
     operator_id: int = 0,
     store_name: str | None = None,
+    state_var_name: str | None = None,
     batch_id: int | None = None,
     flatten: bool = True,
 ) -> DataFrame:
@@ -39,15 +40,40 @@ def read_state(
     plus the owning shuffle ``partition_id``. ``batch_id`` selects a
     historical version (default: latest committed). ``flatten`` splays
     the key/value struct leaves into top-level columns (prefixed on name
-    collision) for direct joins against batch twins."""
+    collision) for direct joins against batch twins.
+
+    ``state_var_name`` is REQUIRED for transformWithStateInPandas
+    operators (this package's heavy-hitters / timer-sessions): their
+    checkpoints hold one store per named state variable (e.g.
+    ``sensor_counts``, ``open_session``) and Spark's statestore source
+    refuses to read them without the ``stateVarName`` option. Map-state
+    variables surface extra columns (``user_map_key``/``user_map_value``
+    on Spark 4.1); flatten handles whatever struct columns are present.
+    """
     reader = spark.read.format("statestore").option("operatorId", operator_id)
     if store_name is not None:
         reader = reader.option("storeName", store_name)
+    if state_var_name is not None:
+        reader = reader.option("stateVarName", state_var_name)
     if batch_id is not None:
         reader = reader.option("batchId", batch_id)
     df = reader.load(checkpoint)
     if not flatten:
         return df
+    top = set(df.schema.names)
+    if "key" not in top or "value" not in top:
+        # TWS variable shapes (e.g. map state) differ from the classic
+        # key/value pair; flatten every struct column generically instead
+        from pyspark.sql.types import StructType
+
+        cols = []
+        for field in df.schema.fields:
+            if isinstance(field.dataType, StructType):
+                for leaf in field.dataType.names:
+                    cols.append(df[field.name][leaf].alias(f"{field.name}_{leaf}"))
+            else:
+                cols.append(df[field.name])
+        return df.select(*cols)
     key_fields = df.schema["key"].dataType.names
     val_fields = df.schema["value"].dataType.names
     cols = []

@@ -54,6 +54,12 @@ def streaming_sensor_ewma(readings: DataFrame, alpha: float = 0.3) -> DataFrame:
             v = float(v)
             ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
             n += 1
+        if n == 0 and not state.exists:
+            # a key whose readings were ALL malformed: creating state and
+            # emitting (0, null) would accumulate junk-key state forever
+            # (NoTimeout never cleans it) and feed meaningless rows to the
+            # sink — skip until the key produces its first valid reading
+            return
         state.update((n, ew))
         yield pd.DataFrame(
             [{"station_id": key[0], "sensor_id": key[1], "n_valid": n, "ewma": ew}]
@@ -82,7 +88,9 @@ def streaming_station_heavy_hitters(
     State is a MapState sensor_id -> count: each micro-batch issues POINT
     reads/writes only for the sensors it touched — with the RocksDB state
     store that is O(batch keys) per trigger, never a full-state
-    deserialize/rewrite like a GroupState blob. That access pattern is
+    deserialize/rewrite like a GroupState blob; the emitted top-k comes
+    from an O(k) ValueState summary (exact under monotone counts), so no
+    trigger ever scans the full sensor map either. That access pattern is
     what makes per-key running aggregates viable when key cardinality is
     millions. Emits the station's full top-k each trigger (rank 1..k,
     count desc, sensor_id asc tiebreak).
@@ -115,24 +123,51 @@ def streaming_station_heavy_hitters(
             self._counts = handle.getMapState(
                 "sensor_counts", "sensor_id string", "n long"
             )
+            # current top-k summary: keeps per-trigger cost O(batch keys
+            # + k) instead of a full MapState scan. Exact because counts
+            # only ever INCREASE: the true top-k can change only via a
+            # sensor incremented this batch, and any sensor previously
+            # displaced re-enters the candidate set (with its true count
+            # read from the MapState) the next time it is incremented.
+            self._top = handle.getValueState(
+                "topk_summary", "sensors array<string>, counts array<long>"
+            )
+
+        def _merge_topk(self, new_counts: dict[str, int]) -> list:
+            if self._top.exists():
+                sensors, counts = self._top.get()
+                cand = dict(zip(sensors, counts))
+            else:
+                cand = {}
+            cand.update(new_counts)
+            top = sorted(cand.items(), key=lambda t: (-t[1], t[0]))[:k]
+            self._top.update(([s for s, _ in top], [n for _, n in top]))
+            return top
 
         def handleInitialState(self, key, initialState, timerValues) -> None:
+            seeded: dict[str, int] = {}
             for s, c in zip(initialState["sensor_id"], initialState["n_valid"]):
                 self._counts.updateValue((str(s),), (int(c),))
+                seeded[str(s)] = int(c)
+            self._merge_topk(seeded)
 
         def handleInputRows(self, key, rows, timer_values):
             inc: dict[str, int] = {}
             for pdf in rows:
-                valid = pdf[pdf["is_valid"]]
+                # notna: a valid reading with a null sensor_id cannot key a
+                # MapState entry (and pandas value_counts drops NaN anyway
+                # — make the exclusion explicit, mirrored in the GroupState
+                # twin and the batch oracle)
+                valid = pdf[pdf["is_valid"] & pdf["sensor_id"].notna()]
                 for s, c in valid["sensor_id"].value_counts().items():
                     inc[s] = inc.get(s, 0) + int(c)
+            new_counts: dict[str, int] = {}
             for s, c in inc.items():
                 prev = self._counts.getValue((s,))
-                self._counts.updateValue((s,), ((prev[0] if prev else 0) + c,))
-            top = sorted(
-                ((kk[0], vv[0]) for kk, vv in self._counts.iterator()),
-                key=lambda t: (-t[1], t[0]),
-            )[:k]
+                nc = (prev[0] if prev else 0) + c
+                self._counts.updateValue((s,), (nc,))
+                new_counts[s] = nc
+            top = self._merge_topk(new_counts)
             if top:
                 yield pd.DataFrame(
                     [
@@ -176,7 +211,7 @@ def streaming_station_heavy_hitters_gs(readings: DataFrame, k: int = 3) -> DataF
         else:
             tally = {}
         for pdf in pdf_iter:
-            valid = pdf[pdf["is_valid"]]
+            valid = pdf[pdf["is_valid"] & pdf["sensor_id"].notna()]
             for s, c in valid["sensor_id"].value_counts().items():
                 tally[s] = tally.get(s, 0) + int(c)
         state.update((list(tally), [tally[s] for s in tally]))
@@ -256,24 +291,44 @@ def streaming_timer_sessions(readings: DataFrame, gap_ms: int = 30_000) -> DataF
         def handleInputRows(self, key, rows, timer_values):
             ts: list = []
             for pdf in rows:
-                ts.extend(int(t) for t in pdf["timestamp"])
+                # notna: PERMISSIVE parsing can deliver an all-null row
+                # (timestamp NaN); int(NaN) would kill the whole query
+                col = pdf["timestamp"]
+                ts.extend(int(t) for t in col[col.notna()])
             ts.sort()
-            cur = tuple(self._open.get()) if self._open.exists() else None
-            closed = []
+            if not ts:
+                return
+            # fold the batch into gap-separated intervals, then MERGE the
+            # open-session interval in by boundaries: a late (but
+            # within-watermark) event extends the open session backwards
+            # when within gap of its start, and forms its own closed
+            # session when gap-separated — the naive fold instead glued
+            # any t <= end + gap into the session regardless of how far
+            # in the past it was
+            ivals: list = []
             for t in ts:
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] <= gap_ms:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                if ivals and t - ivals[-1][1] <= gap_ms:
+                    s0, e0, n0 = ivals[-1]
+                    ivals[-1] = (s0, max(e0, t), n0 + 1)
                 else:
-                    closed.append(cur)
-                    cur = (t, t, 1)
+                    ivals.append((t, t, 1))
+            if self._open.exists():
+                ivals.append(tuple(self._open.get()))
+                ivals.sort(key=lambda iv: iv[0])
+                merged: list = []
+                for iv in ivals:
+                    if merged and iv[0] - merged[-1][1] <= gap_ms:
+                        s0, e0, n0 = merged[-1]
+                        merged[-1] = (s0, max(e0, iv[1]), n0 + iv[2])
+                    else:
+                        merged.append(iv)
+                ivals = merged
+            *closed, cur = ivals
             # one live timer per key: re-arm to the current session end
             for old in list(self._h.listTimers()):
                 self._h.deleteTimer(old)
-            if cur is not None:
-                self._open.update(cur)
-                self._h.registerTimer(cur[1] + gap_ms)
+            self._open.update(cur)
+            self._h.registerTimer(cur[1] + gap_ms)
             for sess in closed:
                 yield self._row(key, sess)
 

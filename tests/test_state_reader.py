@@ -79,3 +79,73 @@ def test_state_reader_unflattened_shape(spark, tmp_path):
     names = [f.name for f in df.schema.fields]
     assert names[:2] == ["key", "value"]
     assert "partition_id" in names
+
+
+def test_read_tws_map_state_by_var_name(spark, tmp_path):
+    """Regression (round-5 review): read_state previously could not pass
+    stateVarName, so the checkpoints of this package's OWN
+    transformWithStateInPandas operators were unreadable. Run the TWS
+    heavy-hitters flow, then read its sensor_counts MapState back and
+    check it against the batch twin."""
+    import pytest
+
+    from masd_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+    pytest.importorskip("google.protobuf")
+    from masd_spark.sources.simulator import generate_readings
+    from masd_spark.streaming.stateful import streaming_station_heavy_hitters
+    from test_streaming import SimulatorConfig, _run_heavy_hitters
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    _run_heavy_hitters(
+        spark,
+        tmp_path,
+        streaming_station_heavy_hitters,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": provider,
+        },
+    )
+
+    saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        df = read_state(
+            spark,
+            str(tmp_path / "hh_ckpt"),
+            state_var_name="sensor_counts",
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", saved
+            )
+
+    rows = df.collect()
+    assert rows, "no TWS map-state rows read back"
+    cols = set(df.columns)
+    # map-state shape: grouping key + user map key + value, flattened
+    assert any("station_id" in c for c in cols), cols
+    assert any("sensor_id" in c for c in cols), cols
+
+    got: dict = {}
+    for r in rows:
+        d = r.asDict()
+        station = next(v for c, v in d.items() if "station_id" in c)
+        sensor = next(v for c, v in d.items() if "sensor_id" in c)
+        n = next(v for c, v in d.items() if c.endswith("_n") or c == "n")
+        got[(station, sensor)] = int(n)
+
+    cfg = SimulatorConfig(duration_ms=30_000, seed=13)
+    expected: dict = {}
+    for r in generate_readings(cfg):
+        if r["value"] == "<<bad_data>>":
+            continue
+        key = (r["station_id"], r["sensor_id"])
+        expected[key] = expected.get(key, 0) + 1
+    assert got == expected

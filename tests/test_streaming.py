@@ -1174,3 +1174,159 @@ def test_stream_stream_full_outer_join_emits_both_sides(spark, tmp_path):
     assert sorted(got, key=keyf) == sorted(expected, key=keyf)
     right_nulls = [t for t in got if t[1] is None]
     assert len(right_nulls) == 3  # user 5's purchases have no clicks
+
+
+def test_timer_sessions_late_events_and_null_timestamps(spark, tmp_path):
+    """Regression (round-5 review): (1) a null timestamp (PERMISSIVE
+    all-null row) must not kill the query — int(NaN) previously raised
+    ValueError inside handleInputRows; (2) a late-but-within-watermark
+    event older than the open session must NOT be glued into it when it
+    is gap-separated (it is its own closed session), and a late event
+    within the gap BEFORE session start must extend session_start
+    backwards — the naive fold merged anything <= end + gap and never
+    lowered the start."""
+    import json as _json
+    import os
+    import time as _time
+
+    from masd_spark.operators.validate import with_event_time_ms
+    from masd_spark.streaming.stateful import streaming_timer_sessions
+
+    base = 1_704_067_200_000
+    gap = 30_000
+
+    def ev(station, t):
+        return {"station_name": station.title(), "station_id": station,
+                "sensor_id": "0", "timestamp": t, "value": "1.0"}
+
+    files = [
+        # batch 1: zeta's burst opens (100s..105s); adv keeps the
+        # watermark moving in later batches
+        [ev("zeta", base + 100_000 + i * 1000) for i in range(6)]
+        + [ev("adv", base + 105_000)],
+        # batch 2 (watermark still 0 -> late rows admitted): one NULL
+        # timestamp row, one gap-separated late event (80s before the
+        # open session -> own closed session), one late event 20s before
+        # session start (inside gap -> extends the session backwards)
+        [
+            {"station_name": "Zeta", "station_id": "zeta",
+             "sensor_id": "0", "value": "1.0"},  # timestamp absent -> null
+            ev("zeta", base + 20_000),
+            ev("zeta", base + 80_000),
+        ],
+        # advancer batches: each file's max event time raises the NEXT
+        # batch's watermark (5 min delay); 500s - 300s = 200s > zeta's
+        # 135s timer -> the extended session flushes in batch 4's trigger
+        [ev("adv", base + 400_000)],
+        [ev("adv", base + 500_000)],
+        [ev("adv", base + 600_000)],
+    ]
+    src = str(tmp_path / "late_drops")
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        with open(os.path.join(src, f"f{i}.json"), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        _time.sleep(0.05)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = with_event_time_ms(read_file_sensor_stream(spark, src))
+        out = streaming_timer_sessions(
+            stream.withWatermark("event_time", "5 minutes"), gap_ms=gap
+        )
+        collected: list = []
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, bid: collected.append((bid, df.collect()))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+    got = {
+        (r["station_id"], r["session_start"], r["session_end"], r["n_events"])
+        for _b, rows in collected
+        for r in rows
+    }
+    expected = {
+        # the gap-separated late event: its own closed session
+        ("zeta", base + 20_000, base + 20_000, 1),
+        # burst extended backwards by the within-gap late event (80s),
+        # flushed by the event-time timer once adv advances the watermark
+        ("zeta", base + 80_000, base + 105_000, 7),
+        # adv's inline-closed singles
+        ("adv", base + 105_000, base + 105_000, 1),
+        ("adv", base + 400_000, base + 400_000, 1),
+        ("adv", base + 500_000, base + 500_000, 1),
+        # adv @600s stays open
+    }
+    assert got == expected
+
+
+def test_ewma_skips_keys_with_no_valid_readings(spark, tmp_path):
+    """Regression (round-5 review): a key whose readings are ALL
+    malformed must emit nothing and create no state — previously it
+    emitted (n_valid=0, ewma=null) every trigger and left a permanent
+    NoTimeout state entry per junk key."""
+    import json as _json
+    import os
+
+    from masd_spark.operators.validate import classify_validity
+    from masd_spark.streaming.stateful import streaming_sensor_ewma
+
+    base = 1_704_067_200_000
+    rows = [
+        {"station_name": "Good", "station_id": "good", "sensor_id": "0",
+         "timestamp": base + i * 1000, "value": f"{i}.0"}
+        for i in range(3)
+    ] + [
+        {"station_name": "Junk", "station_id": "junk", "sensor_id": "0",
+         "timestamp": base + i * 1000, "value": "<<bad_data>>"}
+        for i in range(3)
+    ]
+    src = str(tmp_path / "zombie_drops")
+    os.makedirs(src)
+    with open(os.path.join(src, "f0.json"), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    stream = classify_validity(read_file_sensor_stream(spark, src))
+    collected: list = []
+    q = (
+        streaming_sensor_ewma(stream)
+        .writeStream.foreachBatch(lambda df, bid: collected.append(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "zombie_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stations = {r["station_id"] for batch in collected for r in batch}
+    assert stations == {"good"}
+
+
+def test_keyed_sink_rejects_unknown_on_error(spark):
+    """Regression (round-5 review): any on_error other than fail/skip
+    previously became silent at-most-once batch skipping."""
+    import pytest as _pytest
+
+    from masd_spark.streaming.pipeline import start_keyed_sink
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="on_error"):
+        start_keyed_sink(df, "/tmp/x", "/tmp/ckpt", on_error="abort")
