@@ -135,39 +135,41 @@ def mongo_keyed_batch_writer(
 
         from pyspark.sql import functions as F
 
-        # foreachBatch DataFrames are NOT auto-cached: without persist the
+        # foreachBatch DataFrames are NOT auto-cached: without a cache the
         # batch lineage would recompute once for the distinct-keys collect
-        # and once more per key written.
-        keyed = batch_df.withColumn("_k", F.col(key_col)).persist()
+        # and once more per key written. start_keyed_sink already persists
+        # the batch before delegating — only add our own cache when the
+        # caller didn't, so large batches never hold two cached copies.
+        own_persist = not batch_df.is_cached
+        if own_persist:
+            batch_df.persist()
         try:
+            # None sorts against str raises TypeError; order null-key rows
+            # first, deterministically, and write them to a sentinel
+            # collection (a malformed record must not wedge the stream —
+            # the crash would repeat on every checkpoint retry)
             keys = sorted(
-                r["_k"] for r in keyed.select("_k").distinct().collect()
+                (r["_k"] for r in batch_df.select(F.col(key_col).alias("_k")).distinct().collect()),
+                key=lambda x: (x is not None, x if x is not None else ""),
             )
 
             def _one(k):
+                flt = F.col(key_col).isNull() if k is None else F.col(key_col) == k
+                suffix = "__null__" if k is None else str(k)
                 write(
-                    keyed.filter(F.col("_k") == k).drop("_k"),
-                    mongo_writer_options(uri, database, f"{collection_prefix}{k}"),
+                    batch_df.filter(flt),
+                    mongo_writer_options(uri, database, f"{collection_prefix}{suffix}"),
                 )
 
-            if max_concurrency <= 1 or len(keys) <= 1:
-                # same contract as the pooled path: attempt EVERY key,
-                # then raise the first failure in key order
-                errs = []
-                for k in keys:
-                    try:
-                        _one(k)
-                    except Exception as exc:  # noqa: BLE001
-                        errs.append((k, exc))
-                if errs:
-                    raise errs[0][1]
-            else:
-                with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                    futures = [(k, pool.submit(_one, k)) for k in keys]
-                    errs = [(k, f.exception()) for k, f in futures if f.exception()]
-                if errs:
-                    raise errs[0][1]
+            # one pooled path for both modes (max_workers=1 IS sequential):
+            # attempt EVERY key, then raise the first failure in key order
+            with ThreadPoolExecutor(max_workers=max(1, max_concurrency)) as pool:
+                futures = [(k, pool.submit(_one, k)) for k in keys]
+                errs = [(k, f.exception()) for k, f in futures if f.exception()]
+            if errs:
+                raise errs[0][1]
         finally:
-            keyed.unpersist()
+            if own_persist:
+                batch_df.unpersist()
 
     return write_batch

@@ -50,7 +50,13 @@ def row_group_stats(path: str, col: str) -> list[tuple[str, int, object, object]
         ci = names[col]
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
-            out.append((f.name, rg, st.min, st.max))
+            # stats can be absent (writer disabled them, or the type has
+            # none) — report (None, None): that IS the "no pruning
+            # possible" answer a layout-diagnostics helper exists to give
+            if st is None:
+                out.append((f.name, rg, None, None))
+            else:
+                out.append((f.name, rg, st.min, st.max))
     return out
 
 
@@ -61,6 +67,11 @@ def zvalue(a, b, bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    # operate in BIGINT: on an IntegerType operand, bit 15 of b would land
+    # at position 31 and flip the 32-bit sign, clustering the top half of
+    # the domain in the wrong order
+    a = f"cast(({a}) as bigint)"
+    b = f"cast(({b}) as bigint)"
     terms = []
     for i in range(bits):
         terms.append(F.expr(f"shiftleft((shiftright({a}, {i}) & 1), {2 * i})"))
@@ -83,6 +94,8 @@ def write_zordered(
 ) -> None:
     """Write parquet clustered on the z-curve of two columns.
 
+    Raises on empty input or NaN in either column (no meaningful bounds).
+
     Unlike a lexicographic sort (first column fully clustered, second
     column's row-group windows span the whole domain), the z-curve
     interleaves both columns' bits, so row-group min/max windows are
@@ -92,11 +105,26 @@ def write_zordered(
     value). Columns must be numeric; each is affinely scaled by its own
     min/max (two tiny driver scalars).
     """
+    import math
+
     from pyspark.sql import functions as F
 
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    bad = [
+        v
+        for v in (lo_a, hi_a, lo_b, hi_b)
+        if v is None or (isinstance(v, float) and math.isnan(v))
+    ]
+    if bad:
+        # empty input (all-None bounds) would crash float(None) below;
+        # NaN would interpolate the bare token 'nan' into the expression
+        # and die later as an unresolvable column — fail loudly up front
+        raise ValueError(
+            f"write_zordered needs non-empty, NaN-free {col_a}/{col_b}: "
+            f"got bounds {lo_a!r}, {hi_a!r}, {lo_b!r}, {hi_b!r}"
+        )
     top = (1 << bits) - 1
 
     def scaled(col: str, lo, hi) -> str:
@@ -130,13 +158,19 @@ def compact_files(
     (no guessing), written via repartition (round-robin, even sizes —
     coalesce would merge unevenly and can collapse parallelism upstream).
     Returns the file count written. Maintenance pass: one shuffle of the
-    data being compacted, embarrassingly parallel across partitions of a
-    partitioned table.
+    data being compacted. NOTE: the output is UNPARTITIONED — for a
+    hive-partitioned table, run per partition directory (the read below
+    would otherwise flatten the partition columns into the data files).
     """
     import math
     from pathlib import Path
 
-    total = sum(f.stat().st_size for f in Path(src_path).glob("*.parquet"))
+    # rglob, matching the recursive partition discovery of the read below:
+    # a non-recursive glob over a hive-partitioned table would find zero
+    # top-level files and silently compact terabytes into ONE output file
+    total = sum(f.stat().st_size for f in Path(src_path).rglob("*.parquet"))
+    if total == 0:
+        raise ValueError(f"no .parquet files found under {src_path}")
     n_files = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)

@@ -39,7 +39,11 @@ DEFAULT_STATIONS = [
 
 @dataclass
 class SimulatorConfig:
-    stations: list[StationSpec] = field(default_factory=lambda: DEFAULT_STATIONS)
+    # copy, not alias: a caller mutating cfg.stations must not edit the
+    # module-level default under every future SimulatorConfig()
+    stations: list[StationSpec] = field(
+        default_factory=lambda: list(DEFAULT_STATIONS)
+    )
     mean_interval_ms: float = 250.0
     stddev_pct: float = 0.2
     malformation_pct: float = 0.05

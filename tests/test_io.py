@@ -190,3 +190,24 @@ def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
         assert joined.count() == expected > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_mongo_keyed_batch_writer_null_key_routes_to_sentinel(spark):
+    """Regression (round-5 review): a null key previously crashed
+    sorted() with TypeError — and since foreachBatch retries
+    deterministically, wedged the stream on that batch forever. Null-key
+    rows now land in a '__null__' sentinel collection."""
+    from masd_spark.sources.io import mongo_keyed_batch_writer
+
+    batch = spark.createDataFrame(
+        [("perugia", 1.0), (None, 2.0), (None, 3.0)], ["sid", "v"]
+    )
+    writes: list = []
+    writer = mongo_keyed_batch_writer(
+        "mongodb://rs0/",
+        "masd",
+        key_col="sid",
+        write_fn=lambda df, opts: writes.append((opts["collection"], df.count())),
+    )
+    writer(batch, batch_id=0, _path="")
+    assert sorted(writes) == [("station___null__", 2), ("station_perugia", 1)]

@@ -144,3 +144,70 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 2000
     assert sorted(r.id for r in back.collect()) == list(range(2000))
+
+
+def test_compact_files_sizes_partitioned_tables_recursively(spark, tmp_path):
+    """Regression (round-5 review): a hive-partitioned source has no
+    top-level .parquet files; the old non-recursive glob computed
+    total=0 and silently compacted everything into ONE file. The size
+    scan must be recursive, and an empty directory must raise."""
+    import pathlib
+
+    from masd_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    df = spark.range(0, 2000).withColumn("p", F.col("id") % 2)
+    df.repartition(16).write.partitionBy("p").parquet(src)
+    assert not list(pathlib.Path(src).glob("*.parquet"))  # top level empty
+    total = sum(f.stat().st_size for f in pathlib.Path(src).rglob("*.parquet"))
+    n_out = compact_files(spark, src, dst, target_bytes=max(1, total // 4))
+    assert n_out >= 3  # sized from the real bytes, not 0
+
+    import pytest
+
+    empty = str(tmp_path / "empty_src")
+    pathlib.Path(empty).mkdir()
+    with pytest.raises(ValueError, match="no .parquet"):
+        compact_files(spark, empty, dst)
+
+
+def test_write_zordered_rejects_empty_and_nan(spark, tmp_path):
+    """Regression (round-5 review): empty input crashed float(None);
+    a NaN bound interpolated the literal token 'nan' into SQL."""
+    import pytest
+
+    from masd_spark.sources.layout import write_zordered
+
+    empty = spark.range(0).selectExpr("id a", "id b")
+    with pytest.raises(ValueError, match="non-empty"):
+        write_zordered(empty, str(tmp_path / "z1"), "a", "b", n_files=2)
+
+    nan_df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, float("nan"))], ["a", "b"]
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        write_zordered(nan_df, str(tmp_path / "z2"), "a", "b", n_files=2)
+
+
+def test_zvalue_no_sign_flip_on_int_columns(spark):
+    """Regression (round-5 review): on IntegerType operands bit 15 of b
+    shifted to position 31 and wrapped negative, mis-clustering the top
+    half of the domain."""
+    from masd_spark.sources.layout import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 32768), (65535, 65535)], ["a", "b"]
+    ).select("a", "b", zvalue("a", "b").alias("z"))
+    rows = {(r.a, r.b): r.z for r in df.collect()}
+    assert all(z >= 0 for z in rows.values()), rows
+    # exact Morton values: interleave(a@even, b@odd)
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in rows.items():
+        assert z == ref(a, b), (a, b, z)

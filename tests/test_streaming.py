@@ -1330,3 +1330,20 @@ def test_keyed_sink_rejects_unknown_on_error(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="on_error"):
         start_keyed_sink(df, "/tmp/x", "/tmp/ckpt", on_error="abort")
+
+
+def test_simulator_default_stations_not_aliased():
+    """Regression (round-5 review): cfg.stations defaulted to the shared
+    module-level list, so one caller's mutation changed every future
+    default config's 'fully reproducible' output."""
+    from masd_spark.sources.simulator import (
+        DEFAULT_STATIONS,
+        SimulatorConfig,
+        StationSpec,
+    )
+
+    before = len(DEFAULT_STATIONS)
+    cfg = SimulatorConfig()
+    cfg.stations.append(StationSpec("terni", "Terni", 5))
+    assert len(DEFAULT_STATIONS) == before
+    assert len(SimulatorConfig().stations) == before
