@@ -29,8 +29,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; null-safe only insofar as inputs are non-empty."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity. NULL (not an error) for zero-norm or empty
+    vectors: under Spark 4's default ANSI mode a bare division would
+    raise DIVIDE_BY_ZERO and abort the whole query on one degenerate
+    embedding row."""
+    denom = norm(a) * norm(b)
+    return dot(a, b) / F.when(denom != 0.0, denom)
 
 
 # --- fixed-dimension variants -------------------------------------------

@@ -54,30 +54,32 @@ def attach_binary_payload(df: DataFrame, id_col: str = "doc_id", text_col: str =
 def decode_image(payload: bytes):
     """Real decode integration point — import-gated, stubbed here."""
     try:
-        from PIL import Image  # noqa: F401
         import io
 
-        return Image.open(io.BytesIO(payload))
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires Pillow, which is not available in this "
             "environment; the Spark-side plumbing is exercised with the "
             "deterministic fake decoder byte_stats_features()"
         ) from exc
+    return Image.open(io.BytesIO(payload))
 
 
 def decode_audio(payload: bytes):
     """Real decode integration point — import-gated, stubbed here."""
+    # only the IMPORT is gated: an ImportError raised inside a present
+    # soundfile (e.g. a lazy codec plugin) must surface as itself, not be
+    # mislabeled "library not available"
     try:
-        import soundfile  # noqa: F401
         import io
-
-        return soundfile.read(__import__("io").BytesIO(payload))
+        import soundfile
     except ImportError as exc:
         raise NotImplementedError(
             "audio decoding requires soundfile, which is not available in "
             "this environment; use byte_stats_features() for the plumbing"
         ) from exc
+    return soundfile.read(io.BytesIO(payload))
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame binary"
@@ -105,6 +107,10 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL blobs are routine lakehouse data; emit no
+                    # frames rather than kill the stage on bytes(None)
+                    continue
                 b = bytes(payload)
                 for j, off in enumerate(
                     range(0, max(len(b) - frame_len + 1, 0), stride)
@@ -129,6 +135,10 @@ def resize_payload(
     out. A real resize swaps the stride slice for the codec call; schema,
     batching, and plan are identical.
     """
+    if target_bytes <= 0:
+        # would otherwise surface as a ZeroDivisionError (or garbage
+        # slices) deep inside a pandas worker at runtime
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
     narrow = df.select(
         F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
     )
@@ -137,6 +147,9 @@ def resize_payload(
         for pdf in batches:
             out = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    out.append(None)
+                    continue
                 b = bytes(payload)
                 if len(b) <= target_bytes:
                     out.append(b)
@@ -160,15 +173,22 @@ def byte_stats_features(df: DataFrame, id_col: str = "doc_id", payload_col: str 
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads yield null features (len(None) would kill the
+            # stage); pandas .map skips None only with na_action
             payloads = pdf["payload"]
             rows = {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len),
+                "n_bytes": payloads.map(len, na_action="ignore"),
                 "byte_mean": payloads.map(
-                    lambda b: round(sum(b) / len(b), 6) if len(b) else None
+                    lambda b: round(sum(b) / len(b), 6) if len(b) else None,
+                    na_action="ignore",
                 ),
-                "byte_min": payloads.map(lambda b: min(b) if len(b) else None),
-                "byte_max": payloads.map(lambda b: max(b) if len(b) else None),
+                "byte_min": payloads.map(
+                    lambda b: min(b) if len(b) else None, na_action="ignore"
+                ),
+                "byte_max": payloads.map(
+                    lambda b: max(b) if len(b) else None, na_action="ignore"
+                ),
             }
             yield pd.DataFrame(rows)
 

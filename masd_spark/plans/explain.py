@@ -12,8 +12,14 @@ from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
-    """Final physical plan string (post-AQE where applicable)."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical plan string. Before execution this is the initial plan
+    (isFinalPlan=false); after an action, AQE's toString contains BOTH
+    '== Final Plan ==' and '== Initial Plan ==' sections — keep only the
+    final one so Exchange/scan counts aren't double-counted."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    if "== Final Plan ==" in s and "== Initial Plan ==" in s:
+        s = s.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+    return s
 
 
 def optimized_plan(df: DataFrame) -> str:
@@ -22,12 +28,15 @@ def optimized_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded — those are the cheap kind)."""
+    exchanges excluded — the cheap kind — and ReusedExchange excluded —
+    a free reference to an exchange counted where it is defined)."""
     plan = physical_plan(df)
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
     )
 
 
@@ -36,21 +45,38 @@ def count_broadcast_joins(df: DataFrame) -> int:
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
-    """True if the parquet scan's PushedFilters mention ``fragment``."""
-    plan = physical_plan(df)
-    for line in plan.splitlines():
-        if "PushedFilters" in line and fragment in line:
+    """True if a parquet scan's PushedFilters bracket mentions
+    ``fragment``. The match is scoped to the bracket contents: FileScan
+    prints its output list, DataFilters, and PushedFilters on ONE line,
+    so a bare substring search would be vacuously true for any column
+    the scan merely READS."""
+    import re
+
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
+        if fragment in m.group(1):
             return True
     return False
 
 
 def scan_read_schema(df: DataFrame) -> list[list[str]]:
     """Column lists of every parquet scan (pruning check). Parsed from the
-    FileScan output list — plan strings truncate before ReadSchema."""
+    FileScan output list — plan strings truncate before ReadSchema.
+
+    Raises on a truncated output list ('... N more fields', emitted once
+    a scan exceeds spark.sql.debug.maxToStringFields, default 25): a
+    silent partial parse would let a wide unpruned scan pass a
+    'reads <= N columns' assertion.
+    """
     import re
 
     out = []
     for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", physical_plan(df)):
+        if "more fields" in m.group(1):
+            raise ValueError(
+                "FileScan output list truncated by "
+                "spark.sql.debug.maxToStringFields — raise that conf to "
+                f"parse this scan: [{m.group(1)}]"
+            )
         cols = [
             c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()
         ]
