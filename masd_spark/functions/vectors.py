@@ -84,11 +84,19 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
 
 def quantize_int8(a: Column) -> Column:
     """array<float> -> array<bigint> with values in [-127, 127]; an
-    all-zero vector quantizes to all zeros (scale guard)."""
+    all-zero vector quantizes to all zeros (scale guard).
+
+    Poison-safe: a vector containing NaN (or +-Inf, whose 0-scale
+    product is NaN) quantizes element-wise to NULL via ``try_cast``
+    instead of aborting the query — under ANSI mode a bare
+    ``cast(NaN as long)`` raises CAST_OVERFLOW and one corrupt
+    embedding row would kill the whole job. NULL elements propagate to
+    a NULL integer dot product downstream, so poisoned vectors drop
+    out of top-k instead of crashing it."""
     ma = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
     scale = F.when(ma > 0, F.lit(127.0) / ma).otherwise(F.lit(0.0))
     return F.transform(
-        a, lambda x: F.round(x.cast("double") * scale).cast("long")
+        a, lambda x: F.round(x.cast("double") * scale).try_cast("long")
     )
 
 

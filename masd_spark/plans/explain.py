@@ -49,10 +49,19 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
     ``fragment``. The match is scoped to the bracket contents: FileScan
     prints its output list, DataFilters, and PushedFilters on ONE line,
     so a bare substring search would be vacuously true for any column
-    the scan merely READS."""
+    the scan merely READS.
+
+    The bracket may be TRUNCATED: Spark cuts each metadata string at
+    ``spark.sql.maxMetadataStringLength`` (default 100) with a ``...``
+    and NO closing bracket, so the contents end at the first ``]`` or
+    ``...`` — a close-bracket-anchored regex silently false-negatives
+    on any filter list longer than the cap (session.py raises the cap,
+    but a driver-provided session may keep the default)."""
     import re
 
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
+    for m in re.finditer(
+        r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", physical_plan(df)
+    ):
         if fragment in m.group(1):
             return True
     return False

@@ -37,6 +37,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # around SF1 on the customer-digit walk. 100M keeps the guard (runaway
     # recursion still errors) with ~100x headroom.
     "spark.sql.cteRecursionRowLimit": "100000000",
+    # Plan strings truncate each scan-metadata entry (PushedFilters,
+    # ReadSchema, Location) at 100 chars with a '...' and no closing
+    # bracket; the plan-shape assertions (plans/explain.py) parse those
+    # brackets, and a 3-term pushed-filter list already overflows 100.
+    "spark.sql.maxMetadataStringLength": "2000",
 }
 
 

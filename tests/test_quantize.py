@@ -105,3 +105,37 @@ def test_qround6_guard_semantics(spark, x, expected):
         assert math.isnan(got)
     else:
         assert got == expected
+
+
+def test_quantize_int8_poison_vectors_degrade_to_null(spark):
+    """A NaN or Inf element must not abort the query under ANSI mode
+    (CAST_OVERFLOW on cast(NaN as long)); the poisoned vector quantizes
+    element-wise to NULL and its integer dot product becomes NULL, so it
+    drops out of top-k instead of crashing the job."""
+    from masd_spark.functions.vectors import dot_fixed_long, quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, -4.0]),
+            (2, [float("nan"), 1.0]),
+            (3, [float("inf"), 1.0]),
+            (4, [0.0, 0.0]),
+        ],
+        "id int, v array<double>",
+    )
+    q = df.select("id", quantize_int8(F.col("v")).alias("q"))
+    rows = {r["id"]: r["q"] for r in q.collect()}
+    assert rows[1] == [95, -127]
+    # NaN scale poisons every element -> all-NULL array, not an abort
+    assert rows[2] == [None, None]
+    # Inf -> scale 0.0 -> Inf*0 = NaN -> NULL; the finite element is 0
+    assert rows[3] == [None, 0]
+    assert rows[4] == [0, 0]  # zero-vector scale guard unchanged
+    dots = {
+        r["id"]: r["d"]
+        for r in q.select(
+            "id", dot_fixed_long(F.col("q"), F.col("q"), 2).alias("d")
+        ).collect()
+    }
+    assert dots[1] == 95 * 95 + 127 * 127
+    assert dots[2] is None and dots[3] is None and dots[4] == 0
