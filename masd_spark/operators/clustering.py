@@ -62,6 +62,10 @@ def kmeans_centroids(
         .collect()
     )
     cents = [[float(x) for x in r[vec_col]] for r in init_rows]
+    if not cents:
+        # empty corpus: no centroids to fit — callers (kmeans_assign,
+        # ivf_topk(centroids=...)) treat [] as "empty index", not a crash
+        return cents
 
     for _ in range(n_iter):
         assigned = df.select(
@@ -100,6 +104,13 @@ def kmeans_assign(
     full coverage) rather than exact centroid bits.
     """
     cents = kmeans_centroids(df, dim, k, n_iter, id_col, vec_col, seed)
+    if not cents:
+        # empty corpus: schema-correct empty assignment, not an abort
+        return df.limit(0).select(
+            F.col(id_col),
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(None).cast("double").alias("dist2"),
+        )
 
     v_norm2 = F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),

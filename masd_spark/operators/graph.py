@@ -62,6 +62,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks — not a divide-by-zero abort
+        return nodes.withColumn("rank", F.lit(0.0))
     has_out = trans.select(F.col("_src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
@@ -451,6 +454,9 @@ def pagerank_exact(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks — not a divide-by-zero abort
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     has_out = trans.select(F.col("_src").alias("node")).distinct()
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))

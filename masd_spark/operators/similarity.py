@@ -321,6 +321,8 @@ def ivf_topk(
             .collect()
         )
         cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    if not cent_vecs:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
     cents: list[tuple[int, list[float], float]] = []
     for i, v in enumerate(cent_vecs):
         cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))
@@ -497,6 +499,24 @@ def quantized_topk(
             "qcos",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def _empty_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, query_id_col: str
+) -> DataFrame:
+    """Schema-correct empty result for a degenerate index build: a
+    search over an EMPTY corpus returns nothing — it must not abort the
+    job (an empty corpus partition/day is routine lakehouse data, and
+    the centroid/codebook builders cannot sample literals from zero
+    rows). Column order/types match every ANN path's output contract
+    (query_id, vec_id, cos_sim double, rank bigint)."""
+    id_type = corpus.schema[id_col].dataType
+    return queries.limit(0).select(
+        F.col(query_id_col),
+        F.lit(None).cast(id_type).alias(id_col),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.lit(None).cast("bigint").alias("rank"),
     )
 
 
@@ -689,6 +709,8 @@ def pq_topk(
         codebooks = [
             [v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)
         ]
+    if not codebooks[0]:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
     cc = _pq_codeword_norms(codebooks)
     # --- corpus encoding: map-side argmin per subspace ------------------
     encoded = (
@@ -781,6 +803,8 @@ def ivfpq_topk(
     sub = dim // m
     # --- index builds: two tiny portable samples as plan literals -------
     cent_vecs = _seeded_sample(corpus, n_centroids, id_col, vec_col, ivf_seed)
+    if not cent_vecs:
+        return _empty_topk(corpus, queries, id_col, query_id_col)
     cents = []
     for i, v in enumerate(cent_vecs):
         cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))

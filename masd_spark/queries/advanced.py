@@ -114,7 +114,11 @@ def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS via Spark SQL (same Catalyst plan as the
-    DataFrame rollup/cube family)."""
+    DataFrame rollup/cube family).
+
+    Same empty-input-only grand-total divergence as
+    rollup_lineitem_flags (see its docstring; pinned in
+    tests/test_empty_inputs.py)."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -518,7 +522,14 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         buckets.groupBy("bn")
         .agg(F.expr("bitmap_or_agg(b)").alias("b"))
-        .agg(F.sum(F.expr("bitmap_count(b)")).alias("n_users"))
+        # coalesce: count-distinct of an EMPTY input is 0, but a global
+        # SUM over zero bucket rows is NULL — without it the 'ALL' row
+        # diverges from count(DISTINCT) semantics on empty input
+        .agg(
+            F.coalesce(F.sum(F.expr("bitmap_count(b)")), F.lit(0))
+            .cast("long")
+            .alias("n_users")
+        )
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return per_type.unionAll(merged)

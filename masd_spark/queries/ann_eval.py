@@ -82,5 +82,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = exact_pairs.agg(F.count("*").alias("n_exact"))
     return union.crossJoin(F.broadcast(denom)).select(
         "method",
-        F.round(F.col("hits") / F.col("n_exact"), 6).alias("recall_at_10"),
+        # NULL (not an ANSI DIVIDE_BY_ZERO abort) when there is no exact
+        # ground truth — empty corpus — matching DuckDB's x/0 -> NULL
+        F.round(
+            F.try_divide(F.col("hits"), F.col("n_exact")), 6
+        ).alias("recall_at_10"),
     )

@@ -362,7 +362,12 @@ def set_ops_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping id — subtotal + grand-total rows."""
+    """ROLLUP with grouping id — subtotal + grand-total rows.
+
+    Known cross-engine divergence on EMPTY input only (pinned in
+    tests/test_empty_inputs.py): the SQL standard's () grouping set
+    yields one grand-total row over zero rows (DuckDB does), Spark's
+    rollup yields zero rows. Never bites with >=1 input row."""
     return (
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -387,7 +392,11 @@ def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions with grouping id."""
+    """CUBE over two dimensions with grouping id.
+
+    Same empty-input-only grand-total divergence as
+    rollup_lineitem_flags (see its docstring; pinned in
+    tests/test_empty_inputs.py)."""
     return (
         _t(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")

@@ -94,7 +94,8 @@ def write_zordered(
 ) -> None:
     """Write parquet clustered on the z-curve of two columns.
 
-    Raises on empty input or NaN in either column (no meaningful bounds).
+    Empty input writes an empty schema-preserving table; NaN or an
+    all-null column with rows present raises (no meaningful bounds).
 
     Unlike a lexicographic sort (first column fully clustered, second
     column's row-group windows span the whole domain), the z-curve
@@ -112,6 +113,13 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
+    if all(v is None for v in (lo_a, hi_a, lo_b, hi_b)):
+        # empty input: a maintenance job over an empty partition writes
+        # an empty (schema-preserving) table — no bounds needed, and no
+        # reason to crash the pipeline. NaN / all-null-column inputs
+        # with ROWS still raise below (z-values would be meaningless).
+        df.write.mode("overwrite").parquet(path)
+        return
     bad = [
         v
         for v in (lo_a, hi_a, lo_b, hi_b)

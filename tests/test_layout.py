@@ -172,22 +172,31 @@ def test_compact_files_sizes_partitioned_tables_recursively(spark, tmp_path):
         compact_files(spark, empty, dst)
 
 
-def test_write_zordered_rejects_empty_and_nan(spark, tmp_path):
-    """Regression (round-5 review): empty input crashed float(None);
-    a NaN bound interpolated the literal token 'nan' into SQL."""
+def test_write_zordered_empty_ok_nan_and_allnull_rejected(spark, tmp_path):
+    """Round-5 contract: EMPTY input writes an empty schema-preserving
+    table (test_empty_inputs pins the read-back); NaN bounds, or an
+    all-null column while rows exist, still raise — z-values would be
+    meaningless and a NaN bound used to interpolate the literal token
+    'nan' into SQL."""
     import pytest
 
     from masd_spark.sources.layout import write_zordered
 
     empty = spark.range(0).selectExpr("id a", "id b")
-    with pytest.raises(ValueError, match="non-empty"):
-        write_zordered(empty, str(tmp_path / "z1"), "a", "b", n_files=2)
+    write_zordered(empty, str(tmp_path / "z1"), "a", "b", n_files=2)
+    assert spark.read.parquet(str(tmp_path / "z1")).count() == 0
 
     nan_df = spark.createDataFrame(
         [(1.0, 1.0), (2.0, float("nan"))], ["a", "b"]
     )
     with pytest.raises(ValueError, match="NaN"):
         write_zordered(nan_df, str(tmp_path / "z2"), "a", "b", n_files=2)
+
+    allnull = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a double, b double"
+    )
+    with pytest.raises(ValueError, match="NaN-free"):
+        write_zordered(allnull, str(tmp_path / "z3"), "a", "b", n_files=2)
 
 
 def test_zvalue_no_sign_flip_on_int_columns(spark):
