@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from masd_spark.functions.quantize import qround6
 from masd_spark.functions.vectors import dot
+from masd_spark.operators.similarity import valid_vectors
 
 
 def _assign_expr(cents: list[list[float]], vec_col: str):
@@ -54,6 +55,7 @@ def kmeans_centroids(
     Shared by :func:`kmeans_assign` and the IVF index's refined-centroid
     path (operators/similarity.py:ivf_topk(centroids=...)).
     """
+    df = valid_vectors(df, id_col, vec_col)
     init_rows = (
         df.select(F.col(id_col), F.col(vec_col))
         .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -103,6 +105,7 @@ def kmeans_assign(
     assert the robust invariants (inertia monotonically non-increasing,
     full coverage) rather than exact centroid bits.
     """
+    df = valid_vectors(df, id_col, vec_col)
     cents = kmeans_centroids(df, dim, k, n_iter, id_col, vec_col, seed)
     if not cents:
         # empty corpus: schema-correct empty assignment, not an abort
@@ -224,6 +227,7 @@ def semantic_dedup(
     """
     from masd_spark.functions.vectors import dot_fixed, norm_fixed
 
+    df = valid_vectors(df, id_col, vec_col)
     # callers may inject a precomputed (id, cluster) assignment — e.g. the
     # integer-Lloyd one, which makes the whole pipeline oracle-checkable
     assigned = (
@@ -312,6 +316,9 @@ def pca_top_component(
     """
     import numpy as np
 
+    # invalid-input contract (no id column here): null vectors carry no
+    # Gram contribution and would crash np.asarray — excluded
+    df = df.filter(F.col(vec_col).isNotNull())
     iu = np.triu_indices(dim)
     width = 1 + dim + iu[0].size  # n, s, upper-tri(P)
 
@@ -401,6 +408,7 @@ def pca_power_iteration_exact(
     one-shuffle long-form shape. tests/test_similarity.py pins agreement
     with eigh on the SAME quantized matrix to <= 1e-6 per coordinate.
     """
+    df = valid_vectors(df, id_col, vec_col)
     idx = F.posexplode(
         F.transform(
             F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
@@ -530,6 +538,7 @@ def kmeans_exact_longform(
     long-form centroid table (cid, dim, x) for index builds (exact
     refined IVF).
     """
+    df = valid_vectors(df, id_col, vec_col)
     q = df.select(
         F.col(id_col),
         F.posexplode(

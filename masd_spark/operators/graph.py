@@ -41,7 +41,10 @@ def pagerank(
     Python.
     """
     w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
-    e = edges.select(
+    # invalid-input contract: an edge with an unknown endpoint is not an
+    # edge — dropped up front (a NULL node would otherwise enter the node
+    # set and the dangling-mass anti-join with engine-specific semantics)
+    e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
     # Normalized transition weights (out-weight via a window over _src —
@@ -438,7 +441,8 @@ def pagerank_exact(
     counter and the (scalar) dangling mass on the driver.
     """
     w = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
-    e = edges.select(
+    # same invalid-input contract as pagerank: null-endpoint edges dropped
+    e = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
     from pyspark.sql import Window

@@ -38,6 +38,19 @@ from masd_spark.functions.vectors import (
 )
 
 
+def valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Invalid-input contract for the embedding family: a row with a null
+    id or a null vector cannot be indexed, bucketed, sampled, or returned
+    as a neighbor — it is EXCLUDED up front on every path (corpus, query,
+    and index-build sample alike). A no-op scan filter on clean data; on
+    dirty data it (a) keeps the md5-ordered portable samples identical
+    across engines (null ids hash to NULL and the engines disagree on
+    NULL sort order), and (b) keeps null vectors out of driver-side
+    ``float()`` literal builds. The oracle twin is
+    queries/__init__.py:valid_embeddings."""
+    return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -56,6 +69,8 @@ def brute_force_topk(
     the unrolled variant); norms are precomputed once per row, so each
     pair costs one dot.
     """
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
     if dim is None:
         q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
         pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
@@ -115,6 +130,7 @@ def cosine_pairs(
     the compact HOF fold (functions/vectors.py documents the measurement
     that retired the unrolled variant).
     """
+    df = valid_vectors(df, id_col, vec_col)
     norm_expr = (
         norm(F.col(vec_col)) if dim is None else norm_fixed(F.col(vec_col), dim)
     )
@@ -175,6 +191,7 @@ def cosine_pairs_bucketed(
     planted hot bucket). Exact-duplicate vectors belong in exact dedup
     upstream — they are overfull in every table.
     """
+    df = valid_vectors(df, id_col, vec_col)
     bucketed = df.select(
         F.col(id_col),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
@@ -308,6 +325,8 @@ def ivf_topk(
     unchanged, only the literals improve (better-balanced cells, higher
     recall at equal n_probe).
     """
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
     if centroids is not None:
         cent_vecs = [[float(x) for x in v] for v in centroids]
     else:
@@ -406,6 +425,8 @@ def lsh_topk(
     folded); the join is bucket-equi, bounded by bucket occupancy — never
     corpus x queries. Tune (b, L) for the corpus's similarity regime.
     """
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
     bc = corpus.select(
         F.col(id_col),
         F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
@@ -469,6 +490,9 @@ def quantized_topk(
     """
     from masd_spark.functions.vectors import dot_fixed_long, quantize_int8
 
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
+
     def prep(df: DataFrame, idc: str):
         q = df.select(F.col(idc), quantize_int8(F.col(vec_col)).alias("_q"))
         return q.withColumn("_n2", dot_fixed_long(F.col("_q"), F.col("_q"), dim))
@@ -528,7 +552,8 @@ def _seeded_sample(
     by any engine (the property every oracle-checkable index here rests
     on). Only these n rows ever reach the driver."""
     rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        valid_vectors(corpus, id_col, vec_col)
+        .select(F.col(id_col), F.col(vec_col))
         .withColumn(
             "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
         )
@@ -704,6 +729,8 @@ def pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
     if codebooks is None:
         sampled = _seeded_sample(corpus, n_codes, id_col, vec_col, seed)
         codebooks = [
@@ -801,6 +828,8 @@ def ivfpq_topk(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     sub = dim // m
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    queries = valid_vectors(queries, query_id_col, vec_col)
     # --- index builds: two tiny portable samples as plan literals -------
     cent_vecs = _seeded_sample(corpus, n_centroids, id_col, vec_col, ivf_seed)
     if not cent_vecs:

@@ -58,6 +58,12 @@ def windowed_metrics(
     and streaming DataFrames (streaming needs an upstream watermark).
     """
     window = F.window(F.col(time_col), window_duration, slide_duration or window_duration)
-    return df.groupBy(window, *[F.col(k) for k in keys]).agg(
-        *metric_columns(value_col, flag_col)
+    # Explicit contract: a reading without an event time cannot be
+    # bucketed — it is invalid input and is EXCLUDED (F.window would drop
+    # it silently anyway; the filter makes the semantics visible and
+    # engine-portable — SQL bucket arithmetic would keep a NULL bucket).
+    return (
+        df.filter(F.col(time_col).isNotNull())
+        .groupBy(window, *[F.col(k) for k in keys])
+        .agg(*metric_columns(value_col, flag_col))
     )

@@ -68,6 +68,27 @@ def register(
     return deco
 
 
+# The embedding family's invalid-input contract, SQL side: a row with a
+# null id or null vector is excluded from index builds, scans, and joins
+# (the operators filter identically — see operators/similarity.py:
+# valid_vectors). A no-op on clean fixtures; on dirty data it keeps both
+# engines' samples/buckets/ranks aligned (and DuckDB's list_* functions
+# raise on NULL inputs rather than propagating them).
+_EMB_VALID = (
+    "(SELECT * FROM embeddings"
+    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+)
+
+
+def valid_embeddings(sql: str) -> str:
+    """Rewrite every ``embeddings`` table reference in an oracle to the
+    null-filtered subselect (token-level; no oracle uses a qualified
+    ``embeddings.`` column reference)."""
+    import re
+
+    return re.sub(r"\bembeddings\b", _EMB_VALID, sql)
+
+
 # Pinned first in every round's window: entry()'s flagship must always be
 # registered and driver-smoke-checked.
 FLAGSHIP = "masd_sensor_rollup"

@@ -18,7 +18,7 @@ from masd_spark.operators.dedup import (
     span_duplication,
 )
 from masd_spark.operators.similarity import cosine_pairs
-from masd_spark.queries import register
+from masd_spark.queries import register, valid_embeddings
 from masd_spark.sources.tables import load_table
 
 # Memoized materialized shingle sets, keyed per (session, sf_dir): the
@@ -315,14 +315,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=valid_embeddings("""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
-    """,
+    """),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup GROUND TRUTH: the exact all-pairs self-join at
@@ -388,7 +388,10 @@ def _bucketed_cosine_oracle() -> str:
     """
 
 
-@register("dedup_embedding_cosine_bucketed", oracle=_bucketed_cosine_oracle())
+@register(
+    "dedup_embedding_cosine_bucketed",
+    oracle=valid_embeddings(_bucketed_cosine_oracle()),
+)
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup, corpus-scale plan: OR-amplified sign-bit LSH
     buckets -> per-bucket candidate self-join -> exact-cosine verification
@@ -853,7 +856,10 @@ def _semantic_exact_oracle() -> str:
     )
 
 
-@register("dedup_semantic_clusters_exact", oracle=_semantic_exact_oracle())
+@register(
+    "dedup_semantic_clusters_exact",
+    oracle=valid_embeddings(_semantic_exact_oracle()),
+)
 def dedup_semantic_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with a PROVABLE block structure: clusters come from the
     integer fixed-point Lloyd (hash-checkable), within-cluster pairs use

@@ -357,6 +357,9 @@ _PR_EDGES_SQL = """
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        -- pagerank kernels drop null-endpoint edges (not an edge);
+        -- also keeps the dangling NOT IN subquery null-free
+        WHERE c.c_nationkey IS NOT NULL AND s.s_nationkey IS NOT NULL
         GROUP BY 1, 2
 """
 

@@ -20,11 +20,15 @@ from masd_spark.queries import register
 from masd_spark.sources.tables import load_table, with_event_time
 
 # Shared SQL fragment: the deterministic "sensor reading" derivation.
+# ts IS NOT NULL mirrors windowed_metrics' explicit contract: a reading
+# without an event time cannot be bucketed (SQL arithmetic would keep a
+# NULL bucket; Spark's F.window drops the row) — excluded on BOTH engines.
 _ENRICH_SQL = """
     SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
            CASE WHEN event_id % 20 = 0 THEN '<<bad_data>>'
                 ELSE CAST(value AS VARCHAR) END AS value_str
     FROM events
+    WHERE ts IS NOT NULL
 """
 
 
@@ -367,7 +371,9 @@ def masd_nested_document_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM enc
     )
     SELECT event_id,
-           json_valid(payload) AS envelope_ok,
+           -- a NULL payload (null-propagated concat) is NOT an ok
+           -- envelope: json_valid(NULL) -> NULL, coalesced to FALSE
+           COALESCE(json_valid(payload), FALSE) AS envelope_ok,
            CASE WHEN json_valid(payload)
                 THEN json_extract_string(payload, '$.station_id') END AS station_id,
            CASE WHEN json_valid(payload)
@@ -413,6 +419,7 @@ def masd_malformed_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = enc.select(
         "event_id",
+        "value",
         F.from_json(
             F.col("value").cast("string"),
             schema,
@@ -421,7 +428,11 @@ def masd_malformed_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = parsed.select(
         "event_id",
-        F.col("data._corrupt").isNull().alias("envelope_ok"),
+        # a NULL payload parses to a NULL struct with a NULL _corrupt
+        # field — it must read as NOT-ok, not as "no corruption recorded"
+        (F.col("value").isNotNull() & F.col("data._corrupt").isNull()).alias(
+            "envelope_ok"
+        ),
         F.col("data.station_id").alias("station_id"),
         F.col("data.timestamp").alias("ts_ms"),
         F.col("data.value").try_cast("double").alias("value_numeric"),

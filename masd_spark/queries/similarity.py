@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from masd_spark.functions.quantize import qround6_sql
 from masd_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
-from masd_spark.queries import register
+from masd_spark.queries import register, valid_embeddings
 from masd_spark.sources.tables import load_table
 
 EMBEDDING_DIM = 64
@@ -27,7 +27,7 @@ def _queries_df(emb: DataFrame) -> DataFrame:
 @register(
     "ann_cosine_topk",
     headline=True,
-    oracle="""
+    oracle=valid_embeddings("""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv
         FROM embeddings WHERE vec_id % 100 = 0
@@ -46,7 +46,7 @@ def _queries_df(emb: DataFrame) -> DataFrame:
     )
     SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
-    """,
+    """),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for every 100th vector. Queries are
@@ -114,7 +114,7 @@ _IVF_ORACLE = f"""
     """
 
 
-@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+@register("ann_ivf_topk", oracle=valid_embeddings(_IVF_ORACLE))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF index (16 cells, 4 probes): each
     query scans ~1/4 of the corpus. Centroid selection is the portable
@@ -240,7 +240,7 @@ def _lsh_topk_oracle() -> str:
     """
 
 
-@register("ann_lsh_topk", oracle=_lsh_topk_oracle())
+@register("ann_lsh_topk", oracle=valid_embeddings(_lsh_topk_oracle()))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10: OR-amplified random-hyperplane LSH (8 tables
     x 6 sign bits) + exact re-rank within the candidate union. The plane
@@ -263,7 +263,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_quantized_topk",
-    oracle="""
+    oracle=valid_embeddings("""
     WITH base AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -310,7 +310,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, vec_id, qcos, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 10
-    """,
+    """),
 )
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 cosine neighbors over int8-quantized vectors: 4x smaller
@@ -441,7 +441,7 @@ _PQ_ORACLE = f"""
     """
 
 
-@register("ann_pq_topk", oracle=_PQ_ORACLE)
+@register("ann_pq_topk", oracle=valid_embeddings(_PQ_ORACLE))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via product quantization + ADC re-rank (8
     subspaces x 16 codes -> 8-byte codes, 32x scan compression; top-200
@@ -588,7 +588,7 @@ _IVFPQ_ORACLE = f"""
     """
 
 
-@register("ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+@register("ann_ivfpq_topk", oracle=valid_embeddings(_IVFPQ_ORACLE))
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ composed (IVFADC): each query ADC-scans only its 4
     probed cells' 8-byte codes — pair count bounded by cell occupancy
@@ -694,7 +694,7 @@ def _mmr_oracle(k: int = _MMR_K, m: int = _MMR_M) -> str:
     )
 
 
-@register("ann_mmr_rerank", oracle=_mmr_oracle())
+@register("ann_mmr_rerank", oracle=valid_embeddings(_mmr_oracle()))
 def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval: MMR re-rank (lambda=0.5) of each query's
     top-20 exact-cosine candidates down to 5 picks — the standard
@@ -789,7 +789,7 @@ def _kmeans_exact_oracle(
     )
 
 
-@register("cluster_kmeans_embeddings_exact", oracle=_kmeans_exact_oracle())
+@register("cluster_kmeans_embeddings_exact", oracle=valid_embeddings(_kmeans_exact_oracle()))
 def cluster_kmeans_embeddings_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point Lloyd k-means (k=8, 5 rounds) — the
     HASH-CHECKABLE twin of cluster_kmeans_embeddings: vectors quantized
@@ -858,7 +858,7 @@ def _ivf_exact_refined_oracle(
     )
 
 
-@register("ann_ivf_exact_refined_topk", oracle=_ivf_exact_refined_oracle())
+@register("ann_ivf_exact_refined_topk", oracle=valid_embeddings(_ivf_exact_refined_oracle()))
 def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Refined IVF, end-to-end hash-checkable: centroids from the
     integer fixed-point Lloyd (3 rounds, md5-seeded), cell assignment
@@ -879,7 +879,7 @@ def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_gram_upper",
-    oracle=f"""
+    oracle=valid_embeddings(f"""
     WITH q AS MATERIALIZED (
         SELECT vec_id, i AS dim,
                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
@@ -890,7 +890,7 @@ def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(a.x * b.x) AS BIGINT) AS gram
     FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
     GROUP BY 1, 2
-    """,
+    """),
 )
 def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gram matrix X^T X (upper triangle, 64x65/2 = 2080 cells) over
@@ -991,7 +991,7 @@ def _pca_power_oracle(
     )
 
 
-@register("emb_pca_power_iteration", oracle=_pca_power_oracle())
+@register("emb_pca_power_iteration", oracle=valid_embeddings(_pca_power_oracle()))
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component, end-to-end hash-checkable: 12 integer
     matrix SQUARINGS (= 4096 power iterations, enough for the fixture's

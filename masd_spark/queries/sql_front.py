@@ -78,6 +78,9 @@ def hierarchy_rollup_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative operator.
     """
     _view(spark, sf_dir, "customer", "rc_customer")
+    # Self-sufficient in a PLAIN session (the driver's): the ceiling must
+    # not depend on the caller having applied session.RUNTIME_CONFS.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     return spark.sql(
         """
         WITH RECURSIVE walk AS (

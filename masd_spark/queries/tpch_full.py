@@ -472,8 +472,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
       AND p_size IN (1, 5, 9, 13)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_acctbal < 0)
+      -- NOT EXISTS, not NOT IN: one NULL s_suppkey in the blacklist
+      -- makes NOT IN return UNKNOWN for EVERY row (empty result); the
+      -- anti-join semantics ("exclude suppliers KNOWN blacklisted") is
+      -- the engine contract, and NOT EXISTS is its null-sane SQL twin
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
     GROUP BY 1, 2, 3
     """,
 )
