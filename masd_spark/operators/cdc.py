@@ -41,7 +41,13 @@ def scd2_intervals(
 
     NULL semantics: a NULL tracked value is a real state; transitions
     NULL->x and x->NULL both open a new interval (null-safe comparison).
+    A NULL in any ``order_by`` column, however, has no place in the
+    version sequence (and would land at engine-dependent ends of it:
+    Spark sorts NULLS FIRST ascending, standard SQL engines NULLS LAST)
+    — those change rows are EXCLUDED; oracle twins filter identically.
     """
+    for c in order_by:
+        changes = changes.filter(F.col(c).isNotNull())
     w = Window.partitionBy(*keys).orderBy(*order_by)
     first_order = order_by[0]
     marked = changes.withColumn(

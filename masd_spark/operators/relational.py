@@ -52,7 +52,16 @@ def sessionize(
     Classic lag + cumulative-sum-of-boundaries pattern — one shuffle on the
     key, no state, no UDF. The streaming twin is ``F.session_window``
     (see masd_spark/streaming/pipeline.py).
+
+    Invalid-input contract: a row with a NULL time cannot be placed on the
+    timeline and is EXCLUDED — the same thing Spark's native
+    ``F.session_window`` does with a null event time. (Where the row
+    lands would otherwise be an engine artifact: Spark windows default to
+    NULLS FIRST ascending, DuckDB to NULLS LAST, so the null rows would
+    open or extend different sessions in each engine.) NULL keys are kept:
+    both engines' PARTITION BY group them into one "anonymous" key.
     """
+    df = df.filter(F.col(time_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(time_col)
     prev_ts = F.lag(F.col(time_col)).over(w)
     is_new = F.when(
@@ -96,14 +105,32 @@ def asof_join(
     duplicates (e.g. SCD2 starts from same-timestamp change rows) must
     collapse them under a deterministic rule first; see
     ``pit_scd2_priority_at_ship`` (queries/warehouse.py) for the pattern.
+
+    Invalid-input contract: a row with a NULL key or NULL time has no
+    place on the (key, timeline) plane and is EXCLUDED from both sides.
+    There is no portable keep-them semantics — Spark's partitionBy groups
+    null keys together (null "users" would as-of-match each other) while
+    SQL join equality never matches NULL, and DuckDB's sort-based ASOF
+    treats a NULL left time as +infinity (matches the latest right row)
+    where a predicate evaluation would say no-match. Oracle twins carry
+    the same ``key IS NOT NULL AND time IS NOT NULL`` filters.
     """
+    left = left.filter(F.col(key_col).isNotNull() & F.col(left_time).isNotNull())
+    right = right.filter(F.col(key_col).isNotNull() & F.col(right_time).isNotNull())
     lcols = left.columns
+    # The right payload travels as ONE struct, not as bare columns: the
+    # carry-forward below uses last(..., ignorenulls=True) to skip LEFT
+    # rows' placeholders, and a bare null-valued field on a real right row
+    # would be skipped too — reaching back past the latest right row to an
+    # older one's value. The per-row struct is never null, so ignorenulls
+    # skips exactly the left placeholders and "latest right ROW" semantics
+    # hold even when that row's fields are null.
     tagged_left = left.select(
         F.col(key_col).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(right.select(*value_cols).schema).alias("_rv"),
     )
     tagged_right = right.select(
         F.col(key_col).alias("_k"),
@@ -112,7 +139,7 @@ def asof_join(
         F.lit(None).cast(
             tagged_left.schema["_left"].dataType
         ).alias("_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # right rows (_side=0) sort before left rows at equal time -> a right row
@@ -125,14 +152,11 @@ def asof_join(
     carried = unioned.select(
         "_side",
         "_left",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rv"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in lcols],
-        *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in value_cols],
     )
     return out
 

@@ -174,14 +174,21 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist() OVER w, 6) AS cume
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST)
     """,
 )
 def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist per segment with a unique
-    tiebreaker in the ordering (c_acctbal has duplicate values)."""
+    tiebreaker in the ordering (c_acctbal has duplicate values).
+
+    Null contract: a null c_acctbal ranks LAST in its segment — pinned
+    explicitly on both sides because the engines' defaults disagree
+    (Spark NULLS FIRST asc, DuckDB NULLS LAST asc)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return c.select(
         "c_custkey",
         "c_mktsegment",
@@ -384,11 +391,13 @@ def agg_collect_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     keys_sorted = F.array_sort(F.collect_list("o_orderkey"))
+    joined = F.array_join(F.transform(keys_sorted, lambda x: x.cast("string")), ",")
     return o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.array_join(
-            F.transform(keys_sorted, lambda x: x.cast("string")), ","
-        ).alias("order_keys"),
+        # a group whose every o_orderkey is NULL gathers an empty list;
+        # string_agg's no-input result is NULL, array_join('')'s is '' —
+        # surface NULL on both engines
+        F.when(F.size(keys_sorted) > 0, joined).alias("order_keys"),
     )
 
 
@@ -548,6 +557,7 @@ _SESSION_GAP_MS = 21_600_000
                             >= {_SESSION_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL  -- F.session_window drops null event times
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
     ),
     sess AS (
@@ -640,8 +650,9 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT event_type, value, event_id,
                ntile(10) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS decile
+                               ORDER BY value, event_id NULLS LAST) AS decile
         FROM events
+        WHERE value IS NOT NULL  -- a null value has no place in the CDF
     )
     SELECT event_type, CAST(decile AS BIGINT) AS decile,
            CAST(count(*) AS BIGINT) AS n,
@@ -661,8 +672,10 @@ def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sort gives way to approx_percentile edges — registered here as
     the ground-truth variant, like exact-vs-approx percentiles.
     """
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        "value", F.asc_nulls_last("event_id")
+    )
     return (
         ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
         .groupBy("event_type", "decile")

@@ -421,19 +421,30 @@ def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(row_number() OVER w AS BIGINT) AS rn,
            CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS gap_days,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_spend
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST,
+                 o_orderkey NULLS LAST)
     """,
 )
 def window_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + lag + running sum per customer (SURVEY.md §2.5 — ABSENT in
     the reference). Decimal running sum -> order-independent exactness.
+
+    Null contract: a null o_orderdate still ranks (at the END of the
+    customer's history — Spark defaults to NULLS FIRST ascending, DuckDB
+    to NULLS LAST; both sides pin NULLS LAST explicitly) and its gap_days
+    is null. Nulls never tie with each other: the fixture guarantees at
+    most one null column per row, so (o_orderdate, o_orderkey) stays a
+    total order.
     """
     orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+    )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_orderkey",
@@ -462,7 +473,7 @@ def window_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(p_type) AS type_l,
            substring(p_name, 1, 8) AS name_prefix,
            CAST(length(p_name) AS BIGINT) AS name_len,
-           concat(p_brand, '|', p_type) AS brand_type,
+           p_brand || '|' || p_type AS brand_type,
            round(p_retailprice * 1.1, 2) AS price_up,
            CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
            CAST(p_size % 7 AS BIGINT) AS size_mod,
@@ -556,6 +567,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 21600000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL  -- sessionize's invalid-input contract
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
     ),
     sess AS (
@@ -595,10 +607,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     WITH clicks AS (
-        SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+        SELECT user_id, event_id, ts, value FROM events
+        WHERE event_type = 'click'
+          AND user_id IS NOT NULL AND ts IS NOT NULL  -- asof_join contract
     ),
     purchases AS (
-        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
     )
     SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS click_ts_ms,
            p.value AS asof_value

@@ -37,6 +37,7 @@ def _dec_sum(col: str):
                lag(o_orderpriority) OVER w AS prev,
                row_number() OVER w AS rn
         FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY epoch_ms(o_orderdate), o_orderkey)
     ),
@@ -109,14 +110,17 @@ _DIRTY_SQL = (
     "fuzzy_join_nations",
     oracle=f"""
     WITH dirty AS (
-        SELECT c_custkey,
-               {_DIRTY_SQL.format(int_str="VARCHAR")} AS dirty_name
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        SELECT * FROM (
+            SELECT c_custkey,
+                   {_DIRTY_SQL.format(int_str="VARCHAR")} AS dirty_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE c_custkey IS NOT NULL AND dirty_name IS NOT NULL
     ),
     scored AS (
         SELECT d.c_custkey, d.dirty_name, m.n_name AS matched_nation,
                CAST(levenshtein(d.dirty_name, m.n_name) AS BIGINT) AS dist
         FROM dirty d CROSS JOIN nation m
+        WHERE m.n_name IS NOT NULL
     )
     SELECT c_custkey, dirty_name, matched_nation, dist
     FROM scored
@@ -144,8 +148,16 @@ def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.expr(_DIRTY_SQL.format(int_str="STRING")).alias("dirty_name"),
         )
+        # null contract: a probe without an identity or a name cannot be
+        # resolved; a null dimension name cannot be a candidate (its null
+        # levenshtein distance would win Spark's struct-min — nulls sort
+        # FIRST in struct comparison — while ORDER BY dist puts it last
+        # in SQL engines)
+        .filter(F.col("c_custkey").isNotNull() & F.col("dirty_name").isNotNull())
     )
-    matches = nation.select(F.col("n_name").alias("matched_nation"))
+    matches = nation.select(F.col("n_name").alias("matched_nation")).filter(
+        F.col("matched_nation").isNotNull()
+    )
     scored = dirty.join(F.broadcast(matches)).select(
         "c_custkey",
         "dirty_name",
@@ -406,6 +418,10 @@ _MERGE_CUTOFF = "2000-01-01"
                                   ORDER BY epoch_ms(o_orderdate) DESC,
                                            o_orderkey DESC) AS rn
         FROM orders
+        -- upsert versioning needs non-null version columns: a null
+        -- (date, orderkey) row has no defined recency, and two of them
+        -- tie nondeterministically
+        WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
     )
     SELECT custkey, last_orderkey, last_status, last_total, last_od_ms
     FROM ranked WHERE rn = 1
@@ -424,12 +440,19 @@ def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from masd_spark.operators.merge import merge_upsert
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"),
-        F.col("o_orderkey").alias("last_orderkey"),
-        F.col("o_orderstatus").alias("last_status"),
-        F.col("o_totalprice").alias("last_total"),
-        F.unix_millis("o_orderdate").alias("last_od_ms"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderstatus").alias("last_status"),
+            F.col("o_totalprice").alias("last_total"),
+            F.unix_millis("o_orderdate").alias("last_od_ms"),
+        )
+        # version columns must be non-null (see oracle note)
+        .filter(
+            F.col("last_od_ms").isNotNull() & F.col("last_orderkey").isNotNull()
+        )
     )
     cutoff_ms = F.unix_millis(F.lit(_MERGE_CUTOFF).cast("timestamp"))
     w = Window.partitionBy("custkey").orderBy(
@@ -460,6 +483,7 @@ def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(o_orderpriority) OVER w AS prev,
                row_number() OVER w AS rn
         FROM orders
+        WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY epoch_ms(o_orderdate), o_orderkey)
     ),
@@ -485,6 +509,9 @@ def merge_upsert_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
                epoch_ms(l.l_shipdate) AS ship_ms
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        -- asof_join's invalid-input contract (null key / null time rows
+        -- are excluded; DuckDB ASOF would treat null ship time as +inf)
+        WHERE o.o_custkey IS NOT NULL AND l.l_shipdate IS NOT NULL
     )
     SELECT p.l_orderkey, p.l_linenumber, p.custkey, p.ship_ms,
            h.priority AS priority_at_ship,
@@ -674,6 +701,9 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_orders,
            max(o_totalprice) AS max_price
     FROM orders
+    -- the incremental split is keyed on o_orderdate: a null-dated row
+    -- belongs to neither history nor any delta
+    WHERE o_orderdate IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -688,11 +718,18 @@ def ivm_monthly_revenue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     indistinguishable from the full rebuild. Decimal sums make the
     revenue independent of which partial each row landed in.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias("month_ms"),
-        "o_orderstatus",
-        "o_totalprice",
-        F.unix_millis("o_orderdate").alias("od_ms"),
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.unix_millis(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_ms"
+            ),
+            "o_orderstatus",
+            "o_totalprice",
+            F.unix_millis("o_orderdate").alias("od_ms"),
+        )
+        # null-dated rows fall outside every cutoff split (see oracle)
+        .filter(F.col("od_ms").isNotNull())
     )
     cutoff_ms = F.unix_millis(F.lit(_MERGE_CUTOFF).cast("timestamp"))
 

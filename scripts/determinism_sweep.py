@@ -47,6 +47,10 @@ REGIMES: list[tuple[str, str, str]] = [
     ("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024), "0"),
     # Different advisory size changes AQE's coalesced partitioning too.
     ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864", "1048576"),
+    # Regime B additionally disables AQE outright: no runtime coalescing,
+    # no skew-join splitting, static shuffle widths — a maximally
+    # different physical plan for the same logical query.
+    ("spark.sql.adaptive.enabled", "true", "false"),
 ]
 
 
