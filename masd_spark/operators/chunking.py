@@ -68,7 +68,13 @@ def chunk_dedup_stats(
 
     One shuffle keyed by the chunk fingerprint; reconstruction of the
     deduplicated text is array_join of surviving chunks downstream.
+
+    Invalid-input contract: the keep-first election is ordered by
+    (id, index), so a NULL id has no deterministic place in it (and sorts
+    at opposite ends of the two engines' orderings) — null-id documents
+    are EXCLUDED; oracle twins filter identically.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     chunks = chunk_documents(df, id_col, text_col, chunk_size, overlap=0)
     fp = F.md5(F.col("chunk_text"))
     w = Window.partitionBy("_fp").orderBy(id_col, "chunk_index")

@@ -141,7 +141,13 @@ def span_duplication(
     dup flag returns via a shingle-keyed semi-join; the final per-doc agg
     reuses the doc partitioning. No all-pairs stage anywhere — cost is
     linear in total tokens + one frequency table.
+
+    Invalid-input contract: "occurs in >= min_docs DISTINCT documents"
+    needs document identity, so null-id rows are EXCLUDED — Spark's
+    distinct() would count a null id as one more document while SQL's
+    count(DISTINCT ...) ignores it. Oracle twins filter identically.
     """
+    df = df.filter(F.col(id_col).isNotNull())
     toked = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )

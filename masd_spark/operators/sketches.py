@@ -146,7 +146,14 @@ def heavy_keys(df: DataFrame, key_col: str, k: int) -> DataFrame:
     therefore partitioning-INDEPENDENT even though the intermediate
     candidate set is not: plain GROUP BY HAVING count * k > n is a true
     oracle. The global n rides in as a 1-row scalar aggregate crossJoin.
+
+    Invalid-input contract: NULL keys are excluded — they carry no
+    identity to attribute frequency to, value_counts cannot track them,
+    and the candidate semi-join's equality would silently drop them
+    anyway. n counts only non-null-key rows; oracle twins filter
+    identically (a bare GROUP BY would otherwise surface the null group).
     """
+    df = df.filter(F.col(key_col).isNotNull())
     cands = mg_candidates(df, key_col, k).distinct()
     total = df.agg(F.count("*").alias("_n"))
     return (

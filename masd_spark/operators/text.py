@@ -279,15 +279,23 @@ def ngram_counts(
     per doc and stays in codegen). Two shuffles: the per-doc window sort,
     then the global count keyed by ngram — the count is partial+final, so
     hot n-grams (Zipf head) combine map-side before they shuffle.
+
+    The lead-window is keyed by a synthetic per-ROW id, not ``id_col``:
+    n-grams never cross a text row, so no identity is required — and
+    partitioning by a user id would interleave the token streams of any
+    rows SHARING an id (duplicate or null ids) into cross-document
+    garbage n-grams. The synthetic id is partitioning-dependent but only
+    ever used as an opaque grouping handle; the per-row n-gram multiset
+    it produces is not.
     """
     from pyspark.sql import Window
 
     if n < 2:
         raise ValueError("n must be >= 2 (unigrams: count tokens() directly)")
-    toked = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    toked = df.withColumn("_rid", F.monotonically_increasing_id()).select(
+        F.col("_rid"), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy("_rid").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     grams = toked.select(
         F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("ngram")

@@ -174,8 +174,9 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist() OVER w, 6) AS cume
     FROM customer
+    WHERE c_custkey IS NOT NULL
     WINDOW w AS (PARTITION BY c_mktsegment
-                 ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST)
+                 ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,10 +185,15 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Null contract: a null c_acctbal ranks LAST in its segment — pinned
     explicitly on both sides because the engines' defaults disagree
-    (Spark NULLS FIRST asc, DuckDB NULLS LAST asc)."""
-    c = load_table(spark, sf_dir, "customer")
+    (Spark NULLS FIRST asc, DuckDB NULLS LAST asc). A null c_custkey is
+    excluded: it is the unique tiebreaker, and two equal-balance rows
+    both lacking it would take ntile's bucket split in arbitrary order.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+        F.asc_nulls_last("c_acctbal"), F.col("c_custkey")
     )
     return c.select(
         "c_custkey",

@@ -542,10 +542,12 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
         FROM events WHERE event_type = 'purchase'
+          AND user_id IS NOT NULL AND ts IS NOT NULL  -- asof_join contract
     ),
     t AS (
         SELECT user_id, epoch_ms(ts) AS touch_ms, max(event_type) AS touch_type
         FROM events WHERE event_type IN ('view', 'click')
+          AND user_id IS NOT NULL AND ts IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT p.event_id, p.user_id, p.ts_ms,
@@ -617,11 +619,14 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
         FROM events
+        WHERE ts IS NOT NULL  -- a null time has no sequence position
     ),
     seq AS (
         SELECT user_id, event_type AS next_type,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts_ms, event_id) AS prev_type
+                                     ORDER BY ts_ms, event_id NULLS LAST,
+                                              event_type NULLS LAST)
+                   AS prev_type
         FROM e
     ),
     trans AS (
@@ -645,13 +650,22 @@ def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the matrix is deterministic under same-ms events — at any scale
     the output is 25 cells here, |A|^2 generally, independent of n.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.expr("ts div 1000000").alias("ts_ms"),
-        "event_id",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "event_id",
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    # event_type joins the order as a final tiebreak: on dirty data two
+    # same-ms rows can both lack event_id, and a (A,B)-vs-(B,A) flip
+    # changes the transition counts
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_ms", F.asc_nulls_last("event_id"), F.asc_nulls_last("event_type")
+    )
     seq = ev.select(
         F.lag("event_type").over(w).alias("prev_type"),
         F.col("event_type").alias("next_type"),
@@ -769,8 +783,11 @@ _PATH_TOPK = 20
     "seq_top_session_paths",
     oracle=f"""
     WITH e AS (
-        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+               coalesce(event_id, -1) AS eid
         FROM events
+        -- null contract: no timeline position / no type -> no journey step
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     marked AS (
         SELECT *,
@@ -778,18 +795,20 @@ _PATH_TOPK = 20
                          OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid, event_type)
     ),
     sess AS (
         SELECT *,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, eid, event_type
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS session_id
         FROM marked
     ),
     paths AS (
         SELECT user_id, session_id,
-               string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+               string_agg(event_type, '>' ORDER BY ts_ms, eid, event_type)
+                   AS path
         FROM sess GROUP BY 1, 2
     )
     SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
@@ -809,13 +828,17 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) everywhere, so paths are byte-identical across
     engines; ties in the ranking break on the path string.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.expr("ts div 1000000").alias("ts_ms"),
-        "event_id",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid"),
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid", "event_type")
     marked = ev.withColumn(
         "is_new",
         F.when(
@@ -835,7 +858,7 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct("ts_ms", "event_id", "event_type")
+                            F.struct("ts_ms", "eid", "event_type")
                         )
                     ),
                     lambda s: s["event_type"],
@@ -926,8 +949,11 @@ _SEQ_PATTERN = "view(>[a-z]+)*>click(>[a-z]+)*>purchase"
     "seq_sessions_matching_pattern",
     oracle=f"""
     WITH e AS (
-        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+               coalesce(event_id, -1) AS eid
         FROM events
+        -- null contract: no timeline position / no type -> no journey step
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     marked AS (
         SELECT *,
@@ -935,18 +961,20 @@ _SEQ_PATTERN = "view(>[a-z]+)*>click(>[a-z]+)*>purchase"
                          OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid, event_type)
     ),
     sess AS (
         SELECT *,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, eid, event_type
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS session_id
         FROM marked
     ),
     paths AS (
         SELECT user_id, session_id,
-               string_agg(event_type, '>' ORDER BY ts_ms, event_id) AS path
+               string_agg(event_type, '>' ORDER BY ts_ms, eid, event_type)
+                   AS path
         FROM sess GROUP BY 1, 2
     )
     SELECT user_id,
@@ -968,13 +996,17 @@ def seq_sessions_matching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
     engines run the same RE2-class regex on the same byte-identical
     strings.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.expr("ts div 1000000").alias("ts_ms"),
-        "event_id",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid"),
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid", "event_type")
     marked = ev.withColumn(
         "is_new",
         F.when(
@@ -993,7 +1025,7 @@ def seq_sessions_matching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+                    F.collect_list(F.struct("ts_ms", "eid", "event_type"))
                 ),
                 lambda s: s["event_type"],
             ),
@@ -1034,11 +1066,14 @@ _RFM_SEGMENT_CASE = """
     ),
     scored AS (
         SELECT custkey, frequency,
-               CAST(ntile(5) OVER (ORDER BY last_order_ms, custkey)
+               CAST(ntile(5) OVER (ORDER BY last_order_ms NULLS LAST,
+                                            custkey NULLS LAST)
                     AS BIGINT) AS r_score,
-               CAST(ntile(5) OVER (ORDER BY frequency, custkey)
+               CAST(ntile(5) OVER (ORDER BY frequency NULLS LAST,
+                                            custkey NULLS LAST)
                     AS BIGINT) AS f_score,
-               CAST(ntile(5) OVER (ORDER BY monetary, custkey)
+               CAST(ntile(5) OVER (ORDER BY monetary NULLS LAST,
+                                            custkey NULLS LAST)
                     AS BIGINT) AS m_score
         FROM per_cust
     )
@@ -1065,18 +1100,33 @@ def bi_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    # NULLS LAST pinned on every ntile ordering: a null metric (or the
+    # null-custkey group) otherwise lands at opposite ends of the two
+    # engines' sorts and shifts EVERY later customer's quintile edge
     scored = per_cust.select(
         "custkey",
         F.ntile(5)
-        .over(Window.orderBy("last_order_ms", "custkey"))
+        .over(
+            Window.orderBy(
+                F.asc_nulls_last("last_order_ms"), F.asc_nulls_last("custkey")
+            )
+        )
         .cast("bigint")
         .alias("r_score"),
         F.ntile(5)
-        .over(Window.orderBy("frequency", "custkey"))
+        .over(
+            Window.orderBy(
+                F.asc_nulls_last("frequency"), F.asc_nulls_last("custkey")
+            )
+        )
         .cast("bigint")
         .alias("f_score"),
         F.ntile(5)
-        .over(Window.orderBy("monetary", "custkey"))
+        .over(
+            Window.orderBy(
+                F.asc_nulls_last("monetary"), F.asc_nulls_last("custkey")
+            )
+        )
         .cast("bigint")
         .alias("m_score"),
     )

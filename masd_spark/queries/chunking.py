@@ -51,7 +51,9 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
-        FROM documents WHERE length(trim(text)) > 0
+        FROM documents
+        WHERE length(trim(text)) > 0
+          AND doc_id IS NOT NULL  -- chunk_dedup_stats' contract
     ),
     c AS (
         SELECT doc_id,

@@ -127,6 +127,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
         FROM documents
+        WHERE doc_id IS NOT NULL  -- span_duplication's contract
     ),
     spans AS (
         SELECT doc_id,

@@ -49,7 +49,9 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT doc_id, md5(text) || md5(reverse(text)) AS payload_hex
-        FROM documents WHERE doc_id % 3 = 2
+        FROM documents
+        WHERE doc_id % 3 = 2
+          AND text IS NOT NULL  -- no payload bytes -> no frames
     )
     SELECT doc_id,
            CAST(j AS BIGINT) AS frame_idx,

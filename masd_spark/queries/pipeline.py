@@ -569,6 +569,9 @@ _LB_BATCH_SIZE = 16
                CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
                     AS BIGINT) AS n_tokens
         FROM documents
+        -- a doc without an id or text cannot be batched (and Spark's
+        -- size(split(NULL)) is -1 where DuckDB's len is NULL)
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     bucketed AS (
         SELECT doc_id, n_tokens,
@@ -607,7 +610,9 @@ def pipeline_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent partitions at corpus scale); batch stats reuse the same
     partitioning.
     """.format(bs=_LB_BATCH_SIZE, gran=_LB_BUCKET_TOKENS)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     lens = docs.select(
         "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
     )

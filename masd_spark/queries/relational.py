@@ -426,8 +426,9 @@ def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_spend
     FROM orders
+    WHERE o_orderkey IS NOT NULL
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST,
-                 o_orderkey NULLS LAST)
+                 o_orderkey)
     """,
 )
 def window_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,13 +438,13 @@ def window_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null contract: a null o_orderdate still ranks (at the END of the
     customer's history — Spark defaults to NULLS FIRST ascending, DuckDB
     to NULLS LAST; both sides pin NULLS LAST explicitly) and its gap_days
-    is null. Nulls never tie with each other: the fixture guarantees at
-    most one null column per row, so (o_orderdate, o_orderkey) stays a
-    total order.
+    is null. A null o_orderkey, though, is excluded: the orderkey is the
+    ordering's unique tiebreaker, and two same-date rows that BOTH lack
+    it tie nondeterministically (observed in the null-fixture sweep).
     """
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
     w = Window.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
+        F.asc_nulls_last("o_orderdate"), F.col("o_orderkey")
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(

@@ -134,8 +134,11 @@ def sample_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
         SELECT doc_id, lang, alpha_ratio,
                percent_rank() OVER (PARTITION BY lang
-                                    ORDER BY alpha_ratio, doc_id) AS pct
+                                    ORDER BY alpha_ratio,
+                                             doc_id NULLS LAST) AS pct
         FROM q
+        -- a doc with no text has no quality score to rank
+        WHERE alpha_ratio IS NOT NULL
     )
     SELECT doc_id, lang, alpha_ratio, ROUND(pct, 6) AS quality_pct
     FROM r WHERE pct >= 0.2
@@ -152,8 +155,14 @@ def filter_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from masd_spark.operators.text import quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_features(docs).select("doc_id", "lang", "alpha_ratio")
-    w = Window.partitionBy("lang").orderBy("alpha_ratio", "doc_id")
+    q = (
+        quality_features(docs)
+        .select("doc_id", "lang", "alpha_ratio")
+        .filter(F.col("alpha_ratio").isNotNull())
+    )
+    w = Window.partitionBy("lang").orderBy(
+        "alpha_ratio", F.asc_nulls_last("doc_id")
+    )
     return (
         q.withColumn("quality_pct", F.percent_rank().over(w))
         .filter(F.col("quality_pct") >= 0.2)

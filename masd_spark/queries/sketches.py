@@ -101,8 +101,10 @@ _MG_K = 128
     oracle=f"""
     SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
     FROM events
+    WHERE user_id IS NOT NULL  -- heavy_keys' invalid-input contract
     GROUP BY user_id
-    HAVING count(*) * {_MG_K} > (SELECT count(*) FROM events)
+    HAVING count(*) * {_MG_K}
+           > (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
     """,
 )
 def sketch_mg_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -298,6 +298,7 @@ _DEBOUNCE_MS = 7_200_000
     WITH e AS (
         SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, value
         FROM events
+        WHERE ts IS NOT NULL  -- no timeline position -> cannot debounce
     ),
     marked AS (
         SELECT *,
@@ -305,7 +306,9 @@ _DEBOUNCE_MS = 7_200_000
                          OR ts_ms - lag(ts_ms) OVER w > {_DEBOUNCE_MS}
                     THEN 1 ELSE 0 END AS is_burst_head
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts_ms, event_id NULLS LAST,
+                              event_type NULLS LAST, value NULLS LAST)
     )
     SELECT event_id, user_id, event_type, ts_ms, value
     FROM marked WHERE is_burst_head = 1
@@ -324,14 +327,26 @@ def clean_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass on both engines, and the one that kills retry storms of
     any length.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("ts div 1000000").alias("ts_ms"),
-        "value",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "value",
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    # event_id is the unique tiebreaker, but on dirty data two same-ms
+    # rows can BOTH lack it — extend the order over every emitted column
+    # so any remaining ties are between interchangeable rows
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_ms",
+        F.asc_nulls_last("event_id"),
+        F.asc_nulls_last("event_type"),
+        F.asc_nulls_last("value"),
+    )
     return (
         ev.withColumn("_prev", F.lag("ts_ms").over(w))
         .filter(
@@ -352,7 +367,9 @@ _CUSUM_K = 2.0
         SELECT event_type, epoch_ms(ts) // 86400000 AS day,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                    / count(*) AS m
-        FROM events GROUP BY 1, 2
+        FROM events
+        WHERE ts IS NOT NULL  -- a null time belongs to no day
+        GROUP BY 1, 2
     ),
     stats AS (
         SELECT event_type,
@@ -386,10 +403,14 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds doubles in day order on both engines (window order is total),
     so the surface rounds portably.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("(ts div 1000000) div 86400000").alias("day"),
-        "value",
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(ts div 1000000) div 86400000").alias("day"),
+            "value",
+        )
     )
     daily = ev.groupBy("event_type", "day").agg(
         (
