@@ -317,8 +317,16 @@ def pca_top_component(
     import numpy as np
 
     # invalid-input contract (no id column here): null vectors carry no
-    # Gram contribution and would crash np.asarray — excluded
-    df = df.filter(F.col(vec_col).isNotNull())
+    # Gram contribution and would crash np.asarray; a non-finite element
+    # would poison the whole Gram partial — both excluded (the id-keyed
+    # paths get the same rule from valid_vectors)
+    df = df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
     iu = np.triu_indices(dim)
     width = 1 + dim + iu[0].size  # n, s, upper-tri(P)
 

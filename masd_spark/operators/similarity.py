@@ -40,15 +40,25 @@ from masd_spark.functions.vectors import (
 
 def valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Invalid-input contract for the embedding family: a row with a null
-    id or a null vector cannot be indexed, bucketed, sampled, or returned
-    as a neighbor — it is EXCLUDED up front on every path (corpus, query,
-    and index-build sample alike). A no-op scan filter on clean data; on
-    dirty data it (a) keeps the md5-ordered portable samples identical
-    across engines (null ids hash to NULL and the engines disagree on
-    NULL sort order), and (b) keeps null vectors out of driver-side
-    ``float()`` literal builds. The oracle twin is
-    queries/__init__.py:valid_embeddings."""
-    return df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    id, a null vector, or a vector carrying ANY non-finite element
+    (NaN/Inf from upstream feature-extraction overflow) cannot be
+    indexed, bucketed, sampled, or returned as a neighbor — it is
+    EXCLUDED up front on every path (corpus, query, and index-build
+    sample alike). A no-op scan filter on clean data; on dirty data it
+    (a) keeps the md5-ordered portable samples identical across engines
+    (null ids hash to NULL and the engines disagree on NULL sort order),
+    (b) keeps null vectors out of driver-side ``float()`` literal
+    builds, and (c) keeps NaN/Inf out of distances, quantizers, Gram
+    sums, and centroid means, where one poisoned element otherwise
+    aborts ANSI integer casts or propagates NaN into every aggregate it
+    touches. The oracle twin is queries/__init__.py:valid_embeddings."""
+    finite = ~F.exists(
+        F.col(vec_col),
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & finite
+    )
 
 
 def brute_force_topk(
@@ -1064,6 +1074,7 @@ def ivf_exact_refined_topk(
     """
     from masd_spark.operators.clustering import kmeans_exact_longform
 
+    corpus = valid_vectors(corpus, id_col, vec_col)
     cents = kmeans_exact_longform(
         corpus, dim, k=n_centroids, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col, seed=seed, scale=scale, return_centroids=True,

@@ -69,14 +69,17 @@ def register(
 
 
 # The embedding family's invalid-input contract, SQL side: a row with a
-# null id or null vector is excluded from index builds, scans, and joins
-# (the operators filter identically — see operators/similarity.py:
-# valid_vectors). A no-op on clean fixtures; on dirty data it keeps both
-# engines' samples/buckets/ranks aligned (and DuckDB's list_* functions
-# raise on NULL inputs rather than propagating them).
+# null id, a null vector, or a vector carrying any non-finite element is
+# excluded from index builds, scans, and joins (the operators filter
+# identically — see operators/similarity.py:valid_vectors). A no-op on
+# clean fixtures; on dirty data it keeps both engines' samples/buckets/
+# ranks aligned (DuckDB's list_* functions raise on NULL inputs rather
+# than propagating them, and a single NaN/Inf element otherwise aborts
+# integer quantizer casts or poisons every distance it touches).
 _EMB_VALID = (
     "(SELECT * FROM embeddings"
-    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
 )
 
 
@@ -87,6 +90,37 @@ def valid_embeddings(sql: str) -> str:
     import re
 
     return re.sub(r"\bembeddings\b", _EMB_VALID, sql)
+
+
+# The measurement-value contract, both sides: queries that AGGREGATE
+# events.value (stats, rolling windows, histograms, winsorization) treat a
+# non-finite reading (NaN/Inf from a sensor glitch) as invalid input and
+# exclude the ROW — one poisoned value otherwise aborts both engines'
+# DECIMAL casts (the parity recipe's exact sums) or propagates NaN into
+# every aggregate it touches. NULL values keep their existing semantics
+# (counted by count(*), skipped by sums) — only non-finite is new here.
+# Queries that don't aggregate value (sessionize, joins on time) don't
+# need it. Spark twin: finite_values().
+_EV_FINITE = "(SELECT * FROM events WHERE value IS NULL OR isfinite(value))"
+
+
+def finite_events(sql: str) -> str:
+    """Rewrite every ``events`` table reference in an oracle to the
+    finite-value subselect (token-level)."""
+    import re
+
+    return re.sub(r"\bevents\b", _EV_FINITE, sql)
+
+
+def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
+    """Spark side of the measurement-value contract: keep rows whose
+    ``col`` is NULL or finite; drop NaN/±Inf rows."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col)
+    return df.filter(
+        c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+    )
 
 
 # Pinned first in every round's window: entry()'s flagship must always be

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from masd_spark.queries import register
+from masd_spark.queries import finite_events, finite_values, register
 from masd_spark.sources.tables import load_table, register_views
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -433,7 +433,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "histogram_event_values",
-    oracle="""
+    oracle=finite_events("""
     SELECT event_type,
            CAST(CASE WHEN value < 0.0 THEN 0
                      WHEN value >= 400.0 THEN 11
@@ -443,7 +443,7 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS lo,
            max(value) AS hi
     FROM events GROUP BY 1, 2
-    """,
+    """),
 )
 def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram per event type: width_bucket over [0, 400) in
@@ -454,7 +454,7 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB lacks it); bin width 40 is float-exact so the bucket math
     cannot straddle engines.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     return (
         ev.groupBy(
             "event_type",
@@ -472,7 +472,7 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_mad_robust",
-    oracle="""
+    oracle=finite_events("""
     WITH med AS (
         SELECT event_type, median(value) AS med FROM events GROUP BY 1
     ),
@@ -484,7 +484,7 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(min(med), 6) AS median_value,
            ROUND(median(ad), 6) AS mad
     FROM d GROUP BY 1
-    """,
+    """),
 )
 def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per event type — the outlier-robust
@@ -494,7 +494,7 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-aggs + one broadcastable join of per-group medians back onto
     the fact rows. Exact interpolated medians on both engines.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev = finite_values(load_table(spark, sf_dir, "events")).select("event_type", "value")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     d = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
@@ -607,7 +607,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "clean_winsorize_values",
-    oracle="""
+    oracle=finite_events("""
     WITH pct AS (
         SELECT event_type,
                quantile_cont(value, 0.05) AS p05,
@@ -619,7 +619,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS value_winsorized,
            (e.value < p.p05 OR e.value > p.p95) AS was_clipped
     FROM events e JOIN pct p USING (event_type)
-    """,
+    """),
 )
 def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization: clip each event's value into its type's exact
@@ -630,7 +630,7 @@ def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen over the full table; the fact table is never shuffled. Both
     engines interpolate percentiles linearly; clipped values round to 6.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = finite_values(load_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
     pct = ev.groupBy("event_type").agg(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from masd_spark.queries import register
+from masd_spark.queries import finite_events, finite_values, register
 from masd_spark.sources.tables import load_table
 
 _DAY_MS = 86_400_000
@@ -298,7 +298,7 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_daily_value_correlation",
-    oracle=f"""
+    oracle=finite_events(f"""
     WITH e AS (
         SELECT epoch_ms(ts) // {_DAY_MS} AS day, event_type,
                CAST(value AS DECIMAL(18,6)) AS vq
@@ -332,7 +332,7 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
                  6) AS pearson_r
     FROM s
-    """,
+    """),
 )
 def stat_daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between the daily mean values of two event
@@ -343,7 +343,7 @@ def stat_daily_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio over identical integer inputs, so both engines emit identical
     bits. Two aggs + a 30-row reduction; the fact table is touched once.
     """
-    e = load_table(spark, sf_dir, "events").filter(
+    e = finite_values(load_table(spark, sf_dir, "events")).filter(
         F.col("event_type").isin("click", "purchase")
     ).select(
         F.expr(f"(ts div 1000000) div {_DAY_MS}").alias("day"),
@@ -690,7 +690,7 @@ def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_welch_ttest",
-    oracle="""
+    oracle=finite_events("""
     WITH s AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -719,7 +719,7 @@ def seq_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (pow(var_a / n_a, 2) / (n_a - 1)
                     + pow(var_b / n_b, 2) / (n_b - 1)), 6) AS df_welch
     FROM w
-    """,
+    """),
 )
 def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test between click and purchase value
@@ -731,7 +731,7 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     established). One partial+final agg over the filtered scan; output
     is a single row at any scale.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = finite_values(load_table(spark, sf_dir, "events")).filter(
         F.col("event_type").isin("click", "purchase")
     )
     s = ev.groupBy("event_type").agg(
@@ -881,7 +881,7 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_theil_sen_trend",
-    oracle="""
+    oracle=finite_events("""
     WITH daily AS (
         SELECT event_type, epoch_ms(ts) // 86400000 AS day,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -898,7 +898,7 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(median(slope), 6) AS theil_sen_slope,
            CAST(count(*) AS BIGINT) AS n_pairs
     FROM slopes GROUP BY 1
-    """,
+    """),
 )
 def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend per event type: the median of all pairwise
@@ -910,7 +910,7 @@ def stat_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Slopes are ratios of identical decimal-derived doubles; the median
     interpolates identically in both engines.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = finite_values(load_table(spark, sf_dir, "events")).select(
         "event_type",
         F.expr("(ts div 1000000) div 86400000").alias("day"),
         "value",

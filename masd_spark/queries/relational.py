@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.relational import asof_join, sessionize, topk_per_group
-from masd_spark.queries import register
+from masd_spark.queries import finite_events, finite_values, register
 from masd_spark.sources.tables import load_table, with_event_time
 
 
@@ -654,7 +654,7 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_clicks_purchases",
-    oracle="""
+    oracle=finite_events("""
     WITH clicks AS (
         SELECT user_id, event_id, epoch_ms(ts) AS c_ms
         FROM events WHERE event_type = 'click'
@@ -669,7 +669,7 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM clicks c JOIN purchases p
       ON c.user_id = p.user_id AND abs(c.c_ms - p.p_ms) <= 1800000
     GROUP BY 1, 2
-    """,
+    """),
 )
 def range_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (operators/relational.py:range_join): purchases within
@@ -680,7 +680,7 @@ def range_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from masd_spark.operators.relational import range_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = finite_values(_t(spark, sf_dir, "events"))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", F.expr("ts div 1000000").alias("c_ms")
     )

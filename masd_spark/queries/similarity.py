@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from masd_spark.functions.quantize import qround6_sql
-from masd_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from masd_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    valid_vectors,
+)
 from masd_spark.queries import register, valid_embeddings
 from masd_spark.sources.tables import load_table
 
@@ -903,7 +908,9 @@ def emb_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proof. Long-form dim self-join keyed by vec_id: one shuffle of
     dim rows, partial-aggregable products.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vectors(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
     q = emb.select(
         "vec_id",
         F.posexplode(

@@ -6,9 +6,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from masd_spark.functions.quantize import qround6_sql
+from masd_spark.functions.quantize import qround6, qround6_sql
 from masd_spark.operators.timeseries import detect_gaps, resample_gap_fill
-from masd_spark.queries import register
+from masd_spark.queries import finite_events, finite_values, register
 from masd_spark.sources.tables import load_table
 
 _HOUR_MS = 3_600_000
@@ -160,7 +160,7 @@ def ts_interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_rolling_zscore",
-    oracle=f"""
+    oracle=finite_events(f"""
     WITH e AS (
         SELECT event_type, epoch_ms(ts) AS ts_ms, min(value) AS value
         FROM events GROUP BY 1, 2
@@ -188,7 +188,7 @@ def ts_interpolate_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      END
            END AS z
     FROM w
-    """,
+    """),
 )
 def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly score: each event's z-score against the
@@ -202,7 +202,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from masd_spark.operators.timeseries import rolling_zscore
 
     ev = (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .select("event_type", F.expr("ts div 1000000").alias("ts_ms"), "value")
         .groupBy("event_type", "ts_ms")
         .agg(F.min("value").alias("value"))
@@ -216,7 +216,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_ohlc_hourly_bars",
-    oracle=f"""
+    oracle=finite_events(f"""
     WITH e AS (
         SELECT event_type, epoch_ms(ts) AS ts_ms, event_id, value
         FROM events
@@ -241,7 +241,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / count(*), 6) AS mean_value
     FROM w GROUP BY 1, 2
-    """,
+    """),
 )
 def ts_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type: open/close are the first/last
@@ -256,7 +256,7 @@ def ts_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw double values cross engines bit-exactly, only the mean needs
     the decimal-sum parity recipe.
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = finite_values(load_table(spark, sf_dir, "events")).select(
         "event_type",
         F.expr("ts div 1000000").alias("ts_ms"),
         "event_id",
@@ -362,7 +362,7 @@ _CUSUM_K = 2.0
 
 @register(
     "ts_cusum_changepoints",
-    oracle=f"""
+    oracle=finite_events(f"""
     WITH daily AS (
         SELECT event_type, epoch_ms(ts) // 86400000 AS day,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
@@ -389,7 +389,7 @@ _CUSUM_K = 2.0
            ROUND(cusum, 6) + 0.0 AS cusum,
            abs(cusum) > {_CUSUM_K} * sigma AS is_changepoint
     FROM c
-    """,
+    """),
 )
 def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change detection on the daily-mean series per event type:
@@ -404,7 +404,7 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the surface rounds portably.
     """
     ev = (
-        load_table(spark, sf_dir, "events")
+        finite_values(load_table(spark, sf_dir, "events"))
         .filter(F.col("ts").isNotNull())
         .select(
             "event_type",
@@ -492,7 +492,7 @@ def ts_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_seasonal_residuals",
-    oracle="""
+    oracle=finite_events(f"""
     WITH e AS (
         SELECT event_type, hour(ts) AS hod, event_id,
                CAST(ROUND(value, 6) AS DECIMAL(20,9)) AS v
@@ -511,13 +511,13 @@ def ts_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id,
            e.event_type,
            e.hod,
-           ROUND(CAST(e.v AS DOUBLE) - s.mu, 6) AS residual,
+           {qround6_sql("CAST(e.v AS DOUBLE) - s.mu")} AS residual,
            CASE WHEN s.sigma > 0
                 AND abs(CAST(e.v AS DOUBLE) - s.mu) > 3.0 * s.sigma
                 THEN true ELSE false END AS is_anomaly
     FROM e JOIN season s
       ON e.event_type = s.event_type AND e.hod = s.hod
-    """,
+    """),
 )
 def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomaly scoring: the (event_type, hour-of-day)
@@ -530,7 +530,7 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the profile is |types| x 24 rows built by one partial-agg
     pass and broadcast back — the fact table shuffles zero times.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = finite_values(load_table(spark, sf_dir, "events"))
     e = ev.select(
         "event_id",
         "event_type",
@@ -562,7 +562,7 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "hod",
-        F.round(res, 6).alias("residual"),
+        qround6(res).alias("residual"),
         F.when((F.col("sigma") > 0) & (F.abs(res) > 3.0 * F.col("sigma")), F.lit(True))
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
@@ -574,7 +574,7 @@ _ACF_LAGS = (1, 2, 3)
 
 @register(
     "ts_autocorrelation",
-    oracle=f"""
+    oracle=finite_events(f"""
     WITH e AS (
         SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS hr,
                CAST(value AS DECIMAL(18,6)) AS vq
@@ -609,7 +609,7 @@ _ACF_LAGS = (1, 2, 3)
                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
                  6) AS acf
     FROM s
-    """,
+    """),
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-k autocorrelation (k=1..3) of each event type's HOURLY mean
@@ -626,7 +626,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     |hours| rows); the lag self-join and the Pearson reduction run on
     the tiny hourly aggregate, never on raw events.
     """
-    e = load_table(spark, sf_dir, "events").select(
+    e = finite_values(load_table(spark, sf_dir, "events")).select(
         "event_type",
         F.expr(f"(ts div 1000000) div {_HOUR_MS}").alias("hr"),
         F.col("value").cast("decimal(18,6)").alias("vq"),
