@@ -324,7 +324,9 @@ def pca_top_component(
         F.col(vec_col).isNotNull()
         & ~F.exists(
             F.col(vec_col),
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            # null-explicit, matching valid_vectors: a NULL element must be
+            # named invalid, not dropped via three-valued-logic accident
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
         )
     )
     iu = np.triu_indices(dim)

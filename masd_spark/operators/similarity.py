@@ -51,10 +51,18 @@ def valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     builds, and (c) keeps NaN/Inf out of distances, quantizers, Gram
     sums, and centroid means, where one poisoned element otherwise
     aborts ANSI integer casts or propagates NaN into every aggregate it
-    touches. The oracle twin is queries/__init__.py:valid_embeddings."""
+    touches. The oracle twin is queries/__init__.py:valid_embeddings.
+
+    The element predicate is null-explicit (``x.isNull() | isnan | inf``):
+    without the isNull arm, Spark's three-valued logic makes ``~exists``
+    evaluate to NULL for a vector holding a NULL element (row dropped,
+    but by NULL-propagation accident), while DuckDB's lambda treats the
+    NULL predicate as false (row kept) — the engines would diverge on
+    exactly that dirty shape. Both sides now name the case: a NULL
+    element is invalid input, same as NaN/Inf."""
     finite = ~F.exists(
         F.col(vec_col),
-        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
     return df.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & finite
@@ -337,24 +345,60 @@ def ivf_topk(
     """
     corpus = valid_vectors(corpus, id_col, vec_col)
     queries = valid_vectors(queries, query_id_col, vec_col)
-    if centroids is not None:
-        cent_vecs = [[float(x) for x in v] for v in centroids]
-    else:
-        cent_rows = (
-            corpus.select(F.col(id_col), F.col(vec_col))
-            .withColumn(
-                "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
-            )
-            .orderBy("_h", id_col)
-            .limit(n_centroids)
-            .collect()
-        )
-        cent_vecs = [[float(x) for x in r[vec_col]] for r in cent_rows]
+    cent_vecs = _ivf_centroid_vecs(corpus, n_centroids, seed, id_col, vec_col, centroids)
     if not cent_vecs:
         return _empty_topk(corpus, queries, id_col, query_id_col)
-    cents: list[tuple[int, list[float], float]] = []
-    for i, v in enumerate(cent_vecs):
-        cents.append((i, v, math.sqrt(sum(x * x for x in v)) or 1.0))
+    cents = _ivf_cents(cent_vecs)
+    assigned = _ivf_assign(corpus, cents, dim, id_col, vec_col)
+    return _ivf_probe(
+        assigned, queries, cents, dim, k, n_probe, id_col, vec_col, query_id_col
+    )
+
+
+def _ivf_centroid_vecs(
+    corpus: DataFrame,
+    n_centroids: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None,
+) -> list[list[float]]:
+    """Centroid vectors: caller-provided (Lloyd-refined) or the portable
+    md5-sample pick — the ``n_centroids`` smallest ``md5(seed || id)``,
+    RNG-free and reproducible in any engine (the DuckDB oracle replays
+    it). Only these few vectors ever reach the driver."""
+    if centroids is not None:
+        return [[float(x) for x in v] for v in centroids]
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
+        .orderBy("_h", id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in cent_rows]
+
+
+def _ivf_cents(cent_vecs: list[list[float]]) -> list[tuple[int, list[float], float]]:
+    return [
+        (i, v, math.sqrt(sum(x * x for x in v)) or 1.0)
+        for i, v in enumerate(cent_vecs)
+    ]
+
+
+def _ivf_assign(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cell assignment: map-side argmax over literal centroid expressions
+    (``greatest`` on (cos, cid) structs — struct ordering is
+    lexicographic, so ties break to the higher cid deterministically).
+    Emits (id, vec, _n, _cid); no shuffle."""
 
     def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
         # HOF dot against a literal centroid (compact expression; see
@@ -368,10 +412,28 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_n")
     )
-    assigned = c.withColumn(
+    return c.withColumn(
         "_cid",
         F.greatest(*[_cos_struct(cid, v, nn, F.col("_n")) for cid, v, nn in cents])["cid"],
     )
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    dim: int,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Query-side probe over an assigned (id, vec, _n, _cid) corpus —
+    inline (ivf_topk) or read back from the persisted bucketed index
+    (ivf_persisted_topk); the plan is identical either way: probe set and
+    query vectors broadcast, candidate join EQUI on the cell id, exact
+    cosine re-rank, per-query top-k window."""
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),

@@ -69,7 +69,8 @@ def register(
 
 
 # The embedding family's invalid-input contract, SQL side: a row with a
-# null id, a null vector, or a vector carrying any non-finite element is
+# null id, a null vector, or a vector carrying any NULL or non-finite
+# element is
 # excluded from index builds, scans, and joins (the operators filter
 # identically — see operators/similarity.py:valid_vectors). A no-op on
 # clean fixtures; on dirty data it keeps both engines' samples/buckets/
@@ -79,7 +80,7 @@ def register(
 _EMB_VALID = (
     "(SELECT * FROM embeddings"
     " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)"
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)"
 )
 
 

@@ -784,7 +784,7 @@ _PATH_TOPK = 20
     oracle=f"""
     WITH e AS (
         SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
-               coalesce(event_id, -1) AS eid
+               event_id AS eid
         FROM events
         -- null contract: no timeline position / no type -> no journey step
         WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -795,19 +795,19 @@ _PATH_TOPK = 20
                          OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid, event_type)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid NULLS FIRST, event_type)
     ),
     sess AS (
         SELECT *,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts_ms, eid, event_type
+                                 ORDER BY ts_ms, eid NULLS FIRST, event_type
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS session_id
         FROM marked
     ),
     paths AS (
         SELECT user_id, session_id,
-               string_agg(event_type, '>' ORDER BY ts_ms, eid, event_type)
+               string_agg(event_type, '>' ORDER BY ts_ms, eid NULLS FIRST, event_type)
                    AS path
         FROM sess GROUP BY 1, 2
     )
@@ -835,10 +835,12 @@ def seq_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             F.expr("ts div 1000000").alias("ts_ms"),
-            F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid"),
+            F.col("event_id").alias("eid"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_ms", F.asc_nulls_first("eid"), "event_type"
+    )
     marked = ev.withColumn(
         "is_new",
         F.when(
@@ -950,7 +952,7 @@ _SEQ_PATTERN = "view(>[a-z]+)*>click(>[a-z]+)*>purchase"
     oracle=f"""
     WITH e AS (
         SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
-               coalesce(event_id, -1) AS eid
+               event_id AS eid
         FROM events
         -- null contract: no timeline position / no type -> no journey step
         WHERE ts IS NOT NULL AND event_type IS NOT NULL
@@ -961,19 +963,19 @@ _SEQ_PATTERN = "view(>[a-z]+)*>click(>[a-z]+)*>purchase"
                          OR ts_ms - lag(ts_ms) OVER w > {_PATH_GAP_MS}
                     THEN 1 ELSE 0 END AS is_new
         FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid, event_type)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, eid NULLS FIRST, event_type)
     ),
     sess AS (
         SELECT *,
                sum(is_new) OVER (PARTITION BY user_id
-                                 ORDER BY ts_ms, eid, event_type
+                                 ORDER BY ts_ms, eid NULLS FIRST, event_type
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW) AS session_id
         FROM marked
     ),
     paths AS (
         SELECT user_id, session_id,
-               string_agg(event_type, '>' ORDER BY ts_ms, eid, event_type)
+               string_agg(event_type, '>' ORDER BY ts_ms, eid NULLS FIRST, event_type)
                    AS path
         FROM sess GROUP BY 1, 2
     )
@@ -1003,10 +1005,12 @@ def seq_sessions_matching_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
             "user_id",
             "event_type",
             F.expr("ts div 1000000").alias("ts_ms"),
-            F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid"),
+            F.col("event_id").alias("eid"),
         )
     )
-    w = Window.partitionBy("user_id").orderBy("ts_ms", "eid", "event_type")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts_ms", F.asc_nulls_first("eid"), "event_type"
+    )
     marked = ev.withColumn(
         "is_new",
         F.when(

@@ -67,6 +67,10 @@ def _run_with_regime(spark, spec, sf_dir, col: int):
     from masd_spark import session as masd_session
 
     saved = dict(masd_session.RUNTIME_CONFS)
+    # capture live session values too: regime confs absent from
+    # RUNTIME_CONFS (maxPartitionBytes, openCostInBytes) must be UNSET on
+    # exit, not left at regime-B values for the rest of the session
+    saved_live = {conf: spark.conf.get(conf, None) for conf, _, _ in REGIMES}
     try:
         for conf, a, b in REGIMES:
             value = (a, b)[col - 1]
@@ -79,9 +83,12 @@ def _run_with_regime(spark, spec, sf_dir, col: int):
     finally:
         masd_session.RUNTIME_CONFS.clear()
         masd_session.RUNTIME_CONFS.update(saved)
-        for conf in list(REGIMES):
-            if conf[0] in saved:
-                spark.conf.set(conf[0], saved[conf[0]])
+        for conf, _, _ in REGIMES:
+            prior = saved_live[conf]
+            if prior is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prior)
 
 
 def main() -> int:

@@ -11,7 +11,9 @@ an analytics engine must define semantics for.
 Injection is stride-keyed on the row index so reruns and both engines
 see the identical fixture: row i of events gets value=NaN when i%37==0,
 +Inf when i%41==1, -Inf when i%43==2; embedding vectors poison ONE
-element (index i % dim) with the same cycle at i%29==0.
+element (index i % dim) with the cycle NaN/+Inf/-Inf/NULL at i%29==0 —
+the NULL arm exercises the three-valued-logic divergence the element
+predicates must name explicitly (valid_vectors / _EMB_VALID).
 
 Usage:
     python scripts/make_nonfinite_fixture.py [src_sf_dir] [dst_dir]
@@ -67,7 +69,7 @@ def poison_embeddings(tab: pa.Table) -> pa.Table:
         if vec and i % 29 == 0:
             vec = list(vec)
             j = i % len(vec)
-            vec[j] = (math.nan, math.inf, -math.inf)[(i // 29) % 3]
+            vec[j] = (math.nan, math.inf, -math.inf, None)[(i // 29) % 4]
         out.append(vec)
     idx = tab.column_names.index("embedding")
     field = tab.schema.field("embedding")
@@ -86,7 +88,7 @@ def main() -> int:
             print(f"{t}: value column poisoned (NaN/+Inf/-Inf strides)")
         elif t == "embeddings":
             pq.write_table(poison_embeddings(pq.read_table(src_path)), dst_path)
-            print(f"{t}: ~3% of vectors carry one non-finite element")
+            print(f"{t}: ~3% of vectors carry one non-finite or NULL element")
         else:
             shutil.copyfile(src_path, dst_path)
             print(f"{t}: copied unchanged")

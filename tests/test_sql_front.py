@@ -65,6 +65,45 @@ def test_recursive_chain_lengths_match_key_width(spark):
     assert max(r["max_chain"] for r in rows.values()) == expected_max
 
 
+def test_recursive_cte_row_limit_raised(spark):
+    """Scale-ceiling regression: Spark 4.1 aborts a recursive CTE once its
+    cumulative output crosses ``spark.sql.cteRecursionRowLimit`` (default
+    1,000,000) — the hierarchy walk's O(n * depth) rows cross that around
+    SF1. The query must (a) raise the ceiling itself even in a plain
+    session, and (b) actually survive a walk that exceeds the default —
+    proven here with a 300k-key 7-digit walk (~2.4M rows) that ABORTS
+    under the default limit and completes under the raised one."""
+    walk_sql = """
+        WITH RECURSIVE walk AS (
+            SELECT id AS node, 0 AS depth FROM range(1000000, 1300000)
+            UNION ALL
+            SELECT node DIV 10 AS node, depth + 1 AS depth
+            FROM walk WHERE node >= 10
+        )
+        SELECT count(*) FROM walk
+    """
+    saved = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    try:
+        # under the 4.1 default the same walk must abort — this is the
+        # failure the raised conf exists to prevent
+        spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000")
+        with pytest.raises(Exception, match="(?i)recursion.*limit|limit.*recursion"):
+            spark.sql(walk_sql).collect()
+
+        # running the registered query restores the raised ceiling as a
+        # side effect (self-sufficient in the driver's plain session)...
+        REGISTRY["hierarchy_rollup_recursive"].fn(spark, SF_SMOKE).collect()
+        assert spark.conf.get("spark.sql.cteRecursionRowLimit") == "100000000"
+        # ...after which the >1M-row walk completes
+        n = spark.sql(walk_sql).collect()[0][0]
+        assert n > 1_000_000, n
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", saved)
+
+
 def test_ordered_set_profile_mode_margin(spark):
     """mode(least(l_linenumber, 5)) must be 5 in every group, and the
     winning bucket must lead the runner-up by >= 2x — the decisiveness
