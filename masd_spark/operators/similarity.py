@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from masd_spark.operators.skew import drop_overfull_buckets
@@ -472,6 +472,138 @@ def _ivf_probe(
         .select(
             query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank")
         )
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table_name: str,
+    dim: int,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    centroids: list[list[float]] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist an IVF index as TWO tables — the 100 TB shape, where the
+    index is built once (and maintained incrementally) instead of being
+    recomputed inside every query:
+
+    - ``<table_name>``: the corpus as (id, vec, _n norm, _cid cell),
+      written BUCKETED on ``_cid`` (operators/bucketing.py rationale) so
+      later probe joins read cells co-located and an eventual cell-keyed
+      fact-fact join (index |x| index, index |x| assignments) needs no
+      exchange on the index side;
+    - ``<table_name>_centroids``: the O(n_centroids) metadata rows
+      (cid, cvec) that make the index self-describing — a prober loads
+      literals from here, and incremental appends reuse them so every
+      row ever written agrees on the cell geometry.
+
+    Assignment is the same map-side argmax as ``ivf_topk`` (shared
+    ``_ivf_assign``), so a probe over the persisted table is value-
+    identical to the inline index and the same DuckDB oracle replays it.
+    Pass ``path`` to write an EXTERNAL table (keeps scratch out of the
+    default warehouse dir); pass Lloyd-refined ``centroids`` for the
+    production build. An empty corpus persists an empty-but-schema-
+    correct index (zero centroid rows) — a data gap must not abort the
+    maintenance job."""
+    spark = corpus.sparkSession
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    cent_vecs = _ivf_centroid_vecs(corpus, n_centroids, seed, id_col, vec_col, centroids)
+    cents = _ivf_cents(cent_vecs)
+    if cents:
+        assigned = _ivf_assign(corpus, cents, dim, id_col, vec_col)
+    else:
+        assigned = corpus.limit(0).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("double").alias("_n"),
+            F.lit(None).cast("int").alias("_cid"),
+        )
+    writer = assigned.write.mode("overwrite").bucketBy(n_buckets, "_cid")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v, _ in cents],
+        schema="cid INT, cvec ARRAY<DOUBLE>",
+    )
+    cw = cent_df.write.mode("overwrite")
+    if path is not None:
+        cw = cw.option("path", path + "_centroids")
+    cw.saveAsTable(table_name + "_centroids")
+
+
+def load_ivf_centroids(
+    spark: SparkSession, table_name: str
+) -> list[tuple[int, list[float], float]]:
+    """Centroid literals back from the index's metadata table — an
+    O(n_centroids) bounded collect (16 rows), never corpus data."""
+    rows = spark.table(table_name + "_centroids").orderBy("cid").collect()
+    return [
+        (int(r["cid"]), [float(x) for x in r["cvec"]],
+         math.sqrt(sum(x * x for x in r["cvec"])) or 1.0)
+        for r in rows
+    ]
+
+
+def append_ivf_index(
+    new_rows: DataFrame,
+    table_name: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to cells with
+    the centroids already persisted in ``<table_name>_centroids`` and
+    append them bucket-aligned — the daily-ingest path at 100 TB, where
+    rebuilding the whole index per batch is a non-starter. Because the
+    stored geometry is reused, a probe over (build half + append half)
+    is bit-identical to a probe over a one-shot build with the same
+    centroids (pinned in tests). ``n_buckets`` must match the build
+    (Spark rejects a mismatched bucket spec on append)."""
+    spark = new_rows.sparkSession
+    cents = load_ivf_centroids(spark, table_name)
+    if not cents:
+        raise ValueError(
+            f"index {table_name} has no centroids — build it on a "
+            "non-empty corpus before appending"
+        )
+    assigned = _ivf_assign(
+        valid_vectors(new_rows, id_col, vec_col), cents, dim, id_col, vec_col
+    )
+    assigned.write.mode("append").bucketBy(n_buckets, "_cid").saveAsTable(table_name)
+
+
+def ivf_persisted_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    table_name: str,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k probe against a PERSISTED IVF index (build_ivf_index):
+    centroid literals load from the metadata table (bounded collect),
+    the probe set and query vectors broadcast, and the candidate join is
+    EQUI on the cell id against the bucketed corpus scan — zero shuffle
+    on the index side (the only shuffle in the whole plan is the final
+    per-query top-k window over candidates, plan-asserted in tests).
+    Value-identical to ``ivf_topk`` with the same centroids, so the same
+    oracle SQL checks both."""
+    cents = load_ivf_centroids(spark, table_name)
+    assigned = spark.table(table_name)
+    queries = valid_vectors(queries, query_id_col, vec_col)
+    if not cents:
+        return _empty_topk(assigned, queries, id_col, query_id_col)
+    return _ivf_probe(
+        assigned, queries, cents, dim, k, n_probe, id_col, vec_col, query_id_col
     )
 
 

@@ -33,6 +33,10 @@ REGISTRY = load_all()
 # empty fixture.
 FIXED_QUERIES = [
     "ann_ivf_topk",
+    # designed empty-safe from birth (round 6): an empty corpus persists
+    # an empty-but-schema-correct index, and the probe degrades to the
+    # schema-correct empty top-k
+    "ann_ivf_persisted_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_recall_report",

@@ -29,6 +29,109 @@ def test_ann_ivf_topk_parity(spark):
     compare_query(spark, REGISTRY["ann_ivf_topk"], SF_ORACLE)
 
 
+def test_ann_ivf_persisted_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_ivf_persisted_topk"], SF_ORACLE)
+
+
+def test_ivf_persisted_probe_plan_and_bucketing(spark):
+    """The persisted-index probe must be index-side shuffle-free: the
+    only shuffle exchange in the whole plan is the final per-query top-k
+    window (probe set and query vectors are broadcast; the candidate
+    join reads the bucketed corpus scan directly). The index table itself
+    must carry the bucket spec in the catalog — that is the write-time
+    contract that makes future cell-keyed joins exchange-free too."""
+    from masd_spark.plans.explain import count_exchanges, physical_plan
+
+    df = REGISTRY["ann_ivf_persisted_topk"].fn(spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    import hashlib
+
+    table = f"ann_ivf_index_{hashlib.md5(SF_ORACLE.encode()).hexdigest()[:8]}"
+    detail = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    assert detail.get("Num Buckets") == "16", detail
+    assert "_cid" in detail.get("Bucket Columns", ""), detail
+
+
+def test_ivf_incremental_append_matches_one_shot_build(spark, tmp_path):
+    """Incremental maintenance correctness: build the index on half the
+    corpus, append the other half with the STORED centroid geometry, and
+    the probe must be row-identical to an inline index over the full
+    corpus with the same centroids — appends must not perturb cells,
+    norms, or ranking."""
+    from masd_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_persisted_topk,
+        ivf_topk,
+        load_ivf_centroids,
+    )
+    from masd_spark.queries.similarity import (
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+        _IVF_SEED,
+        _queries_df,
+        EMBEDDING_DIM,
+    )
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    table = "ann_ivf_index_incr_test"
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            table,
+            dim=EMBEDDING_DIM,
+            n_centroids=_IVF_CENTROIDS,
+            seed=_IVF_SEED,
+            path=str(tmp_path / table),
+        )
+        append_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), table, dim=EMBEDDING_DIM
+        )
+        incr = ivf_persisted_topk(
+            spark, _queries_df(emb), table,
+            dim=EMBEDDING_DIM, k=10, n_probe=_IVF_PROBE,
+        )
+        cents = [v for _, v, _ in load_ivf_centroids(spark, table)]
+        oneshot = ivf_topk(
+            emb, _queries_df(emb),
+            dim=EMBEDDING_DIM, k=10,
+            n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+            seed=_IVF_SEED, centroids=cents,
+        )
+        a = sorted(map(tuple, incr.collect()))
+        b = sorted(map(tuple, oneshot.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+
+
+def test_ivf_append_to_empty_index_fails_fast(spark, tmp_path):
+    """An index built on an empty corpus has no centroid geometry —
+    appending to it must raise, not silently write unassignable rows."""
+    from masd_spark.operators.similarity import append_ivf_index, build_ivf_index
+    from masd_spark.queries.similarity import EMBEDDING_DIM
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    table = "ann_ivf_index_empty_test"
+    try:
+        build_ivf_index(
+            emb.limit(0), table, dim=EMBEDDING_DIM, path=str(tmp_path / table)
+        )
+        with pytest.raises(ValueError, match="no centroids"):
+            append_ivf_index(emb, table, dim=EMBEDDING_DIM)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+
+
 def test_bucketed_cosine_recall_and_precision(spark):
     """The bucketed near-dup must (a) return ONLY pairs the exact join
     returns, with identical scores (precision 1.0 — verification is exact),
