@@ -812,6 +812,164 @@ def incremental_minhash_pairs(
     )
 
 
+def build_minhash_index(
+    history: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    n_buckets: int = 32,
+    max_bucket: int | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist the history side of :func:`incremental_minhash_pairs` as
+    THREE tables — the production ingestion-loop shape, where the index
+    is an asset maintained across batches instead of being re-derived
+    from history text on every run:
+
+    - ``<table_name>``: the LSH band index (doc_id, band, band_hash),
+      BUCKETED on band_hash — the candidate equi-join key, so the
+      per-batch probe join reads matching buckets co-located;
+    - ``<table_name>_shingles``: (doc_id, shingle, set_size) BUCKETED on
+      doc_id — the verification side ("fetch candidate docs' shingle
+      sets") served from the index, never by rescanning history text;
+    - ``<table_name>_params``: one row (k, n_hashes, n_bands,
+      max_bucket) making the index self-describing — appends and probes
+      read the signing geometry from here, so every row ever written
+      agrees on it.
+
+    ``max_bucket`` applies the overfull-bucket skew policy ONCE at
+    (re)build time (boilerplate accumulating in history grows one bucket
+    without limit); probes then inherit the bound for free. Pass
+    ``path`` for an EXTERNAL table (scratch outside the warehouse dir)."""
+    spark = history.sparkSession
+    sh = shingle_rows(history, id_col, text_col, k)
+    bands = band_rows(
+        minhash_signatures(history, id_col, text_col, k, n_hashes, shingles=sh),
+        id_col, n_hashes, n_bands,
+    )
+    bands = drop_overfull_buckets(bands, ["band", "band_hash"], max_bucket)
+    w = bands.write.mode("overwrite").bucketBy(n_buckets, "band_hash")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+    ws = sh.write.mode("overwrite").bucketBy(n_buckets, id_col)
+    if path is not None:
+        ws = ws.option("path", path + "_shingles")
+    ws.saveAsTable(table_name + "_shingles")
+    params = spark.createDataFrame(
+        [(k, n_hashes, n_bands, max_bucket)],
+        schema="k INT, n_hashes INT, n_bands INT, max_bucket INT",
+    )
+    wp = params.write.mode("overwrite")
+    if path is not None:
+        wp = wp.option("path", path + "_params")
+    wp.saveAsTable(table_name + "_params")
+
+
+def load_minhash_params(spark, table_name: str) -> dict:
+    """Index geometry back from the params table — one bounded row."""
+    row = spark.table(table_name + "_params").collect()[0]
+    return {
+        "k": int(row["k"]),
+        "n_hashes": int(row["n_hashes"]),
+        "n_bands": int(row["n_bands"]),
+        "max_bucket": None if row["max_bucket"] is None else int(row["max_bucket"]),
+    }
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> None:
+    """Incremental index maintenance: shingle + sign NEW history docs
+    with the geometry persisted in ``<table_name>_params`` and append
+    bucket-aligned band/shingle rows — per-batch cost O(|batch|),
+    independent of history size. Reusing the stored (k, n_hashes,
+    n_bands) means a probe over (build + appends) is bit-identical to a
+    one-shot build over the union (pinned in tests). The build-time
+    ``max_bucket`` policy is NOT re-applied per append (a bucket can
+    temporarily exceed the cap between rebuilds — the documented
+    production trade); rebuild to re-cap."""
+    spark = new_docs.sparkSession
+    p = load_minhash_params(spark, table_name)
+    sh = shingle_rows(new_docs, id_col, text_col, p["k"])
+    bands = band_rows(
+        minhash_signatures(
+            new_docs, id_col, text_col, p["k"], p["n_hashes"], shingles=sh
+        ),
+        id_col, p["n_hashes"], p["n_bands"],
+    )
+    bands.write.mode("append").bucketBy(n_buckets, "band_hash").saveAsTable(table_name)
+    sh.write.mode("append").bucketBy(n_buckets, id_col).saveAsTable(
+        table_name + "_shingles"
+    )
+
+
+def minhash_persisted_pairs(
+    spark,
+    incoming: DataFrame,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-batch near-dup probe against a PERSISTED band index
+    (build_minhash_index): shingle + sign the incoming batch only, equi-
+    join its band rows against the bucketed index, verify candidates
+    with exact Jaccard over the persisted shingle table (semi-joined
+    down to candidate docs first). History text is never touched —
+    value-identical to :func:`incremental_minhash_pairs` over the same
+    corpus split (same signing geometry, loaded from the params table),
+    so the same oracle SQL checks both."""
+    p = load_minhash_params(spark, table_name)
+    sh_i = shingle_rows(incoming, id_col, text_col, p["k"])
+    bands_i = band_rows(
+        minhash_signatures(
+            incoming, id_col, text_col, p["k"], p["n_hashes"], shingles=sh_i
+        ),
+        id_col, p["n_hashes"], p["n_bands"],
+    ).select(F.col(id_col).alias("doc_new"), "band", "band_hash")
+    bands_h = spark.table(table_name).select(
+        F.col(id_col).alias("doc_hist"), "band", "band_hash"
+    )
+    candidates = (
+        bands_i.join(bands_h, ["band", "band_hash"])
+        .select("doc_new", "doc_hist")
+        .distinct()
+    )
+    sh_a = sh_i.select(
+        F.col(id_col).alias("doc_new"), "shingle", F.col("set_size").alias("size_a")
+    )
+    sh_b = spark.table(table_name + "_shingles").join(
+        candidates.select(F.col("doc_hist").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("doc_hist"), "shingle", F.col("set_size").alias("size_b")
+    )
+    pairs = candidates.join(sh_a, "doc_new").join(sh_b, ["doc_hist", "shingle"])
+    agg = pairs.groupBy("doc_new", "doc_hist").agg(
+        F.count("*").alias("n_inter"),
+        F.first("size_a").alias("size_a"),
+        F.first("size_b").alias("size_b"),
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        6,
+    )
+    return (
+        agg.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_hist", "jaccard")
+    )
+
+
 def shingle_rows_mapside(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -34,6 +34,7 @@ ORACLE_QUERIES = [
     "text_zipf_fit",
     "text_pii_report",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_persisted",
     "ml_linear_score_docs",
     "text_rrf_hybrid_search",
     "corpus_mixture_report",
@@ -123,6 +124,104 @@ def test_incremental_minhash_sides_are_disjoint(spark):
     for r in joined:
         assert r["src_new"] == "src0"
         assert r["source"] != "src0"
+
+
+def test_adaptive_max_df_scales_with_corpus(spark):
+    """SF1-probe regression (round 6): the stop-shingle cap must be
+    corpus-proportional — fixed at 50 it silently lost pairs at SF1,
+    where the saturated trigram space pushes max df past the cap while
+    the uncapped oracle still finds the pairs. Floor 50 at gate/bench
+    scale (committed evidence unchanged), 1% of n_docs above it."""
+    from masd_spark.queries.dedup import _DOC_COUNT_CACHE, _adaptive_max_df
+
+    assert _adaptive_max_df(spark, SF_ORACLE) == 50
+    key = (spark.sparkContext.applicationId, "/fake/sf1")
+    _DOC_COUNT_CACHE[key] = 50_000
+    try:
+        assert _adaptive_max_df(spark, "/fake/sf1") == 500
+    finally:
+        del _DOC_COUNT_CACHE[key]
+
+
+def test_minhash_persisted_equals_inline(spark):
+    """The persisted-index probe must be row-identical to the inline
+    incremental twin over the same corpus split — persistence must not
+    perturb signatures, bands, candidates, or verification."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.sources.tables import load_table
+
+    inline = sorted(
+        map(tuple, REGISTRY["dedup_incremental_minhash"].fn(spark, SF_ORACLE).collect())
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            REGISTRY["dedup_incremental_minhash_persisted"].fn(spark, SF_ORACLE).collect(),
+        )
+    )
+    assert inline == persisted and len(inline) > 0
+
+
+def test_minhash_index_append_matches_one_shot_build(spark, tmp_path):
+    """Incremental maintenance correctness: build the index on half the
+    history, append the other half with the STORED signing geometry, and
+    the probe must be row-identical to a one-shot build over the full
+    history."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        minhash_persisted_pairs,
+    )
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    history = docs.filter(F.col("source") != "src0")
+    incoming = docs.filter(F.col("source") == "src0")
+    t_incr, t_full = "mh_idx_incr_test", "mh_idx_full_test"
+    try:
+        build_minhash_index(
+            history.filter(F.col("doc_id") % 2 == 0), t_incr,
+            path=str(tmp_path / t_incr),
+        )
+        append_minhash_index(history.filter(F.col("doc_id") % 2 == 1), t_incr)
+        build_minhash_index(history, t_full, path=str(tmp_path / t_full))
+        a = sorted(map(tuple, minhash_persisted_pairs(spark, incoming, t_incr).collect()))
+        b = sorted(map(tuple, minhash_persisted_pairs(spark, incoming, t_full).collect()))
+        assert a == b and len(a) > 0
+    finally:
+        for t in (t_incr, t_full):
+            for suffix in ("", "_shingles", "_params"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_minhash_index_bucket_spec_in_catalog(spark, tmp_path):
+    """The band table must carry the band_hash bucket spec and the
+    shingle table the doc_id spec — the write-time contracts the probe
+    and verification joins rely on."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.dedup import build_minhash_index
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    t = "mh_idx_catalog_test"
+    try:
+        build_minhash_index(
+            docs.filter(F.col("source") != "src0"), t, path=str(tmp_path / t)
+        )
+        for name, col in [(t, "band_hash"), (t + "_shingles", "doc_id")]:
+            detail = {
+                r["col_name"]: r["data_type"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+            }
+            assert detail.get("Num Buckets") == "32", (name, detail)
+            assert col in detail.get("Bucket Columns", ""), (name, detail)
+    finally:
+        for suffix in ("", "_shingles", "_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
 
 
 def test_zipf_fit_semantics(spark):
