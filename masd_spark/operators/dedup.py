@@ -365,24 +365,40 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    n_bits: int = 32,
 ) -> DataFrame:
-    """All pairs of documents whose 32-bit SimHash fingerprints differ in
+    """All pairs of documents whose SimHash fingerprints differ in
     at most ``max_hamming`` bits — EXACT (not approximate), via pigeonhole
-    blocking: with ``n_bands`` byte-bands and max_hamming < n_bands, any
+    blocking: with ``n_bands`` bands and max_hamming < n_bands, any
     qualifying pair agrees exactly on >= 1 band, so banded equi-join
     candidates have recall 1.0 and the Hamming verification makes
     precision 1.0. Cost: one fingerprint aggregation (linear) + band
     equi-joins bounded by band-value occupancy — never all-pairs. The
     standard 100 TB near-dup screen when Jaccard-grade fidelity isn't
     needed.
+
+    ``n_bits`` is a CAPACITY parameter (round-6 SF1 finding): expected
+    band-bucket occupancy is ~n_docs / 2^(n_bits/n_bands), so 32 bits
+    (8-bit bands) saturates around 10k docs — the SF1 sweep watched the
+    'exact' join go quadratic on one hot band value. Size
+    n_bits/n_bands >= log2(n_docs) - ~4 and the join stays linear;
+    ``n_bits=60`` (operators/text.py:simhash_wide) covers ~1M docs.
+    Exactness (recall 1.0 within max_hamming) holds at ANY width — width
+    only buys candidate sparsity.
     """
     if not max_hamming < n_bands:
         raise ValueError(
             f"pigeonhole blocking needs max_hamming < n_bands, got "
             f"{max_hamming} >= {n_bands}"
         )
-    band_bits = 32 // n_bands
-    fp = simhash32(df, id_col, text_col)
+    band_bits = n_bits // n_bands
+    from masd_spark.operators.text import simhash_wide
+
+    fp = (
+        simhash32(df, id_col, text_col)
+        if n_bits == 32
+        else simhash_wide(df, id_col, text_col, n_bits=n_bits)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -171,6 +171,58 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 60,
+) -> DataFrame:
+    """Wide (default 60-bit) SimHash fingerprint — the SCALE sizing of
+    :func:`simhash32`.
+
+    Round-6 SF1 probe finding: fingerprint width is a CAPACITY parameter,
+    not a constant. The pigeonhole band join's per-bucket occupancy is
+    ~n_docs / 2^band_bits, so 32 bits (8-bit bands, 256 values) saturates
+    around 10k docs — at the 50k-doc SF1 fixture one hot band value held
+    thousands of fingerprints and the 'exact' candidate join went
+    quadratic. 60 bits (15-bit bands, 32768 values) holds expected
+    occupancy ~1.5 at 50k docs and stays sub-quadratic to ~1M docs; at
+    100 TB, size band_bits >= log2(n_docs / target_occupancy) and
+    partition by a band prefix.
+
+    Construction stays md5-portable (the DuckDB oracle replays it): bit
+    j < 32 is the TOP bit of hex digit j (same as simhash32 — the wide
+    fingerprint's low 32 bits equal the narrow fingerprint's); bit
+    32 <= j < 60 is the SECOND bit (value & 4) of hex digit j - 32.
+    60, not 64, so the fingerprint fits a signed BIGINT in both engines
+    (2^63 would overflow the sum-of-powers construction). Same plan
+    shape: one md5 per token, n_bits narrow sums in a single partial+
+    final aggregation, one shuffle keyed by doc."""
+    if not 0 < n_bits <= 60:
+        raise ValueError(f"n_bits must be in (0, 60], got {n_bits}")
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toked.withColumn("h", F.md5(F.col("tok")))
+    digit = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")  # noqa: E731
+
+    def bit_pred(j: int):
+        if j < 32:
+            return digit(j) >= 8
+        return (digit(j - 32) % 8) >= 4
+
+    bit_sums = [
+        F.sum(F.when(bit_pred(j), 1).otherwise(-1)).alias(f"_b{j}")
+        for j in range(n_bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
 def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Exact content fingerprint: md5 of whitespace-normalized lowercase
     text. The join key for exact dedup at any scale.

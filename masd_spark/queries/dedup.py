@@ -308,17 +308,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_pairs_oracle(max_hamming: int = 3, n_bands: int = 4) -> str:
-    from masd_spark.queries.text import _simhash_oracle
+def _simhash_pairs_oracle(
+    max_hamming: int = 3, n_bands: int = 4, n_bits: int = 32
+) -> str:
+    from masd_spark.queries.text import _simhash_oracle, _simhash_wide_oracle
 
-    band_bits = 32 // n_bands
+    fp_sql = _simhash_oracle() if n_bits == 32 else _simhash_wide_oracle(n_bits)
+    band_bits = n_bits // n_bands
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"(simhash // {2 ** (band_bits * b)}) % {2 ** band_bits} AS val FROM sim"
         for b in range(n_bands)
     )
     return f"""
-    WITH sim AS ({_simhash_oracle()}),
+    WITH sim AS ({fp_sql}),
     bands AS ({band_selects}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -346,6 +349,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_hamming=3, n_bands=4)
+
+
+@register("dedup_simhash_wide", oracle=_simhash_pairs_oracle(n_bits=60))
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the 60-BIT fingerprint (Hamming <= 3,
+    4 bands of 15 bits) — the registered SCALE sizing of
+    ``dedup_simhash``. Round-6 SF1 finding: the 32-bit variant's 8-bit
+    bands (256 values) saturate around 10k docs — at 50k docs one hot
+    band value held thousands of fingerprints and the 'exact' candidate
+    join went quadratic on a single reducer. 15-bit bands (32768 values)
+    hold expected occupancy ~1.5 at the same corpus; exactness (recall
+    1.0 within the Hamming radius) is width-independent — width only
+    buys candidate sparsity. Note the wide pair set is a SUBSET relation
+    by radius, not equality: more bits = finer resolution, so pairs at
+    Hamming <= 3 of 60 bits are also <= 3 of its low-32 projection, but
+    not conversely. (operators/dedup.py:simhash_pairs,
+    operators/text.py:simhash_wide)
+    """
+    from masd_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, n_bands=4, n_bits=60)
 
 
 @register(

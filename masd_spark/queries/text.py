@@ -229,6 +229,45 @@ def _simhash_oracle() -> str:
     """
 
 
+def _simhash_wide_oracle(n_bits: int = 60) -> str:
+    """DuckDB replay of operators/text.py:simhash_wide — bit j < 32 is
+    the top bit of hex digit j, bit 32 <= j is the second bit (value & 4)
+    of hex digit j - 32."""
+
+    def pred(j: int) -> str:
+        d = (
+            f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
+            if j < 32
+            else f"(strpos('0123456789abcdef', substr(h, {j - 31}, 1)) - 1)"
+        )
+        return f"{d} >= 8" if j < 32 else f"({d} % 8) >= 4"
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN {pred(j)} THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(n_bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+# NOTE: the 60-bit fingerprint (operators/text.py:simhash_wide) is
+# deliberately NOT a separate registered query — its construction is
+# value-checked end-to-end inside dedup_simhash_wide's oracle (the sim
+# CTE), and the registry is growth-frozen at <=210 while the driver
+# verification backlog drains (tests/test_rotation.py).
+
+
 @register("text_simhash", oracle=_simhash_oracle())
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (portable md5-hex-digit bit

@@ -7,7 +7,7 @@ bugs that only appear with more data — caps binding differently,
 overflow, skew-path behavior, window frames straddling more rows.
 
 Usage:
-    python scripts/parity_sweep.py [sf_dir] [--only substr] [--master url]
+    python scripts/parity_sweep.py [sf_dir] [--only a,b] [--skip a,b] [--master url]
 
 ``--master local-cluster[2,4,4096]`` runs the whole sweep under a real
 Master + two Worker JVMs (network shuffle, executor-side Python
@@ -34,7 +34,7 @@ for p in (str(REPO), str(REPO / "tests")):
 
 def main() -> int:
     argv = sys.argv[1:]
-    flags = {"--only": None, "--master": None}
+    flags = {"--only": None, "--skip": None, "--master": None}
     args = []
     i = 0
     while i < len(argv):
@@ -51,7 +51,7 @@ def main() -> int:
         else:
             args.append(a)
             i += 1
-    only, master = flags["--only"], flags["--master"]
+    only, skip, master = flags["--only"], flags["--skip"], flags["--master"]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from masd_spark.queries import load_all
@@ -86,8 +86,13 @@ def main() -> int:
     )
     reg = load_all()
     names = [n for n, s in reg.items() if s.oracle is not None]
+    # --only / --skip take comma-separated substrings (any-match)
     if only:
-        names = [n for n in names if only in n]
+        subs = [s for s in only.split(",") if s]
+        names = [n for n in names if any(s in n for s in subs)]
+    if skip:
+        subs = [s for s in skip.split(",") if s]
+        names = [n for n in names if not any(s in n for s in subs)]
 
     passed, failed = [], []
     for i, name in enumerate(names):

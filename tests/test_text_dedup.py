@@ -35,6 +35,7 @@ ORACLE_QUERIES = [
     "text_pii_report",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_persisted",
+    "dedup_simhash_wide",
     "ml_linear_score_docs",
     "text_rrf_hybrid_search",
     "corpus_mixture_report",
@@ -124,6 +125,44 @@ def test_incremental_minhash_sides_are_disjoint(spark):
     for r in joined:
         assert r["src_new"] == "src0"
         assert r["source"] != "src0"
+
+
+def test_simhash_wide_low32_equals_narrow(spark):
+    """The wide fingerprint's low 32 bits ARE the 32-bit fingerprint
+    (bit j < 32 uses the identical hex-digit predicate) — the widening is
+    a pure extension, so any narrow-fingerprint evidence carries over."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.text import simhash32, simhash_wide
+    from masd_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    wide = simhash_wide(docs).withColumnRenamed("simhash", "w")
+    narrow = simhash32(docs).withColumnRenamed("simhash", "n")
+    bad = (
+        wide.join(narrow, "doc_id")
+        .filter(F.col("w") % (2**32) != F.col("n"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_simhash_wide_pairs_subset_of_narrow(spark):
+    """More bits = finer resolution: a pair within Hamming <= 3 of the
+    60-bit fingerprints is within <= 3 of their low-32 projections (XOR
+    of a projection can only LOSE set bits), so the wide pair set must
+    be a subset of the narrow one — and strictly smaller here, which is
+    exactly the candidate sparsity the width buys."""
+    narrow = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_simhash"].fn(spark, SF_ORACLE).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_simhash_wide"].fn(spark, SF_ORACLE).collect()
+    }
+    assert wide <= narrow
+    assert len(wide) < len(narrow)
 
 
 def test_adaptive_max_df_scales_with_corpus(spark):
