@@ -118,8 +118,15 @@ def bloom_semi_join(
     # size-independent of dim row count, same driver footprint class as a
     # broadcast variable.
     words = bloom_build(dim, dim_key, n_bits, n_hashes).collect()[0][0]
+    # The cast is LOAD-BEARING (round-6 SF1 false-negative bug): when the
+    # filter saturates, every 64-bit word happens to fit int32 (a dense
+    # word is -1), PySpark's lit() then infers array<INT>, and the probe's
+    # shiftright(int, bit) masks the shift amount mod 32 (Java int-shift
+    # semantics) — silently testing the WRONG bit and dropping true keys.
+    # A sparse filter has large word values, infers array<bigint>, and
+    # hides the bug — it only fires once the dim outgrows the bitset.
     pre = (
-        fact.withColumn(_WORDS_COL, F.lit(words))
+        fact.withColumn(_WORDS_COL, F.lit(words).cast("array<bigint>"))
         .filter(bloom_might_contain(fact_key, n_bits, n_hashes))
         .drop(_WORDS_COL)
     )

@@ -107,7 +107,7 @@ def pivot_value_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -123,7 +123,7 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -260,7 +260,7 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_join",
     oracle="""
     SELECT s_name, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
     """,
@@ -610,8 +610,8 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=finite_events("""
     WITH pct AS (
         SELECT event_type,
-               quantile_cont(value, 0.05) AS p05,
-               quantile_cont(value, 0.95) AS p95
+               quantile_disc(value, 0.05) AS p05,
+               quantile_disc(value, 0.95) AS p95
         FROM events GROUP BY 1
     )
     SELECT e.event_id, e.event_type, e.value,
@@ -622,20 +622,28 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """),
 )
 def clean_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorization: clip each event's value into its type's exact
+    """Winsorization: clip each event's value into its type's empirical
     [p05, p95] band — outlier suppression before model features. The
-    per-type thresholds are a tiny aggregate (exact percentiles: one sort
-    per group, the honest ground-truth variant of the approx default)
+    per-type thresholds are a tiny aggregate (one sort per group)
     broadcast back onto the stream, so the clip itself is map-side
-    codegen over the full table; the fact table is never shuffled. Both
-    engines interpolate percentiles linearly; clipped values round to 6.
+    codegen over the full table; the fact table is never shuffled.
+
+    Thresholds are DISCRETE percentiles (actual data values), not
+    interpolated ones — a round-6 SF1 finding: the engines' linear
+    interpolation arithmetic differs in the last ulp, and once a
+    threshold lands within an ulp of a real data value the strict
+    `value < p05` clip flag FLIPS between engines (at SF1 the p05 of one
+    type hit a value exactly). An order statistic is selected, never
+    computed, so it is bit-identical on any engine at any scale — and
+    clipping to an observed value is the textbook definition of
+    winsorization anyway.
     """
     ev = finite_values(load_table(spark, sf_dir, "events")).select(
         "event_id", "event_type", "value"
     )
     pct = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.05)).alias("p05"),
-        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
     )
     return ev.join(F.broadcast(pct), "event_type").select(
         "event_id",

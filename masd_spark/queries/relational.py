@@ -7,7 +7,9 @@ everything here is built-in DataFrame/SQL, planned by Catalyst.
 
 Cross-engine parity conventions (see masd_spark/queries/__init__.py):
 - double SUMs go through DECIMAL(18,6) per-row casts -> exact, associative,
-  order-independent -> cast back to double (identical bits in both engines);
+  order-independent -> round(2) -> cast back to double (identical bits in
+  both engines; the scale-2 rounding keeps the decimal's unscaled value
+  below 2^53 so the final conversion is exact — see _dec_sum);
 - AVGs of doubles are rounded to 6 decimals (mean error is ~1e-10, so the
   rounding grid is 4+ orders of magnitude coarser than engine disagreement);
 - computed integers are BIGINT on both sides (DuckDB's length/year/
@@ -27,8 +29,26 @@ from masd_spark.sources.tables import load_table, with_event_time
 
 
 def _dec_sum(expr: Column) -> Column:
-    """Order-independent double sum via DECIMAL(18,6); see module doc."""
-    return F.sum(expr.cast("decimal(18,6)")).cast("double")
+    """Order-independent, engine-portable double sum: exact DECIMAL(18,6)
+    per-row casts -> exact sum -> round to money scale (2) -> double.
+
+    Round-6 SF1 finding on the old form (plain decimal->double cast):
+    once a group sum crosses ~9e9, the scale-6 decimal's unscaled value
+    exceeds 2^53 and DuckDB's two-step int128->double->/1e6 conversion
+    differs from Spark's correctly-rounded BigDecimal.doubleValue by one
+    ulp (q1's sum_charge at SF1: ...93967 vs ...939674). Rounding the
+    exact sum to scale 2 first keeps the unscaled value < 2^53 up to
+    ~9e13 (SF ~2000 for TPC-H money), where int->double is EXACT and the
+    single /100 is correctly rounded in both engines — verified
+    bit-identical across magnitudes/signs incl. .xx5 ties (round() is
+    half-away-from-zero in both; plain decimal CAST is not portable —
+    DuckDB truncates). Oracle twin:
+    CAST(CAST(round(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)."""
+    return (
+        F.round(F.sum(expr.cast("decimal(18,6)")), 2)
+        .cast("decimal(28,2)")
+        .cast("double")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,10 +65,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -93,7 +113,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS revenue,
            epoch_ms(o_orderdate) AS o_orderdate_ms
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -145,7 +165,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -356,7 +376,7 @@ def set_ops_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
            count(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -386,7 +406,7 @@ def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
            count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+           CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -665,7 +685,7 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_id, c.user_id,
            count(*) AS n_nearby,
-           CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(round(SUM(CAST(p.value AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
     FROM clicks c JOIN purchases p
       ON c.user_id = p.user_id AND abs(c.c_ms - p.p_ms) <= 1800000
     GROUP BY 1, 2

@@ -12,6 +12,12 @@ from masd_spark.queries import finite_events, finite_values, register
 from masd_spark.sources.tables import load_table
 
 _HOUR_MS = 3_600_000
+
+# Bar mean: exact decimal sum -> one double division -> IEEE-only
+# quantization. SF1 caught ROUND(double, 6) here: a replicated bar mean
+# landing exactly on 43.4728125 split the engines' round-tie rules (the
+# precise failure mode functions/quantize.py documents).
+_MEAN_Q = qround6_sql("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)")
 _GAP_MS = 6 * _HOUR_MS
 
 
@@ -238,8 +244,7 @@ def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS low,
            max(CASE WHEN rn_d = 1 THEN value END) AS close,
            CAST(count(*) AS BIGINT) AS n_events,
-           ROUND(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 6) AS mean_value
+           {_MEAN_Q} AS mean_value
     FROM w GROUP BY 1, 2
     """),
 )
@@ -281,10 +286,9 @@ def ts_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_events"),
-        F.round(
+        qround6(
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
+            / F.count("*")
         ).alias("mean_value"),
     )
 

@@ -24,7 +24,15 @@ from masd_spark.sources.tables import load_table
 
 
 def _dec_sum(expr: Column) -> Column:
-    return F.sum(expr.cast("decimal(18,6)")).cast("double")
+    """Engine-portable exact money sum; same chain and rationale as
+    queries/relational.py:_dec_sum (round to scale 2 before the double
+    cast so the conversion stays exact below unscaled 2^53 — the SF1
+    one-ulp divergence fix)."""
+    return (
+        F.round(F.sum(expr.cast("decimal(18,6)")), 2)
+        .cast("decimal(28,2)")
+        .cast("double")
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,13 +43,13 @@ def _ts(lit: str) -> Column:
     return F.lit(lit).cast("timestamp")
 
 
-_REVENUE = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+_REVENUE = "CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)"
 
 
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -190,11 +198,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
     SELECT ROUND(
-        100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        100.0 * CAST(CAST(round(SUM(CAST(CASE WHEN p_type = 'PROMO'
                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-                    AS DECIMAL(18,6))) AS DOUBLE)
-              / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct
+                    AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
+              / CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
@@ -237,7 +245,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, o_orderkey,
            epoch_ms(o_orderdate) AS o_orderdate_ms,
            o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey

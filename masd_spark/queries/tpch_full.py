@@ -35,7 +35,7 @@ from masd_spark.queries import register
 from masd_spark.queries.tpch_extra import _dec_sum, _t, _ts
 from masd_spark.sources.tables import load_table  # noqa: F401  (re-export habit)
 
-_REVENUE = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+_REVENUE = "CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)"
 
 
 def _nation_of_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
@@ -182,9 +182,9 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(o_year AS BIGINT) AS o_year,
            ROUND(
-             CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume
-                                ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
-           / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 6)
+             CAST(CAST(round(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                                ELSE 0 END AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
+           / CAST(CAST(round(SUM(CAST(volume AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE), 6)
                AS mkt_share
     FROM vol GROUP BY 1
     """,
@@ -238,9 +238,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           CAST(CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
                          - 0.5 * p_retailprice * l_quantity
-                    AS DECIMAL(18,6))) AS DOUBLE) AS profit
+                    AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -283,7 +283,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH supply AS (
         SELECT l_partkey AS partkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                    AS value
         FROM lineitem
         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
@@ -292,8 +292,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     )
     SELECT partkey, value FROM supply
-    WHERE value > (SELECT 0.001 * CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                                       AS DOUBLE)
+    WHERE value > (SELECT 0.001 * CAST(CAST(round(SUM(CAST(value AS DECIMAL(18,6)))
+                                      , 2) AS DECIMAL(28,2)) AS DOUBLE)
                    FROM supply)
     """,
 )
@@ -520,12 +520,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     avg_q AS (
         SELECT l_partkey AS partkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                    / count(*) AS avg_qty
         FROM li GROUP BY 1
     )
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
-                      AS DOUBLE) / 7.0, 6) AS avg_yearly
+    SELECT ROUND(CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                     , 2) AS DECIMAL(28,2)) AS DOUBLE) / 7.0, 6) AS avg_yearly
     FROM li JOIN avg_q ON partkey = l_partkey
     WHERE l_quantity < 0.2 * avg_qty
     """,
@@ -710,13 +710,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer WHERE c_nationkey IN (2, 5, 7, 11, 17)
     ),
     cutoff AS (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        SELECT CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                / count(*) AS avg_bal
         FROM pool WHERE c_acctbal > 0.0
     )
     SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
            count(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                AS totacctbal
     FROM pool
     WHERE c_acctbal > (SELECT avg_bal FROM cutoff)

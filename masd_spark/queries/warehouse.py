@@ -183,7 +183,7 @@ def fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_semi_join_lineitem",
     oracle="""
     SELECT l_returnflag, count(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
@@ -228,7 +228,7 @@ def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "layout_range_pruned_scan",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                AS sum_price
     FROM orders
     WHERE o_totalprice BETWEEN 50000 AND 100000
@@ -269,7 +269,7 @@ def layout_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "layout_zorder_pruned_scan",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(28,2)) AS DOUBLE)
                AS sum_price
     FROM orders
     WHERE o_custkey BETWEEN 100 AND 300

@@ -184,6 +184,30 @@ def test_bloom_no_false_negatives_and_selective(spark):
     assert fp <= 0.02 * 9000, fp
 
 
+def test_bloom_saturated_filter_keeps_all_members(spark):
+    """Round-6 SF1 regression: a SATURATED filter (dim outgrew the
+    bitset; dense words like -1 all fit int32) made PySpark's lit()
+    infer array<int>, and shiftright(int, bit) masks the shift mod 32 —
+    probing the wrong bit and dropping TRUE keys (26 urgent orders at
+    SF1). The semi-join contract is exactness at ANY load factor:
+    saturation may cost selectivity, never rows."""
+    from pyspark.sql import functions as F
+
+    from masd_spark.operators.bloom import bloom_build, bloom_semi_join
+
+    # 4096 bits, 3 hashes, 20k keys -> load factor ~15: every word dense
+    members = spark.range(0, 20000).withColumnRenamed("id", "key")
+    words = bloom_build(members, "key", 1 << 12, 3).collect()[0][0]
+    assert all(-(2**31) <= w < 2**31 for w in words), (
+        "fixture drift: saturation no longer produces int32-range words, "
+        "so this test would no longer reproduce the lit() inference trap"
+    )
+    fact = spark.range(0, 40000).withColumnRenamed("id", "fkey")
+    dim = members.withColumnRenamed("key", "dkey")
+    out = bloom_semi_join(fact, dim, "fkey", "dkey", n_bits=1 << 12, n_hashes=3)
+    assert out.count() == 20000  # every true member survives
+
+
 def test_dq_audit_parity(spark):
     compare_query(spark, REGISTRY["dq_audit_core"], SF_ORACLE)
 
