@@ -35,9 +35,63 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's per-round benchmark
     doc: str = ""
     family: str = ""  # defining query module (registry_manifest.json key)
+    fingerprint: str = ""  # content hash: registering-module source + oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}
+
+# Cache of registering-module source hashes (one file read per module).
+_MODULE_SRC_HASH: dict[str, str] = {}
+
+
+def _module_src_hash(module_name: str) -> str:
+    import hashlib
+    import sys
+
+    h = _MODULE_SRC_HASH.get(module_name)
+    if h is None:
+        try:
+            path = sys.modules[module_name].__file__
+            data = open(path, "rb").read()
+        except (KeyError, AttributeError, OSError, TypeError):
+            data = module_name.encode()
+        h = hashlib.sha256(data).hexdigest()
+        _MODULE_SRC_HASH[module_name] = h
+    return h
+
+
+def _query_fingerprint(fn, oracle: str | None) -> str:
+    """Content fingerprint for the rotation's changed-since-checked policy
+    (VERDICT r6 item 2): sha256 of the registered function's OWN source
+    text plus its (fully-composed) oracle string. Editing a query's plan
+    code or its oracle — including oracle text assembled by module helpers,
+    since the composed string is hashed — changes the fingerprint, which
+    resets the query's effective staleness to 0 so it re-enters the very
+    next driver window instead of hiding behind a stale green.
+
+    Granularity is deliberately per-query, not per-module: hashing the
+    whole registering module would mark every sibling stale whenever a NEW
+    query is added to the file, flooding the driver window and starving
+    the never-checked backlog. The trade-off is a known gap: edits to a
+    shared helper (a `_dec_sum` in the query module, or operators/*.py)
+    that change results without touching the fn body or oracle text don't
+    move the hash. The local full-registry oracle sweep
+    (tests/test_parity_audit.py) value-checks every query in-round
+    regardless; the fingerprint exists to re-earn *driver* greens for
+    directly-edited queries.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        # source unavailable (exec'd module / frozen build): fall back to
+        # the registering module's file hash — coarser, never blind
+        src = _module_src_hash(fn.__module__)
+    return hashlib.sha256(
+        (src + "\x00" + (oracle or "")).encode()
+    ).hexdigest()[:20]
 
 # How many queries (in registration order) the driver's CORRECTNESS harness
 # actually executes per round. Registration order is therefore a per-round
@@ -62,6 +116,7 @@ def register(
             headline,
             doc or (fn.__doc__ or ""),
             family=fn.__module__.rsplit(".", 1)[-1],
+            fingerprint=_query_fingerprint(fn, oracle),
         )
         return fn
 
@@ -129,17 +184,52 @@ def finite_values(df: DataFrame, col: str = "value") -> DataFrame:
 FLAGSHIP = "masd_sensor_rollup"
 
 
+def _tracked_correctness_artifacts(root) -> list:
+    """The CORRECTNESS_r*.json files that are GIT-TRACKED at repo root.
+
+    Root fix for the manifest race (VERDICT r6 item 1): the external
+    driver writes CORRECTNESS_r{N}.json AFTER the builder's final commit,
+    so a filesystem glob sees one more artifact at judging time than the
+    committed ``registry_manifest.json`` was generated from — the
+    committed manifest could never match the live one, failing
+    tests/test_registry.py two rounds running. Rotation state must
+    therefore derive from *committed* artifacts only: ``git ls-files``
+    is the source of truth, and an untracked late-arriving artifact is
+    invisible until the driver commits it at the next round's start.
+    Falls back to the plain glob only if git itself is unavailable
+    (e.g. the package is run from an exported tarball).
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "--cached", "CORRECTNESS_r*.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        )
+        return [root / line for line in out.stdout.splitlines() if line]
+    except Exception:
+        return sorted(root.glob("CORRECTNESS_r*.json"))
+
+
 def last_checked_rounds() -> dict[str, int]:
-    """Map query name -> latest round with a GREEN row in
+    """Map query name -> latest round with a GREEN row in a *git-tracked*
     CORRECTNESS_r{N}.json.
 
     The CORRECTNESS artifacts committed at the repo root by the external
     driver ARE the rotation state: deriving ``last_checked_round`` from
     them (instead of a hand-maintained file) makes the round-robin
     self-updating — the moment the driver lands round N's results, round
-    N+1's import order pushes freshly-GREEN queries to the back. Two
+    N+1's import order pushes freshly-GREEN queries to the back. Three
     deliberate asymmetries:
 
+    - only GIT-TRACKED artifacts count (see
+      :func:`_tracked_correctness_artifacts`): the driver's post-commit
+      artifact for the in-flight round can never redden the committed
+      manifest;
     - only green rows count (see :func:`_row_is_green`): a query that
       FAILED its check keeps last_checked 0 unless an earlier round was
       green, so a regression re-enters the very next window instead of
@@ -153,7 +243,7 @@ def last_checked_rounds() -> dict[str, int]:
 
     root = Path(__file__).resolve().parents[2]
     out: dict[str, int] = {}
-    for p in root.glob("CORRECTNESS_r*.json"):
+    for p in _tracked_correctness_artifacts(root):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if not m:
             continue
@@ -203,18 +293,84 @@ def rotation_order(names: list[str], checked: dict[str, int]) -> list[str]:
     return sorted(names, key=lambda n: (n != FLAGSHIP, checked.get(n, 0), pos[n]))
 
 
-def load_all(checked: dict[str, int] | None = None) -> dict[str, QuerySpec]:
-    """Import every query module (side effect: fills REGISTRY), then apply
-    the standing rotation policy (VERDICT r4 item 1).
+FINGERPRINT_FILE = "query_fingerprints.json"
 
-    Import order is NOT the driver's verification order anymore: after all
-    modules register, REGISTRY is reordered stalest-first via
-    ``rotation_order`` so the external CORRECTNESS harness (which executes
-    only the first ``DRIVER_WINDOW`` queries each round) always sees the
-    queries that have gone longest without a driver-confirmed row. The
-    local oracle twin (tests/oracle.py) still value-checks every query
-    regardless of order.
+
+def _fingerprint_path():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[2] / FINGERPRINT_FILE
+
+
+def certified_fingerprints() -> dict[str, dict]:
+    """The git-tracked certification state: query name -> {"fingerprint",
+    "round"} — the content fingerprint that was live when the driver last
+    confirmed the query green, and that round number. Written only by
+    :func:`sync_fingerprints` (called from ``write_manifest`` at round
+    start, before any code edits)."""
+    import json
+
+    try:
+        return json.loads(_fingerprint_path().read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def effective_checked_rounds() -> dict[str, int]:
+    """Rotation staleness with the changed-since-checked policy (VERDICT
+    r6 item 2): a query's effective last-checked round is the round its
+    CURRENT fingerprint was certified green at — 0 if it was never driver-
+    confirmed OR if its fingerprint changed since that confirmation. An
+    edited query therefore sorts like a never-checked one and re-enters
+    the very next driver window instead of hiding for a rotation cycle.
+
+    Uses the certified round (not the raw artifact round) so that a
+    freshly-tracked artifact whose fingerprints haven't been synced yet
+    can only make queries look STALER, never fresher.
     """
+    _import_query_modules()
+    certified = certified_fingerprints()
+    out: dict[str, int] = {}
+    for name, spec in REGISTRY.items():
+        rec = certified.get(name)
+        if rec and rec.get("fingerprint") == spec.fingerprint:
+            out[name] = int(rec.get("round", 0))
+        else:
+            out[name] = 0
+    return out
+
+
+def sync_fingerprints() -> None:
+    """Certify current fingerprints against newly-landed driver greens.
+
+    For each registered query whose latest green round in the GIT-TRACKED
+    CORRECTNESS artifacts is newer than its certified record, record the
+    query's CURRENT fingerprint at that round. Run at ROUND START (the
+    ``write_manifest`` protocol), when the working tree is exactly the
+    state the driver judged — so "current fingerprint" IS the fingerprint
+    the green run executed. Within a round the tracked-artifact set never
+    advances, so re-running after edits is a no-op and cannot launder an
+    edited query's staleness.
+    """
+    import json
+
+    _import_query_modules()
+    checked = last_checked_rounds()
+    certified = certified_fingerprints()
+    out: dict[str, dict] = {}
+    for name, spec in REGISTRY.items():
+        rec = certified.get(name)
+        rnd = checked.get(name, 0)
+        if rnd > 0 and rnd > (rec.get("round", -1) if rec else -1):
+            rec = {"fingerprint": spec.fingerprint, "round": rnd}
+        if rec:
+            out[name] = rec
+    with open(_fingerprint_path(), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def _import_query_modules() -> None:
     from masd_spark.queries import (  # noqa: F401
         masd_core,
         similarity,
@@ -239,8 +395,23 @@ def load_all(checked: dict[str, int] | None = None) -> dict[str, QuerySpec]:
         ann_eval,  # must import after similarity: composes its oracles
     )
 
+
+def load_all(checked: dict[str, int] | None = None) -> dict[str, QuerySpec]:
+    """Import every query module (side effect: fills REGISTRY), then apply
+    the standing rotation policy (VERDICT r4 item 1).
+
+    Import order is NOT the driver's verification order anymore: after all
+    modules register, REGISTRY is reordered stalest-first via
+    ``rotation_order`` — staleness being the fingerprint-aware
+    ``effective_checked_rounds`` — so the external CORRECTNESS harness
+    (which executes only the first ``DRIVER_WINDOW`` queries each round)
+    always sees the queries that have gone longest without a driver-
+    confirmed row for their CURRENT content. The local oracle twin
+    (tests/oracle.py) still value-checks every query regardless of order.
+    """
+    _import_query_modules()
     if checked is None:
-        checked = last_checked_rounds()
+        checked = effective_checked_rounds()
     order = rotation_order(list(REGISTRY), checked)
     if order != list(REGISTRY):
         reordered = {n: REGISTRY[n] for n in order}
@@ -255,12 +426,14 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
     Emitted to ``registry_manifest.json`` each round so coverage drift of
     the driver's 50-query window is visible without reverse-engineering
     import order (VERDICT r3 item 8). ``last_checked_round`` (VERDICT r4
-    item 8) is derived from the committed CORRECTNESS_r*.json artifacts —
-    0 means the driver has never executed the query.
+    item 8) is the fingerprint-aware effective staleness derived from the
+    GIT-TRACKED CORRECTNESS_r*.json artifacts and the certified
+    fingerprint file — 0 means the driver has never executed the query's
+    current content.
     """
-    # parse the CORRECTNESS artifacts ONCE and share with load_all's
-    # rotation, so position and last_checked_round can never disagree
-    checked = last_checked_rounds()
+    # compute staleness ONCE and share with load_all's rotation, so
+    # position and last_checked_round can never disagree
+    checked = effective_checked_rounds()
     rows = []
     for i, spec in enumerate(load_all(checked).values()):
         rows.append(
@@ -272,14 +445,20 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
                 "position": i,
                 "last_checked_round": checked.get(spec.name, 0),
                 "driver_checked_this_round": i < round_checked,
+                "fingerprint": spec.fingerprint,
             }
         )
     return rows
 
 
 def write_manifest(path: str = "registry_manifest.json") -> None:
+    """Round-start protocol: certify fingerprints against any newly-
+    tracked driver artifact, then emit the manifest. Also the right call
+    after ANY in-round query edit (the fingerprint sync is a no-op then;
+    only the manifest rows refresh)."""
     import json
 
+    sync_fingerprints()
     with open(path, "w") as f:
         json.dump(manifest(), f, indent=1)
         f.write("\n")

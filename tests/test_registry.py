@@ -30,9 +30,59 @@ def test_manifest_covers_every_registered_query():
 def test_committed_manifest_is_current():
     """The committed artifact must match the live registry — regenerate
     with ``python -c 'from masd_spark.queries import write_manifest;
-    write_manifest()'`` after any registration change."""
+    write_manifest()'`` after any registration change or query edit."""
     committed = json.loads((REPO / "registry_manifest.json").read_text())
     assert committed == manifest()
+
+
+def test_untracked_correctness_artifact_cannot_redden_manifest():
+    """Root fix for the r5/r6 manifest race (VERDICT r6 item 1): the
+    driver writes CORRECTNESS_r{N}.json AFTER the builder's final commit,
+    so at judging time an UNTRACKED artifact sits at the repo root.
+    Rotation state must ignore it — simulate exactly that race and assert
+    the live manifest (and staleness map) don't move."""
+    from masd_spark.queries import (
+        effective_checked_rounds,
+        last_checked_rounds,
+    )
+
+    before_checked = last_checked_rounds()
+    before_eff = effective_checked_rounds()
+    before_manifest = manifest()
+    fake = REPO / "CORRECTNESS_r99.json"
+    assert not fake.exists(), "r99 artifact unexpectedly present"
+    some_query = next(iter(before_checked))
+    fake.write_text(json.dumps({some_query: {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }}))
+    try:
+        assert last_checked_rounds() == before_checked
+        assert effective_checked_rounds() == before_eff
+        assert manifest() == before_manifest
+    finally:
+        fake.unlink()
+
+
+def test_certified_fingerprints_match_live_registry():
+    """query_fingerprints.json (the certification state) must only carry
+    registered queries, and every driver-green query must have an entry —
+    the round-start ``write_manifest`` sync maintains both."""
+    from masd_spark.queries import (
+        certified_fingerprints,
+        last_checked_rounds,
+        load_all,
+    )
+
+    reg = load_all()
+    certified = certified_fingerprints()
+    assert set(certified) <= set(reg)
+    for name in last_checked_rounds():
+        if name in reg:
+            assert name in certified, f"{name} green but uncertified"
+    for name, rec in certified.items():
+        assert set(rec) == {"fingerprint", "round"}
+        assert rec["round"] >= 1
 
 
 def test_ex_red_queries_have_driver_green_or_window_slot():

@@ -15,7 +15,7 @@ import math
 from masd_spark.queries import (
     DRIVER_WINDOW,
     FLAGSHIP,
-    last_checked_rounds,
+    effective_checked_rounds,
     load_all,
     manifest,
     rotation_order,
@@ -23,7 +23,9 @@ from masd_spark.queries import (
 
 REG = load_all()
 NAMES = list(REG)
-CHECKED = last_checked_rounds()
+# effective staleness: fingerprint-aware (VERDICT r6 item 2) — a query
+# edited since its last driver green counts as never-checked
+CHECKED = effective_checked_rounds()
 
 
 def test_flagship_pinned_first():
@@ -48,12 +50,17 @@ def test_round5_window_clears_backlog_first():
     assert len(first_time) == min(DRIVER_WINDOW - 1, never_total)
 
 
-def test_registry_growth_frozen_until_backlog_clears():
-    """VERDICT r4 item 2: verification, not surface — registry stays <= 210
-    while the never-checked backlog exists."""
+def test_registry_growth_bounded_by_window_capacity():
+    """VERDICT r4 item 2, amended r7: growth is allowed only while the
+    ENTIRE stale set (never-checked backlog + fingerprint-stale edits +
+    additions) fits in one driver window — so every new registration is
+    driver-checked the round it lands and the backlog still drains."""
     never = sum(1 for n in NAMES if CHECKED.get(n, 0) == 0)
-    if never > 0:
-        assert len(NAMES) <= 210
+    if len(NAMES) > 210:
+        assert never <= DRIVER_WINDOW - 1, (
+            f"{never} stale queries exceed the {DRIVER_WINDOW - 1} "
+            "non-flagship window slots — registry growth must wait"
+        )
 
 
 def test_simulated_staleness_bound():
@@ -118,6 +125,29 @@ def test_failed_checks_do_not_count_as_green():
         q.FLAGSHIP = old
     assert order.index("went_red") < order.index("was_green")
     assert order[0] == "flag"
+
+
+def test_edited_query_reenters_next_window(monkeypatch):
+    """VERDICT r6 item 2 done-criterion: a query whose content fingerprint
+    changed since its last driver green must sort like a never-checked one
+    and re-enter the very next window. Simulate the edit by corrupting one
+    freshly-green query's certified fingerprint."""
+    import masd_spark.queries as q
+
+    certified = q.certified_fingerprints()
+    # pick the query with the NEWEST green — the one stalest-first would
+    # otherwise postpone the longest
+    victim = max(certified, key=lambda n: certified[n]["round"])
+    assert certified[victim]["round"] >= 1
+    fake = {
+        n: (dict(rec, fingerprint="deadbeef") if n == victim else rec)
+        for n, rec in certified.items()
+    }
+    monkeypatch.setattr(q, "certified_fingerprints", lambda: fake)
+    eff = q.effective_checked_rounds()
+    assert eff[victim] == 0
+    order = rotation_order(NAMES, eff)
+    assert victim in order[:DRIVER_WINDOW]
 
 
 def test_manifest_carries_rotation_state():
