@@ -950,6 +950,35 @@ def pq_topk(
         .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
         .drop(vec_col)
     )
+    cvec = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_cn")
+    )
+    return _pq_adc_rerank(
+        encoded, cvec, queries, codebooks, dim, k, rerank,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _pq_adc_rerank(
+    encoded: DataFrame,
+    cvec: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The probe half of PQ/ADC, shared by the inline (``pq_topk``) and
+    persisted (``pq_persisted_topk``) index shapes: given an encoded
+    (id, _c0.._c{m-1}, _rn) corpus and an (id, vec, _cn) re-rank side,
+    broadcast the query lookup tables, ADC-score the codes-only scan, cut
+    to the top-``rerank`` candidates per query, and re-rank them with the
+    exact cosine. Identical floats either way, so the same DuckDB oracle
+    replays both."""
+    m = len(codebooks)
     # --- query-side lookup tables (tiny, broadcast) ---------------------
     q = queries.select(
         F.col(query_id_col),
@@ -970,7 +999,6 @@ def pq_topk(
         .select(query_id_col, id_col)
     )
     # --- exact re-rank of the bounded candidate set ---------------------
-    cvec = corpus.select(F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_cn"))
     rr = (
         cvec.join(F.broadcast(cand), id_col)
         .join(F.broadcast(q), query_id_col)
@@ -1067,6 +1095,35 @@ def ivfpq_topk(
         .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
         .drop(vec_col)
     )
+    cvec = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_cn")
+    )
+    return _ivfpq_probe(
+        encoded, cvec, queries, cents, codebooks, dim, k, n_probe, rerank,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _ivfpq_probe(
+    encoded: DataFrame,
+    cvec: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int,
+    n_probe: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The probe half of IVFPQ, shared by the inline (``ivfpq_topk``) and
+    persisted (``ivfpq_persisted_topk``) index shapes: broadcast the
+    queries' probe cells + ADC lookup tables, cell-EQUI join against the
+    encoded (id, _cid, codes, _rn) corpus, cut to top-``rerank`` ADC
+    candidates, exact-cosine re-rank against the (id, vec, _cn) side."""
+    m = len(codebooks)
     # --- query side: probe cells + ADC lookup tables, both broadcast ----
     q = queries.select(
         F.col(query_id_col),
@@ -1118,9 +1175,6 @@ def ivfpq_topk(
         .select(query_id_col, id_col)
     )
     # --- exact re-rank of the bounded candidate set ---------------------
-    cvec = corpus.select(
-        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_cn")
-    )
     rr = (
         cvec.join(F.broadcast(cand), id_col)
         .join(F.broadcast(q), query_id_col)
@@ -1141,6 +1195,220 @@ def ivfpq_topk(
         .select(
             query_id_col, id_col, "cos_sim", F.col("rank").cast("bigint").alias("rank")
         )
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    table_name: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    pq_seed: int = 7,
+    ivf_seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a PQ/IVFPQ index as THREE tables — the 100 TB shape
+    (VERDICT r6 item 6): codebooks and the (id, cell, codes, recon-norm)
+    encoding are a maintained asset, built once and appended to, never
+    rebuilt as plan literals inside every query.
+
+    - ``<table_name>``: (id, vec, _n norm, _cid cell, _c0.._c{m-1}
+      codes, _rn reconstructed norm), BUCKETED on ``_cid`` so IVFPQ cell
+      probes join with zero index-side exchange. The raw vector column
+      coexists with the codes ON PURPOSE: parquet is columnar, so the
+      ADC scan's (id, codes, _rn) projection never reads vector bytes
+      (column pruning — plan-asserted in tests) while the top-``rerank``
+      exact re-rank reads (id, vec, _n) for candidates only. At 100 TB
+      the codes projection is the ~32x-smaller hot path; the vectors are
+      cold columns in the same cell-clustered layout.
+    - ``<table_name>_centroids``: (cid, cvec) — same O(n_centroids)
+      metadata contract as build_ivf_index.
+    - ``<table_name>_codebooks``: (j, code, cw) — m x n_codes codeword
+      rows; probers and appenders load these (bounded collect, 128 rows
+      here) so every row ever written agrees on the quantizer geometry.
+
+    Defaults reproduce the portable md5-sample quantizers of ``pq_topk``/
+    ``ivfpq_topk``, so probes over the persisted table are value-identical
+    to the inline indexes and the SAME DuckDB oracles replay them; pass
+    Lloyd-refined ``centroids``/``codebooks`` for the production build.
+    An empty corpus persists empty-but-schema-correct tables."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    spark = corpus.sparkSession
+    corpus = valid_vectors(corpus, id_col, vec_col)
+    cent_vecs = _ivf_centroid_vecs(corpus, n_centroids, ivf_seed, id_col, vec_col, centroids)
+    cents = _ivf_cents(cent_vecs)
+    if codebooks is None:
+        sampled = _seeded_sample(corpus, n_codes, id_col, vec_col, pq_seed)
+        codebooks = [
+            [v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)
+        ]
+    if cents and codebooks and codebooks[0]:
+        cc = _pq_codeword_norms(codebooks)
+        encoded = (
+            _ivf_assign(corpus, cents, dim, id_col, vec_col)
+            .select(
+                F.col(id_col), F.col(vec_col), F.col("_n"), F.col("_cid"),
+                *_pq_code_cols(vec_col, codebooks, cc),
+            )
+            .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
+        )
+    else:
+        encoded = corpus.limit(0).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("double").alias("_n"),
+            F.lit(None).cast("int").alias("_cid"),
+            *[F.lit(None).cast("int").alias(f"_c{j}") for j in range(m)],
+            F.lit(None).cast("double").alias("_rn"),
+        )
+    writer = encoded.write.mode("overwrite").bucketBy(n_buckets, "_cid")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v, _ in cents],
+        schema="cid INT, cvec ARRAY<DOUBLE>",
+    )
+    cw = cent_df.write.mode("overwrite")
+    if path is not None:
+        cw = cw.option("path", path + "_centroids")
+    cw.saveAsTable(table_name + "_centroids")
+    cb_df = spark.createDataFrame(
+        [
+            (j, code, [float(x) for x in cwv])
+            for j, cb in enumerate(codebooks)
+            for code, cwv in enumerate(cb)
+        ],
+        schema="j INT, code INT, cw ARRAY<DOUBLE>",
+    )
+    bw = cb_df.write.mode("overwrite")
+    if path is not None:
+        bw = bw.option("path", path + "_codebooks")
+    bw.saveAsTable(table_name + "_codebooks")
+
+
+def load_pq_codebooks(spark: SparkSession, table_name: str) -> list[list[list[float]]]:
+    """Codebook literals back from the index's metadata table — an
+    O(m x n_codes) bounded collect (128 rows at the defaults), never
+    corpus data."""
+    rows = spark.table(table_name + "_codebooks").orderBy("j", "code").collect()
+    books: dict[int, list[list[float]]] = {}
+    for r in rows:
+        books.setdefault(int(r["j"]), []).append([float(x) for x in r["cw"]])
+    return [books[j] for j in sorted(books)]
+
+
+def append_pq_index(
+    new_rows: DataFrame,
+    table_name: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+) -> None:
+    """Incremental PQ-index maintenance: encode NEW vectors with the
+    centroids AND codebooks already persisted in the metadata tables and
+    append them bucket-aligned — the daily-ingest path at 100 TB. Because
+    the stored quantizer geometry is reused, a probe over (build half +
+    append half) is bit-identical to a one-shot build with the same
+    quantizers (pinned in tests)."""
+    spark = new_rows.sparkSession
+    cents = load_ivf_centroids(spark, table_name)
+    codebooks = load_pq_codebooks(spark, table_name)
+    if not cents or not codebooks:
+        raise ValueError(
+            f"index {table_name} has no quantizer metadata — build it on "
+            "a non-empty corpus before appending"
+        )
+    cc = _pq_codeword_norms(codebooks)
+    encoded = (
+        _ivf_assign(valid_vectors(new_rows, id_col, vec_col), cents, dim, id_col, vec_col)
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("_n"), F.col("_cid"),
+            *_pq_code_cols(vec_col, codebooks, cc),
+        )
+        .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
+    )
+    encoded.write.mode("append").bucketBy(n_buckets, "_cid").saveAsTable(table_name)
+
+
+def pq_persisted_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    table_name: str,
+    dim: int,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k ADC probe against a PERSISTED PQ index (build_pq_index):
+    codebook literals load from the metadata table (bounded collect), the
+    query lookup tables broadcast, and the ADC leg scans ONLY the
+    (id, codes, _rn) columns of the index — parquet column pruning keeps
+    the 32x-bigger vector column out of the hot scan (plan-asserted).
+    Value-identical to ``pq_topk`` with the same codebooks, so the same
+    DuckDB oracle checks both."""
+    codebooks = load_pq_codebooks(spark, table_name)
+    t = spark.table(table_name)
+    queries = valid_vectors(queries, query_id_col, vec_col)
+    if not codebooks:
+        return _empty_topk(t, queries, id_col, query_id_col)
+    m = len(codebooks)
+    encoded = t.select(
+        F.col(id_col), *[F.col(f"_c{j}") for j in range(m)], F.col("_rn")
+    )
+    cvec = t.select(F.col(id_col), F.col(vec_col), F.col("_n").alias("_cn"))
+    return _pq_adc_rerank(
+        encoded, cvec, queries, codebooks, dim, k, rerank,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def ivfpq_persisted_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    table_name: str,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k IVFPQ probe against the SAME persisted index: centroids and
+    codebooks load from metadata, the probe set + lookup tables broadcast,
+    and the candidate join is cell-EQUI against the ``_cid``-bucketed
+    codes scan — zero shuffle on the index side, with the pair count
+    bounded by n_probe/n_centroids and scan bytes by the codes projection.
+    Value-identical to ``ivfpq_topk`` with the same quantizers, so the
+    same DuckDB oracle checks both."""
+    cents = load_ivf_centroids(spark, table_name)
+    codebooks = load_pq_codebooks(spark, table_name)
+    t = spark.table(table_name)
+    queries = valid_vectors(queries, query_id_col, vec_col)
+    if not cents or not codebooks:
+        return _empty_topk(t, queries, id_col, query_id_col)
+    m = len(codebooks)
+    encoded = t.select(
+        F.col(id_col), F.col("_cid"),
+        *[F.col(f"_c{j}") for j in range(m)], F.col("_rn"),
+    )
+    cvec = t.select(F.col(id_col), F.col(vec_col), F.col("_n").alias("_cn"))
+    return _ivfpq_probe(
+        encoded, cvec, queries, cents, codebooks, dim, k, n_probe, rerank,
+        id_col, vec_col, query_id_col,
     )
 
 

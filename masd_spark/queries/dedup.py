@@ -59,32 +59,40 @@ def _adaptive_max_df(spark: SparkSession, sf_dir: str) -> int:
     return max(50, -(-_corpus_docs(spark, sf_dir) // 100))
 
 
-def _shared_shingles(spark: SparkSession, sf_dir: str):
+def _shared_shingles(spark: SparkSession, sf_dir: str, k: int = 3):
     # applicationId is unique per SparkContext lifetime (unlike id(), which
     # CPython can recycle after a stop/restart and hand back a cache entry
     # whose checkpointed blocks belong to a dead context).
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _SHINGLE_CACHE:
         _SHINGLE_CACHE[key] = shingle_rows(
-            load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", k
         )
     return _SHINGLE_CACHE[key]
 
 # Shared SQL fragments -----------------------------------------------------
 
-_SHINGLES_SQL = """
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB twin of operators/dedup.py:shingle_rows for k-word shingles:
+    distinct k-grams per doc + per-doc set size."""
+    concat = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k))
+    return f"""
     toks AS (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
         FROM documents
     ),
     sh AS (
         SELECT doc_id,
-               unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-                                     for i in range(1, len(ts) - 1)])) AS shingle
-        FROM toks WHERE len(ts) >= 3
+               unnest(list_distinct([{concat}
+                                     for i in range(1, len(ts) - {k - 2})])) AS shingle
+        FROM toks WHERE len(ts) >= {k}
     ),
     sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 
 @register(
@@ -245,7 +253,9 @@ def dedup_ngram_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, k=3, threshold=0.5, shingles=_shared_shingles(spark, sf_dir))
 
 
-def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5, k: int = 3
+) -> str:
     rows_per_band = n_hashes // n_bands
     sig_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(n_hashes)
@@ -260,7 +270,7 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.5
         for b in range(n_bands)
     )
     return f"""
-    WITH {_SHINGLES_SQL},
+    WITH {_shingles_sql(k)},
     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     candidates AS (
@@ -305,6 +315,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, k=3, n_hashes=16, n_bands=4, threshold=0.5,
         shingles=_shared_shingles(spark, sf_dir), max_bucket=50,
+    )
+
+
+@register(
+    "dedup_minhash_lsh_scaled",
+    oracle=_minhash_oracle(n_hashes=32, n_bands=8, threshold=0.5, k=5),
+)
+def dedup_minhash_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH sized for the SATURATED-VOCABULARY corpus at SF1+ —
+    the capacity treatment dedup_simhash_wide got, applied to minhash
+    (VERDICT r6 item 4; SF1 bench measured the 16-hash/3-gram headline at
+    22x wall-time on 10x data).
+
+    Root cause, measured: the generator's ~31-token vocabulary saturates
+    the TRIGRAM space (31^3 = 29,791 possible shingles; df grows
+    ~linearly with the corpus — max df 7 at sf0.01, ~250 at SF1), so
+    per-hash minima concentrate on a few globally-common shingles and
+    band buckets fill with UNRELATED docs; the occupancy cap bounds
+    per-bucket work but candidate volume still grows superlinearly.
+
+    Two corpus-sized knobs, per the simhash_wide playbook:
+
+    - shingle k=5 (31^5 = 28.6M possible): document frequency stays ~1
+      at SF1 (measured avg df 1.05 at sf0.01 vs 1.61 for trigrams), so
+      signature minima are near-unique per doc and buckets track real
+      similarity, not vocabulary saturation. This removes the root
+      cause; at 100 TB, k is sized so |vocab|^k >> corpus shingle mass.
+    - 32 hashes in 8 bands of 4: the same 4-row band selectivity as the
+      headline (S-curve midpoint (1/8)^(1/4) ~ 0.6 — recall 0.40 at
+      j=0.5, 0.97 at j=0.8) with twice the band diversity, and every
+      candidate is still exact-Jaccard verified, so precision is 1.0 at
+      any sizing.
+
+    Registered against the uncapped same-parameter oracle: every driver
+    run re-proves the max_bucket=50 skip is a no-op on this corpus shape.
+    SF1 scaling is measured per-round in SF1SWEEP_r{N}.json.
+    (operators/dedup.py:minhash_lsh_pairs; ref consumer.py has no dedup —
+    engine addition per the LLM-pipeline mandate.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, k=5, n_hashes=32, n_bands=8, threshold=0.5,
+        shingles=_shared_shingles(spark, sf_dir, k=5), max_bucket=50,
     )
 
 

@@ -665,6 +665,92 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+fixture) and return the persisted PQ/IVFPQ
+    index table for ``sf_dir`` — the shared asset behind the two persisted
+    probes, exactly one build job even when the driver runs both queries
+    in one process."""
+    import hashlib
+    import os
+    import tempfile
+
+    from masd_spark.operators.similarity import build_pq_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"ann_pq_index_{tag}"
+    key = (spark.sparkContext.applicationId, table)
+    if key not in _PQ_INDEX_BUILT:
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_pq_index(
+            emb,
+            table,
+            dim=EMBEDDING_DIM,
+            m=_PQ_M,
+            n_codes=_PQ_CODES,
+            n_centroids=_IVF_CENTROIDS,
+            pq_seed=_PQ_SEED,
+            ivf_seed=_IVF_SEED,
+            n_buckets=_IVF_CENTROIDS,
+            path=os.path.join(tempfile.gettempdir(), f"masd_{table}"),
+        )
+        _PQ_INDEX_BUILT.add(key)
+    return table
+
+
+_PQ_INDEX_BUILT: set = set()
+
+
+@register("ann_pq_persisted_topk", oracle=valid_embeddings(_PQ_ORACLE))
+def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index shape of ``ann_pq_topk`` (VERDICT r6 item 6):
+    codebooks and the (id, cell, codes, recon-norm) encoding are written
+    ONCE as a cell-bucketed table + two tiny metadata tables
+    (operators/similarity.py:build_pq_index), and the query is a pure
+    ADC PROBE — codebook literals load from metadata (128-row collect),
+    query lookup tables broadcast, and the scan projects ONLY
+    (id, codes, _rn), so parquet column pruning keeps the 32x-bigger
+    vector column out of the hot path (plan-asserted in tests). At 100 TB
+    the quantizer is a maintained asset with incremental appends reusing
+    the stored geometry (append_pq_index; append==one-shot pinned in
+    tests), not a per-query plan literal. Same md5-sample codebooks as
+    ``ann_pq_topk``, so the SAME DuckDB oracle replays build + probe."""
+    from masd_spark.operators.similarity import pq_persisted_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_persisted_topk(
+        spark,
+        _queries_df(emb),
+        _pq_index_table(spark, sf_dir),
+        dim=EMBEDDING_DIM,
+        k=10,
+        rerank=_PQ_RERANK,
+    )
+
+
+@register("ann_ivfpq_persisted_topk", oracle=valid_embeddings(_IVFPQ_ORACLE))
+def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index shape of ``ann_ivfpq_topk``, probing the SAME
+    table as ``ann_pq_persisted_topk`` (one maintained index serves both
+    access paths): centroids + codebooks load from metadata, the probe
+    set and lookup tables broadcast, and the candidate join is cell-EQUI
+    against the ``_cid``-bucketed codes projection — zero index-side
+    exchange (plan-asserted), pair count bounded by n_probe/n_centroids,
+    scan bytes by the codes columns. Same quantizers as the inline
+    composition, so the SAME DuckDB oracle replays it end to end."""
+    from masd_spark.operators.similarity import ivfpq_persisted_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_persisted_topk(
+        spark,
+        _queries_df(emb),
+        _pq_index_table(spark, sf_dir),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_probe=_IVF_PROBE,
+        rerank=_IVFPQ_RERANK,
+    )
+
+
 _MMR_K = 5
 _MMR_M = 20
 

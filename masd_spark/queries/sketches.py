@@ -93,6 +93,74 @@ def sketch_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionAll(merged)
 
 
+# DataSketches HLL at Spark's default lgConfigK=12: relative standard
+# error ~ 1.04/sqrt(2^12) = 1.63%. The bound query asserts 3x that
+# (4.88%) — wide enough that a healthy sketch NEVER trips it (at the
+# fixture's cardinalities HLL runs in exact sparse mode; at 100 TB
+# cardinalities 3x RSE is a >99.7% envelope), tight enough that a broken
+# estimator (wrong column, lost merge, truncated state) fails the hash.
+_HLL_RSE_BOUND = 3 * 1.04 / (2**12) ** 0.5
+
+
+@register(
+    "sketch_hll_error_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
+def sketch_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs exact distinct IN ONE RESULT, hash-checked
+    (VERDICT r6 item 7 — upgrades ``sketch_hll_user_distinct`` from
+    rows-only): per event type and for the hll_union_agg MERGE of all
+    types, emit the exact count(DISTINCT user_id) and a boolean asserting
+    the sketch estimate lies within 3x the documented RSE of it. The
+    estimate itself is engine-specific (DataSketches internals), but the
+    BOUND is a portable fact both engines can state — DuckDB returns TRUE
+    unconditionally, so the value hash fails exactly when Spark's sketch
+    strays outside its error contract. The merge row checks the property
+    that matters at 100 TB: per-shard sketches unioned lose nothing vs a
+    single pass. Exactness of the comparison baseline costs a distinct
+    shuffle here, which is precisely what the sketch avoids in production
+    — the bound query is the harness, not the scale path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+    def bounded(est, exact):
+        return F.when(exact == 0, est == F.lit(0.0)).otherwise(
+            (F.abs(est - exact) / exact) <= F.lit(_HLL_RSE_BOUND)
+        )
+
+    typed = per.select(
+        "event_type",
+        "exact_users",
+        bounded(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk"))
+    allex = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    allrow = merged.crossJoin(allex).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_users",
+        bounded(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
+            "within_bound"
+        ),
+    )
+    return typed.unionAll(allrow)
+
+
 _MG_K = 128
 
 

@@ -425,6 +425,168 @@ def test_ivfpq_no_all_pairs_stage(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_pq_persisted_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_pq_persisted_topk"], SF_ORACLE)
+
+
+def test_ann_ivfpq_persisted_topk_parity(spark):
+    compare_query(spark, REGISTRY["ann_ivfpq_persisted_topk"], SF_ORACLE)
+
+
+def test_pq_persisted_probe_prunes_vector_column(spark):
+    """The persisted ADC probe's hot leg must scan (id, codes, _rn) ONLY:
+    parquet column pruning has to keep the 32x-bigger embedding column
+    out of the codes scan (it may appear only in the bounded re-rank
+    scan). Checked on the FileScan ReadSchemas of the index table."""
+    from masd_spark.plans.explain import physical_plan
+
+    spark.catalog.clearCache()
+    df = REGISTRY["ann_pq_persisted_topk"].fn(spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1, (
+        "expected exactly the ADC scan as a broadcast nested-loop join"
+    )
+    scans = [
+        line for line in plan.splitlines()
+        if "Scan parquet" in line and "ann_pq_index" in line
+    ]
+    codes_scans = [s for s in scans if "_c0" in s]
+    assert codes_scans, f"codes scan of the index table not found: {scans}"
+    for s in codes_scans:
+        assert "embedding" not in s, (
+            f"ADC scan reads raw vectors (column pruning lost): {s[:200]}"
+        )
+
+
+def test_ivfpq_persisted_probe_plan_and_bucketing(spark):
+    """The persisted IVFPQ probe must be index-side shuffle-free: probe
+    set + lookup tables broadcast, candidate join cell-EQUI against the
+    bucketed codes scan; the only exchanges are the two query-keyed
+    top-k windows. The index table must carry the bucket spec in the
+    catalog — the write-time contract that keeps future cell-keyed joins
+    exchange-free."""
+    import hashlib
+
+    from masd_spark.plans.explain import count_exchanges, physical_plan
+
+    spark.catalog.clearCache()
+    df = REGISTRY["ann_ivfpq_persisted_topk"].fn(spark, SF_ORACLE)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 2, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    table = f"ann_pq_index_{hashlib.md5(SF_ORACLE.encode()).hexdigest()[:8]}"
+    detail = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    }
+    assert detail.get("Num Buckets") == "16", detail
+    assert "_cid" in detail.get("Bucket Columns", ""), detail
+
+
+def test_pq_incremental_append_matches_one_shot_build(spark, tmp_path):
+    """Incremental PQ maintenance correctness: build the index on half
+    the corpus, append the other half with the STORED quantizer geometry
+    (centroids + codebooks), and both persisted probes must be
+    row-identical to probes over a one-shot build that uses the same
+    stored quantizers — appends must not perturb cells, codes, recon
+    norms, or ranking."""
+    from masd_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        ivfpq_persisted_topk,
+        load_ivf_centroids,
+        load_pq_codebooks,
+        pq_persisted_topk,
+    )
+    from masd_spark.queries.similarity import (
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+        _IVF_SEED,
+        _PQ_CODES,
+        _PQ_M,
+        _PQ_SEED,
+        _queries_df,
+        EMBEDDING_DIM,
+    )
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    incr_t, full_t = "ann_pq_index_incr_test", "ann_pq_index_full_test"
+    try:
+        build_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            incr_t,
+            dim=EMBEDDING_DIM,
+            m=_PQ_M,
+            n_codes=_PQ_CODES,
+            n_centroids=_IVF_CENTROIDS,
+            pq_seed=_PQ_SEED,
+            ivf_seed=_IVF_SEED,
+            path=str(tmp_path / incr_t),
+        )
+        append_pq_index(
+            emb.filter(F.col("vec_id") % 2 == 1), incr_t, dim=EMBEDDING_DIM
+        )
+        # one-shot build over the FULL corpus with the STORED quantizers
+        cents = [v for _, v, _ in load_ivf_centroids(spark, incr_t)]
+        books = load_pq_codebooks(spark, incr_t)
+        build_pq_index(
+            emb,
+            full_t,
+            dim=EMBEDDING_DIM,
+            m=_PQ_M,
+            centroids=cents,
+            codebooks=books,
+            path=str(tmp_path / full_t),
+        )
+        qdf = _queries_df(emb)
+        for probe, kwargs in (
+            (pq_persisted_topk, {"rerank": 50}),
+            (ivfpq_persisted_topk, {"n_probe": _IVF_PROBE, "rerank": 100}),
+        ):
+            a = sorted(map(tuple, probe(
+                spark, qdf, incr_t, dim=EMBEDDING_DIM, k=10, **kwargs
+            ).collect()))
+            b = sorted(map(tuple, probe(
+                spark, qdf, full_t, dim=EMBEDDING_DIM, k=10, **kwargs
+            ).collect()))
+            assert a == b and len(a) > 0, probe.__name__
+    finally:
+        for t in (incr_t, full_t):
+            for suffix in ("", "_centroids", "_codebooks"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_pq_append_to_empty_index_fails_fast(spark, tmp_path):
+    """An index built on an empty corpus has no quantizer geometry —
+    appending must raise, not silently write unencodable rows; a probe
+    over it returns empty, schema-correct results."""
+    from masd_spark.operators.similarity import (
+        append_pq_index,
+        build_pq_index,
+        pq_persisted_topk,
+    )
+    from masd_spark.queries.similarity import EMBEDDING_DIM, _queries_df
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    table = "ann_pq_index_empty_test"
+    try:
+        build_pq_index(
+            emb.limit(0), table, dim=EMBEDDING_DIM, path=str(tmp_path / table)
+        )
+        with pytest.raises(ValueError, match="no quantizer metadata"):
+            append_pq_index(emb, table, dim=EMBEDDING_DIM)
+        res = pq_persisted_topk(
+            spark, _queries_df(emb), table, dim=EMBEDDING_DIM
+        )
+        assert res.count() == 0
+        assert res.columns == ["query_id", "vec_id", "cos_sim", "rank"]
+    finally:
+        for suffix in ("", "_centroids", "_codebooks"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+
+
 def test_ann_recall_report_parity_and_floors(spark):
     compare_query(spark, REGISTRY["ann_recall_report"], SF_ORACLE)
     rows = REGISTRY["ann_recall_report"].fn(spark, SF_ORACLE).collect()

@@ -82,6 +82,16 @@ def test_hll_estimates_accurate_and_merge_consistent(spark):
     assert out["ALL"] == direct
 
 
+def test_hll_error_bound_parity_and_all_true(spark):
+    """The oracled bound query (VERDICT r6 item 7): hash parity vs the
+    DuckDB exact-distinct oracle, and every within_bound is TRUE — a
+    broken estimator flips a boolean and fails the hash."""
+    compare_query(spark, REGISTRY["sketch_hll_error_bound"], SF_ORACLE)
+    rows = REGISTRY["sketch_hll_error_bound"].fn(spark, SF_ORACLE).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    assert any(r["event_type"] == "ALL" for r in rows)
+
+
 def test_mg_oracle_parity(spark):
     compare_query(spark, REGISTRY["sketch_mg_heavy_users"], SF_ORACLE)
 

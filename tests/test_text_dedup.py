@@ -18,6 +18,7 @@ ORACLE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_uncapped",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
     "dedup_embedding_cosine",
     "dedup_simhash",
     "text_token_stats",
