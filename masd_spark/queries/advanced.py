@@ -53,6 +53,64 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# approx_count_distinct's default relative standard deviation is 0.05;
+# 3x that (15%) is a >99.7% envelope a healthy HLL++ never leaves at
+# these cardinalities. percentile_approx guarantees rank error
+# <= 1/accuracy (default 1e-4); a +/-0.01 rank margin is 100x that, so
+# the returned element's exact-quantile bracket check is deterministic
+# for any conformant sketch while still failing on a broken one.
+_ACD_BOUND = 3 * 0.05
+_PCT_MARGIN = 0.01
+
+
+@register(
+    "approx_error_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS cd_within_bound,
+           TRUE AS p50_within_bound,
+           TRUE AS q25_within_bound,
+           TRUE AS q75_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked error contract for ``approx_aggregates`` — the
+    sketch_hll_error_bound pattern applied to Spark's HLL++ distinct and
+    t-digest percentiles (estimates are engine-specific; their BOUNDS are
+    portable facts). Per group: the exact distinct count plus booleans
+    asserting (a) approx_count_distinct within 3x its documented rsd of
+    exact, (b) each percentile_approx result inside the exact-quantile
+    bracket [pct(p-0.01), pct(p+0.01)] — 100x the sketch's rank-error
+    guarantee. The exact baselines are computed Spark-side and never
+    emitted (interpolated floats aren't portable; booleans are), so the
+    DuckDB twin states the contract and the value hash fails exactly
+    when a sketch strays. The exact percentile/distinct shuffles exist
+    only in this harness query — production keeps the sketches.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def pct_ok(col: str, p: float):
+        lo = F.expr(f"percentile({col}, {max(p - _PCT_MARGIN, 0.0)})")
+        hi = F.expr(f"percentile({col}, {min(p + _PCT_MARGIN, 1.0)})")
+        approx = F.percentile_approx(col, p)
+        return (approx >= lo) & (approx <= hi)
+
+    exact = F.count_distinct("l_partkey")
+    cd_ok = (
+        F.abs(F.approx_count_distinct("l_partkey") - exact)
+        / exact
+    ) <= F.lit(_ACD_BOUND)
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_parts"),
+        cd_ok.alias("cd_within_bound"),
+        pct_ok("l_extendedprice", 0.5).alias("p50_within_bound"),
+        pct_ok("l_quantity", 0.25).alias("q25_within_bound"),
+        pct_ok("l_quantity", 0.75).alias("q75_within_bound"),
+    )
+
+
 @register(
     "agg_statistics",
     oracle="""

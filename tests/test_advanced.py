@@ -29,6 +29,7 @@ ORACLE_QUERIES = [
     "agg_mad_robust",
     "agg_bitmap_exact_distinct",
     "session_window_native",
+    "approx_error_bounds",
 ]
 
 
