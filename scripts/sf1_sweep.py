@@ -122,6 +122,14 @@ def main() -> int:
         "base_dir": "/root/testdata/sf0.1",
         "master": spark.sparkContext.master,
         "data_ratio": 10.0,
+        "method": (
+            "spark_*_sec = min of 2 back-to-back noop-sink runs in one "
+            "session (bench.py's transient-stall estimator): the first "
+            "run pays one-time materializations (memoized shingle sets, "
+            "persisted index builds — shared across queries exactly as "
+            "in bench.py), so the min reflects the WARM plan cost; "
+            "parity_sec = one Spark+DuckDB value comparison at SF1"
+        ),
         "queries": {},
     }
     failed = []
