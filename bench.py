@@ -80,7 +80,11 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
         if not arts:
             return None
         prev_n, prev_path = max(arts)
-        prev_sum = float(json.loads((root / prev_path).read_text()).get("value") or 0)
+        prev = json.loads((root / prev_path).read_text())
+        # the driver wraps bench.py's JSON line under "parsed"
+        prev_sum = float(
+            (prev.get("value") or prev.get("parsed", {}).get("value")) or 0
+        )
         if prev_sum <= 0:
             return None
         ratio = total / prev_sum
