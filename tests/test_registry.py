@@ -64,6 +64,42 @@ def test_untracked_correctness_artifact_cannot_redden_manifest():
         fake.unlink()
 
 
+def test_fingerprint_sync_is_idempotent_within_a_round(monkeypatch, tmp_path):
+    """The certification protocol's safety property: once a query's green
+    round is recorded, re-running sync in the SAME round (e.g. after
+    editing that query) must NOT re-certify the new fingerprint — the
+    tracked-artifact set hasn't advanced, so the edit keeps effective
+    staleness 0 until a NEW driver green lands."""
+    import json
+
+    import masd_spark.queries as q
+
+    fp_file = tmp_path / "query_fingerprints.json"
+    monkeypatch.setattr(q, "_fingerprint_path", lambda: fp_file)
+    monkeypatch.setattr(q, "last_checked_rounds", lambda: {"victim": 6})
+
+    class Spec:
+        fingerprint = "aaaa"
+
+    monkeypatch.setattr(q, "_import_query_modules", lambda: None)
+    monkeypatch.setattr(q, "REGISTRY", {"victim": Spec()})
+    q.sync_fingerprints()
+    rec = json.loads(fp_file.read_text())["victim"]
+    assert rec == {"fingerprint": "aaaa", "round": 6}
+    # the query is edited mid-round; sync re-runs (write_manifest call)
+    Spec.fingerprint = "bbbb"
+    q.sync_fingerprints()
+    rec = json.loads(fp_file.read_text())["victim"]
+    assert rec == {"fingerprint": "aaaa", "round": 6}, (
+        "mid-round re-sync must not launder an edited query's staleness"
+    )
+    # ...until the NEXT round's green artifact lands
+    monkeypatch.setattr(q, "last_checked_rounds", lambda: {"victim": 7})
+    q.sync_fingerprints()
+    rec = json.loads(fp_file.read_text())["victim"]
+    assert rec == {"fingerprint": "bbbb", "round": 7}
+
+
 def test_certified_fingerprints_match_live_registry():
     """query_fingerprints.json (the certification state) must only carry
     registered queries, and every driver-green query must have an entry —
