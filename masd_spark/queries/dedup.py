@@ -241,6 +241,50 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_scaled",
+    oracle=f"""
+    WITH {_shingles_sql(5)},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / least(sa.set_size, sb.set_size), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / least(sa.set_size, sb.set_size), 6) >= 0.8
+    """,
+)
+def dedup_containment_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_containment_pairs`` with corpus-sized shingles (k=5) — the
+    SF1SWEEP_r07 measurement made containment the worst remaining
+    saturated-vocabulary outlier (18.9x warm wall-time on 10x data: the
+    trigram candidate join touches every doc pair sharing any sub-cap
+    shingle, and at SF1 that is most pairs). Same root-cause treatment
+    as dedup_minhash_lsh_scaled: 5-gram shingles over the ~31-token
+    vocabulary give 28.6M possible shingles, so document frequency — and
+    with it candidate volume — stays flat as the corpus grows, while
+    genuinely contained spans (>= 5 consecutive shared tokens) still
+    shingle-match. A short doc quoted inside a long one keeps
+    containment ~1.0 at any k; only sub-5-token coincidental overlap
+    drops out. Registered against the uncapped k=5 oracle, cap
+    invariance re-proven per driver run, SF1-swept in SF1SWEEP_r{{N}}.
+    (operators/dedup.py:containment_pairs)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, k=5, threshold=0.8,
+        shingles=_shared_shingles(spark, sf_dir, k=5),
+        max_df=_adaptive_max_df(spark, sf_dir),
+    )
+
+
+@register(
     "dedup_ngram_jaccard_uncapped",
     oracle=_JACCARD_UNCAPPED_ORACLE,
 )

@@ -43,6 +43,7 @@ SWEEP_QUERIES = [
     "clean_winsorize_values",
     "dedup_ngram_jaccard",
     "dedup_containment_pairs",
+    "dedup_containment_scaled",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_scaled",
     "dedup_simhash_wide",

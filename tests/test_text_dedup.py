@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "dedup_ngram_jaccard_uncapped",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_scaled",
+    "dedup_containment_scaled",
     "dedup_embedding_cosine",
     "dedup_simhash",
     "text_token_stats",
