@@ -1,0 +1,171 @@
+"""Targeted SF10 probe (100x the driver's correctness gate, 10x the SF1
+sweep) -> committed SF10PROBE_r{N}.json artifact.
+
+Answers "would it survive ANOTHER 10x?" with measurements instead of
+design notes, one scale decade above SF1SWEEP. Two tiers:
+
+- PARITY queries: full DuckDB value comparison at SF10 (the four SF1
+  bug-fix regression classes + flagship + the two sketch error-contract
+  queries — all cheap enough for DuckDB at 60M lineitem / 10M events).
+- TIMING queries: Spark-only wall-time at SF1 vs SF10 (warm, noop sink)
+  with scale ratios — the scaled dedup family and the persisted ANN
+  probes, whose DuckDB twins are too heavy at this scale but whose
+  SCALING is the thing to measure.
+
+Documented exclusions (no silent caps): the exact k-gram pair joins
+(`dedup_ngram_jaccard*`, `dedup_containment_pairs`) — their candidate
+volume is sum(df^2), the known cost of EXACT pairwise dedup on a
+saturated vocabulary; the registered scale paths ARE the screens
+(minhash/simhash) and the k-sized variants measured here. And
+`ann_cosine_topk`, the quadratic-by-design ground truth.
+
+Usage: python scripts/sf10_probe.py [round_no] [--fixture DIR]
+(The fixture is built by applying scripts/make_sf1_fixture.py to the
+SF1 fixture: `python scripts/make_sf1_fixture.py /tmp/masd_sf1
+/tmp/masd_sf10` — deterministic both hops.)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+for p in (str(REPO), str(REPO / "tests"), str(REPO / "scripts")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+PARITY = [
+    "masd_sensor_rollup",
+    "q1_pricing_summary",
+    "ts_ohlc_hourly_bars",
+    "bloom_semi_join_lineitem",
+    "clean_winsorize_values",
+    "sketch_hll_error_bound",
+    "approx_error_bounds",
+]
+TIMING = [
+    "sessionize_events",
+    "asof_join_purchases",
+    "dedup_minhash_lsh_scaled",
+    "dedup_containment_scaled",
+    "dedup_simhash_wide",
+    "ann_ivf_persisted_topk",
+    "ann_pq_persisted_topk",
+    "ann_ivfpq_persisted_topk",
+]
+
+
+def _next_round() -> int:
+    rounds = [0]
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _timed(spark, spec, sf_dir: str, runs: int = 2) -> float:
+    times = []
+    for _ in range(runs):
+        t0 = time.monotonic()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times.append(time.monotonic() - t0)
+    return round(min(times), 2)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    fixture = "/tmp/masd_sf10"
+    base = "/tmp/masd_sf1"
+    rnd = None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--fixture":
+            fixture = argv[i + 1]
+            i += 2
+        else:
+            rnd = int(argv[i])
+            i += 1
+    if rnd is None:
+        rnd = _next_round()
+
+    from masd_spark.queries import load_all
+    from masd_spark.session import get_spark
+    from oracle import compare_query
+
+    spark = get_spark(app_name="sf10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    out: dict = {
+        "round": rnd,
+        "sf_dir": fixture,
+        "base_dir": base,
+        "master": spark.sparkContext.master,
+        "data_ratio": 10.0,
+        "method": (
+            "spark_*_sec = min of 2 warm noop-sink runs (bench.py "
+            "estimator; memoized intermediates shared as in bench.py); "
+            "parity_sec = one Spark+DuckDB value comparison at SF10. "
+            "base = the SF1 fixture, so ratios read 'one more decade'."
+        ),
+        "excluded": {
+            "dedup_ngram_jaccard": "exact pair join: sum(df^2) candidate "
+            "volume is the known cost of exact pairwise dedup on a "
+            "saturated vocabulary; scale paths are the screens below",
+            "dedup_containment_pairs": "same exact-join class (k=3)",
+            "ann_cosine_topk": "quadratic-by-design ground truth",
+        },
+        "queries": {},
+    }
+    failed = []
+    for name in PARITY + TIMING:
+        spec = reg[name]
+        row: dict = {}
+        try:
+            row["spark_sf1_sec"] = _timed(spark, spec, base)
+            row["spark_sf10_sec"] = _timed(spark, spec, fixture)
+            row["scale_ratio"] = (
+                round(row["spark_sf10_sec"] / row["spark_sf1_sec"], 1)
+                if row["spark_sf1_sec"] > 0
+                else None
+            )
+            if name in PARITY:
+                t0 = time.monotonic()
+                compare_query(spark, spec, fixture)
+                row["parity_sec"] = round(time.monotonic() - t0, 1)
+                row["status"] = "PASS"
+            else:
+                row["rows"] = spec.fn(spark, fixture).count()
+                row["status"] = "TIMED"
+            print(
+                f"[sf10_probe] {row['status']} {name}: SF1 "
+                f"{row['spark_sf1_sec']}s -> SF10 {row['spark_sf10_sec']}s "
+                f"({row['scale_ratio']}x on 10x data)",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001
+            row["status"] = "FAIL"
+            row["error"] = repr(exc)[:400]
+            failed.append(name)
+            print(f"[sf10_probe] FAIL {name}: {exc!r}"[:600], flush=True)
+        out["queries"][name] = row
+
+    out["pass"] = sum(
+        1 for r in out["queries"].values() if r["status"] in ("PASS", "TIMED")
+    )
+    out["fail"] = failed
+    artifact = REPO / f"SF10PROBE_r{rnd:02d}.json"
+    artifact.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"PROBE {json.dumps({'artifact': str(artifact), 'pass': out['pass'], 'fail': failed})}")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
