@@ -190,6 +190,19 @@ def simhash_wide(
     100 TB, size band_bits >= log2(n_docs / target_occupancy) and
     partition by a band prefix.
 
+    Round-7 SF10 probe caveat (500k docs): the occupancy rule assumes
+    per-bit signs are ~Bernoulli(0.5) ACROSS DOCS, which holds for
+    natural-vocabulary corpora (per-bit means ~0). On a low-entropy
+    vocabulary (this generator's ~31 tokens), each bit's token-count
+    random walk has a mean that grows ~linearly with doc length while
+    its stddev grows ~sqrt(length), so long docs deterministically
+    converge to the same corpus-modal signs — fingerprints MODAL-
+    COLLAPSE into hot band buckets and NO width fixes it (measured: the
+    60-bit band join wedges on two hot buckets at SF10). SimHash is the
+    right screen when vocabulary entropy is high; for saturated-vocab
+    corpora use the k-gram/minhash family (dedup_minhash_lsh_scaled,
+    dedup_containment_scaled — both measured ~4-5x on 10x data at SF10).
+
     Construction stays md5-portable (the DuckDB oracle replays it): bit
     j < 32 is the TOP bit of hex digit j (same as simhash32 — the wide
     fingerprint's low 32 bits equal the narrow fingerprint's); bit
