@@ -101,7 +101,7 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
         env = dict(os.environ, MASD_BENCH_NO_AB="1")
         res = subprocess.run(
             [sys.executable, "bench.py"], cwd=wt, env=env,
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=900,
         )
         parsed = None
         for line in reversed(res.stdout.splitlines()):
