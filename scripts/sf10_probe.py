@@ -79,11 +79,22 @@ def main() -> int:
     argv = sys.argv[1:]
     fixture = "/tmp/masd_sf10"
     base = "/tmp/masd_sf1"
+    prefix = "SF10PROBE"
+    skip: set[str] = set()
     rnd = None
     i = 0
     while i < len(argv):
         if argv[i] == "--fixture":
             fixture = argv[i + 1]
+            i += 2
+        elif argv[i] == "--base":
+            base = argv[i + 1]
+            i += 2
+        elif argv[i] == "--out-prefix":
+            prefix = argv[i + 1]
+            i += 2
+        elif argv[i] == "--skip":
+            skip = {s for s in argv[i + 1].split(",") if s}
             i += 2
         else:
             rnd = int(argv[i])
@@ -107,10 +118,11 @@ def main() -> int:
         "master": spark.sparkContext.master,
         "data_ratio": 10.0,
         "method": (
-            "spark_*_sec = min of 2 warm noop-sink runs (bench.py "
-            "estimator; memoized intermediates shared as in bench.py); "
-            "parity_sec = one Spark+DuckDB value comparison at SF10. "
-            "base = the SF1 fixture, so ratios read 'one more decade'."
+            "spark_sf1_sec = min of 2 warm noop-sink runs at base_dir, "
+            "spark_sf10_sec = same at sf_dir (bench.py estimator; "
+            "memoized intermediates shared as in bench.py); parity_sec "
+            "= one Spark+DuckDB value comparison at sf_dir. The ratio "
+            "reads 'one more decade above base_dir'."
         ),
         "excluded": {
             "dedup_ngram_jaccard": "exact pair join: sum(df^2) candidate "
@@ -140,8 +152,12 @@ def main() -> int:
         },
         "queries": {},
     }
+    if skip:
+        out["skipped_by_flag"] = sorted(skip)
     failed = []
     for name in PARITY + TIMING:
+        if name in skip:
+            continue
         spec = reg[name]
         row: dict = {}
         try:
@@ -177,7 +193,7 @@ def main() -> int:
         1 for r in out["queries"].values() if r["status"] in ("PASS", "TIMED")
     )
     out["fail"] = failed
-    artifact = REPO / f"SF10PROBE_r{rnd:02d}.json"
+    artifact = REPO / f"{prefix}_r{rnd:02d}.json"
     artifact.write_text(json.dumps(out, indent=1) + "\n")
     print(f"PROBE {json.dumps({'artifact': str(artifact), 'pass': out['pass'], 'fail': failed})}")
     spark.stop()
