@@ -236,6 +236,83 @@ def simhash_wide(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def vocab_entropy_guard(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary-entropy profile + fingerprint-screen router
+    (one summary row).
+
+    Operationalizes the round-7 SF10 measured finding (see
+    :func:`simhash_wide`): SimHash modal-collapses when documents are
+    long relative to the vocabulary's information content. Each SimHash
+    bit is the sign of a token-count random walk; on a unigram
+    distribution with entropy H bits, the walk's per-token mean bias is
+    on the order of 1/sqrt(2^H) while its stddev per token is ~1, so
+    over L tokens drift (~L / sqrt(2^H)) overtakes noise (~sqrt(L))
+    once L exceeds ~2^H — the unigram PERPLEXITY. Documents beyond that
+    length converge to the corpus-modal fingerprint and the band join
+    degenerates. The guard therefore flags ``simhash_collapse_risk``
+    when ``mean_doc_tokens > unigram_perplexity`` and recommends the
+    k-gram/minhash screen family instead (exact-verified, entropy-
+    independent). Run it once per corpus BEFORE choosing a near-dup
+    screen — at 100 TB a wedged simhash band join costs hours; this
+    profile costs one vocab-keyed aggregation.
+
+    Output columns: n_docs, total_tokens, vocab_size, entropy_bits,
+    unigram_perplexity, mean_doc_tokens, simhash_collapse_risk,
+    recommended_screen. The decision is computed from the ROUNDED
+    profile columns on both engine sides, so oracle hash parity of the
+    profile implies parity of the decision.
+
+    Plan shape: one map-side scan for (n_docs, total_tokens); one
+    vocab-bounded token-frequency shuffle (partial+final, map-side
+    combine; state O(vocab)); per-term entropy contributions quantized
+    to DECIMAL(18,8) so the fold is order-independent and cross-engine
+    exact (parity recipe); the two scalar aggregates meet in 1x1
+    broadcast crossJoins.
+    """
+    import math
+
+    ln2 = math.log(2.0)
+    d = df.filter(F.length(F.trim(F.col(text_col))) > 0)
+    doc_stats = d.select(token_count(text_col).alias("n_tok")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    freq = (
+        d.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("total_tokens").cast("double")
+    ent = (
+        freq.crossJoin(F.broadcast(doc_stats))
+        .select((-p * F.log(p)).cast("decimal(18,8)").alias("h_term"))
+        .agg(
+            F.sum("h_term").cast("double").alias("h_nats"),
+            F.count("*").alias("vocab_size"),
+        )
+    )
+    prof = doc_stats.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(F.col("h_nats") / ln2, 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("h_nats") / ln2), 4).alias(
+            "unigram_perplexity"
+        ),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_doc_tokens"),
+    )
+    risk = F.col("mean_doc_tokens") > F.col("unigram_perplexity")
+    return prof.select(
+        "*",
+        risk.alias("simhash_collapse_risk"),
+        F.when(risk, F.lit("kgram_minhash"))
+        .otherwise(F.lit("simhash"))
+        .alias("recommended_screen"),
+    )
+
+
 def fingerprint_md5(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Exact content fingerprint: md5 of whitespace-normalized lowercase
     text. The join key for exact dedup at any scale.

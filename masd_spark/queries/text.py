@@ -1013,3 +1013,63 @@ def text_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_i.cast("bigint").alias("n_ipv4"),
         ((n_e + n_p + n_i) > 0).alias("has_pii"),
     )
+
+
+@register(
+    "text_entropy_screen_guard",
+    oracle="""
+    WITH d AS (
+        SELECT lower(trim(text)) AS t FROM documents
+        WHERE length(trim(text)) > 0
+    ),
+    ds AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(t, '\\s+'))) AS BIGINT)
+                   AS total_tokens
+        FROM d
+    ),
+    freq AS (
+        SELECT tok, count(*) AS c
+        FROM (SELECT unnest(string_split_regex(t, '\\s+')) AS tok FROM d)
+        GROUP BY 1
+    ),
+    ent AS (
+        SELECT CAST(sum(CAST(
+                   -(CAST(c AS DOUBLE)
+                     / (SELECT CAST(total_tokens AS DOUBLE) FROM ds))
+                   * ln(CAST(c AS DOUBLE)
+                        / (SELECT CAST(total_tokens AS DOUBLE) FROM ds))
+               AS DECIMAL(18,8))) AS DOUBLE) AS h_nats,
+               CAST(count(*) AS BIGINT) AS vocab_size
+        FROM freq
+    ),
+    prof AS (
+        SELECT n_docs, total_tokens, vocab_size,
+               ROUND(h_nats / ln(2), 6) AS entropy_bits,
+               ROUND(power(2, h_nats / ln(2)), 4) AS unigram_perplexity,
+               ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6)
+                   AS mean_doc_tokens
+        FROM ds, ent
+    )
+    SELECT n_docs, total_tokens, vocab_size, entropy_bits,
+           unigram_perplexity, mean_doc_tokens,
+           mean_doc_tokens > unigram_perplexity AS simhash_collapse_risk,
+           CASE WHEN mean_doc_tokens > unigram_perplexity
+                THEN 'kgram_minhash' ELSE 'simhash' END
+               AS recommended_screen
+    FROM prof
+    """,
+)
+def text_entropy_screen_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup screen router: corpus vocabulary-entropy profile with a
+    simhash-modal-collapse verdict (the round-7 SF10 measured finding as
+    a first-class operator — see operators/text.py:vocab_entropy_guard
+    and simhash_wide's caveat). One vocab-bounded shuffle; run once per
+    corpus before committing a 100 TB near-dup screen: flags corpora
+    whose mean document length exceeds the unigram perplexity, where
+    simhash fingerprints converge to the corpus mode and the band join
+    degenerates, and routes them to the k-gram/minhash family."""
+    from masd_spark.operators.text import vocab_entropy_guard
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_entropy_guard(docs)

@@ -42,6 +42,7 @@ ORACLE_QUERIES = [
     "text_rrf_hybrid_search",
     "corpus_mixture_report",
     "pipeline_length_bucketing",
+    "text_entropy_screen_guard",
 ]
 
 
@@ -630,3 +631,37 @@ def test_pii_report_detects_injected_and_flags(spark):
     for r in rows:
         assert r["n_emails"] >= 1 and r["n_phones"] >= 1 and r["n_ipv4"] >= 1
         assert r["has_pii"] == ((r["n_emails"] + r["n_phones"] + r["n_ipv4"]) > 0)
+
+
+def test_entropy_guard_routes_by_vocabulary_entropy(spark):
+    """The screen router must flag the corpus shape that wedged simhash at
+    SF10 (long docs over a tiny vocabulary -> mean_doc_tokens beyond the
+    unigram perplexity) and clear a high-entropy corpus of the same size.
+    Uniform 5-token vocabulary pins entropy_bits = log2(5) exactly."""
+    import math
+
+    from masd_spark.operators.text import vocab_entropy_guard
+
+    low = spark.createDataFrame(
+        [(i, "alpha beta gamma delta eps " * 40) for i in range(20)],
+        "doc_id long, text string",
+    )
+    row = vocab_entropy_guard(low).collect()[0]
+    assert row.vocab_size == 5
+    assert abs(row.entropy_bits - math.log2(5)) < 1e-5
+    assert row.mean_doc_tokens == 200.0
+    assert row.simhash_collapse_risk is True
+    assert row.recommended_screen == "kgram_minhash"
+
+    high = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(50)
+        ],
+        "doc_id long, text string",
+    )
+    row = vocab_entropy_guard(high).collect()[0]
+    assert row.vocab_size == 500
+    assert abs(row.entropy_bits - math.log2(500)) < 1e-5
+    assert row.simhash_collapse_risk is False
+    assert row.recommended_screen == "simhash"
