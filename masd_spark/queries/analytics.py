@@ -492,7 +492,7 @@ def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(
-            F.broadcast(load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            load_table(spark, sf_dir, "part").select("p_partkey", "p_brand"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("l_orderkey", "p_brand")

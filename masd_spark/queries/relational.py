@@ -129,10 +129,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority (TPC-H Q3 shape): filtered 3-way join + top-10.
 
-    Scale plan: customer (the selective dimension) is explicitly broadcast
-    — no shuffle of the fact tables for that join; orders|x|lineitem is the
-    one genuine shuffle (both sides partitioned on the order key). The
-    top-10 is a TakeOrderedAndProject: per-partition heaps, no global sort.
+    Scale plan: the customer join strategy is left to Catalyst/AQE — at
+    fixture scales the filtered dimension auto-broadcasts (plan-asserted
+    in tests/test_plans.py), past the size threshold it degrades to a
+    shuffle join instead of an OOM. The SF100 probe measured exactly
+    this boundary: a hard F.broadcast(cust) hint OOM'd the 16g JVM at
+    15M customers, because customer SCALES with the data — hints are
+    reserved for genuinely bounded dims (nation/region, scalar
+    aggregates). orders|x|lineitem is the one genuine shuffle (both
+    sides partitioned on the order key). The top-10 is a
+    TakeOrderedAndProject: per-partition heaps, no global sort.
     """
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -143,7 +149,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -179,9 +185,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier revenue (TPC-H Q5 shape): 6-way join through the full
-    snowflake. All dimensions (customer/supplier/nation/region) are
-    broadcast — the only shuffle is lineitem|x|orders on the order key;
-    Catalyst folds the region/nation lookups into the broadcast stage.
+    snowflake. nation/region (constant-size) carry explicit broadcast
+    hints; customer/supplier SCALE with the data, so their strategy is
+    left to Catalyst/AQE — auto-broadcast at fixture scales
+    (plan-asserted), shuffle join past the threshold (the SF100 probe
+    OOM'd the hinted version at 15M customers / 1M suppliers). The only
+    unavoidable shuffle is lineitem|x|orders on the order key.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -194,9 +203,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )
@@ -311,7 +320,7 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     top = topk_per_group(
         joined,
         ["c_mktsegment"],
@@ -834,7 +843,7 @@ def bi_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

@@ -96,7 +96,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = (
         _t(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(supp.select("s_suppkey")),
+            supp.select("s_suppkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_semi",
         )
@@ -113,7 +113,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.join(best, "partkey")
         .filter(F.col("unit_cost") == F.col("best_cost"))
         .join(parts, F.col("p_partkey") == F.col("partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("suppkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -202,7 +202,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia, F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey")
     )
-    supp_n = F.broadcast(
+    supp_n = (
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(_t(spark, sf_dir, "nation")),
@@ -257,7 +257,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the part key, supplier/nation dims broadcast.
     """
     parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
-    supp_n = F.broadcast(
+    supp_n = (
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(_t(spark, sf_dir, "nation")),
@@ -306,7 +306,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputing the join lineage (the repo's measured cache-bypass rule).
     Observed lineitem value stands in for availqty*supplycost.
     """
-    nat2 = F.broadcast(
+    nat2 = (
         _t(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
@@ -456,7 +456,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
         .join(
-            F.broadcast(_t(spark, sf_dir, "supplier")),
+            _t(spark, sf_dir, "supplier"),
             F.col("s_suppkey") == F.col("supplier_no"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -493,7 +493,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 13)
     )
-    blacklist = F.broadcast(
+    blacklist = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
@@ -538,7 +538,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine (quantities are integral doubles; a last-ULP avg
     difference WOULD flip rows). Brand+size stand in for brand+container.
     """
-    target = F.broadcast(
+    target = (
         _t(spark, sf_dir, "part")
         .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
         .select("p_partkey")
@@ -600,7 +600,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the region's suppliers surface. Shipped quantity stands in for the
     missing availqty.
     """
-    promo = F.broadcast(
+    promo = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_type") == "PROMO")
         .select("p_partkey")
@@ -694,7 +694,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late_pairs.join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(eu_supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -91,6 +91,9 @@ def main() -> int:
     base = "/tmp/masd_sf1"
     prefix = "SF10PROBE"
     skip: set[str] = set()
+    parity = list(PARITY)
+    timing = list(TIMING)
+    hash_parity = set(HASH_PARITY)
     rnd = None
     i = 0
     while i < len(argv):
@@ -105,6 +108,20 @@ def main() -> int:
             i += 2
         elif argv[i] == "--skip":
             skip = {s for s in argv[i + 1].split(",") if s}
+            i += 2
+        elif argv[i] == "--parity":
+            # REPLACE the parity tier (comma list) — lets one probe run
+            # target a different query family (e.g. the SF100 join/window
+            # extension) without editing the defaults.
+            parity = [s for s in argv[i + 1].split(",") if s]
+            i += 2
+        elif argv[i] == "--timing":
+            timing = [s for s in argv[i + 1].split(",") if s]
+            i += 2
+        elif argv[i] == "--hash-parity":
+            # ADD to the hashed-comparator set: per-row-output queries
+            # whose results can't be collected at probe scale.
+            hash_parity |= {s for s in argv[i + 1].split(",") if s}
             i += 2
         else:
             rnd = int(argv[i])
@@ -165,7 +182,7 @@ def main() -> int:
     if skip:
         out["skipped_by_flag"] = sorted(skip)
     failed = []
-    for name in PARITY + TIMING:
+    for name in parity + timing:
         if name in skip:
             continue
         spec = reg[name]
@@ -178,9 +195,9 @@ def main() -> int:
                 if row["spark_sf1_sec"] > 0
                 else None
             )
-            if name in PARITY:
+            if name in parity:
                 t0 = time.monotonic()
-                if name in HASH_PARITY:
+                if name in hash_parity:
                     out_h = hash_compare_query(spark, spec, fixture)
                     row["parity_rows"] = out_h["rows"]
                     row["parity_method"] = "hash_compare_query"
