@@ -41,9 +41,10 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
 
     r4->r5->r6 drifted upward while binary-identical plans re-measured
     slower on today's host — the standing protocol is a `git worktree`
-    A/B: re-run the EXACT prior-round judging commit's bench.py on the
-    same host, same hour. If the prior code also measures slow, the host
-    drifted, not the plans. This embeds that experiment in the artifact
+    A/B: re-run the EXACT prior-round judging commit's bench.py AND
+    head's, back-to-back on the same host — only the two same-window
+    numbers can attribute drift to code when host degradation is
+    intermittent. This embeds that experiment in the artifact
     whenever the warm sum exceeds 1.15x the last committed BENCH value:
     ``ab_prior_commit`` carries the prior commit sha, its re-measured
     value, and per-query seconds, so drift adjudication is
@@ -95,27 +96,51 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
     except Exception as exc:  # noqa: BLE001
         return {"error": f"setup: {exc!r}"[:300]}
 
-    wt = tempfile.mkdtemp(prefix="bench_ab_")
-    try:
-        git("worktree", "add", "--detach", wt, base, timeout=120)
+    def run_bench(cwd: str) -> dict | None:
         env = dict(os.environ, MASD_BENCH_NO_AB="1")
         res = subprocess.run(
-            [sys.executable, "bench.py"], cwd=wt, env=env,
+            [sys.executable, "bench.py"], cwd=cwd, env=env,
             capture_output=True, text=True, timeout=900,
         )
-        parsed = None
         for line in reversed(res.stdout.splitlines()):
             line = line.strip()
             if line.startswith("{"):
-                parsed = json.loads(line)
-                break
+                return json.loads(line)
+        return None
+
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        git("worktree", "add", "--detach", wt, base, timeout=120)
+        parsed = run_bench(wt)
         if parsed is None:
             return {
                 "commit": base, "prev_round": prev_n,
                 "drift_ratio": round(ratio, 2),
-                "error": f"no JSON from prior bench (rc={res.returncode}): "
-                         + res.stderr[-200:],
+                "error": "no JSON from prior bench",
             }
+        # Re-measure HEAD in the ADJACENT subprocess window too. Round-7
+        # finding: this host's degradation is INTERMITTENT, not
+        # monotonic (anonymous page-fault throughput measured swinging
+        # 270 MB/s <-> 2.1 GB/s minutes apart), so "prior-now vs
+        # prior-committed" mislabels a lucky prior window as code-drift
+        # — it did exactly that this round (HEAD 35.9s in a bad window,
+        # prior 15.1s in a good one, identical dedup operator code).
+        # Only HEAD and prior measured back-to-back under the same
+        # conditions can attribute drift to code.
+        parsed_head = run_bench(str(root))
+        prior_now = float(parsed.get("value") or 0)
+        head_now = float((parsed_head or {}).get("value") or 0)
+        if head_now > 0 and prior_now > 0:
+            code_ratio = head_now / prior_now
+            if code_ratio > 1.15:
+                verdict = "code-drift"
+            elif total > 1.15 * head_now:
+                verdict = "host-window-noise"
+            else:
+                verdict = "host-drift" if prior_now > 1.15 * prev_sum else "inconclusive"
+        else:
+            verdict = "host-drift" if prior_now > prev_sum else "code-drift"
+            code_ratio = None
         return {
             "commit": base,
             "prev_round": prev_n,
@@ -123,14 +148,16 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
             "drift_ratio": round(ratio, 2),
             "value": parsed.get("value"),
             "queries": parsed.get("queries"),
-            "verdict": (
-                "host-drift" if parsed.get("value", 0) > prev_sum else "code-drift"
-            ),
+            "head_requote_value": head_now or None,
+            "head_requote_queries": (parsed_head or {}).get("queries"),
+            "code_ratio_same_window": round(code_ratio, 3) if code_ratio else None,
+            "verdict": verdict,
             "note": (
-                "prior judging commit re-benched on today's host; if its "
-                "re-measured value also exceeds its committed value, the "
-                "host slowed down, not this round's plans",
-            )[0],
+                "prior judging commit AND head re-benched back-to-back on "
+                "today's host; the verdict compares the two same-window "
+                "numbers (code_ratio_same_window), not either against its "
+                "committed value — host noise here is intermittent"
+            ),
         }
     except Exception as exc:  # noqa: BLE001
         return {"commit": base, "drift_ratio": round(ratio, 2),

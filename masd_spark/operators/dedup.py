@@ -180,6 +180,190 @@ def span_duplication(
     )
 
 
+def _dup_token_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    min_docs: int,
+    min_span_tokens: int,
+) -> DataFrame:
+    """Maximal duplicated token ranges per doc: (id, span_start,
+    span_tokens), 0-based token offsets.
+
+    A token is COVERED when it sits inside at least one positional k-gram
+    that occurs in >= ``min_docs`` distinct documents; maximal runs of
+    covered tokens of length >= ``min_span_tokens`` are the duplicated
+    spans. Working on the covered-token UNION (not on runs of anchor
+    positions) merges k-grams whose windows overlap without being
+    consecutive — the same range-merge the suffix-array method performs
+    on character intervals.
+
+    Implementation is an INTERVAL MERGE, not a covered-position explode:
+    each duplicated anchor position p is the interval [p, p+k); a
+    running-max-of-ends window marks interval starts that clear every
+    earlier end (new island) and a conditional running sum numbers the
+    islands — one doc-keyed sort, no k-factor position blow-up, no
+    distinct. The DuckDB oracle twin deliberately keeps the explicit
+    covered-token-explode formulation, so driver parity cross-proves the
+    two formulations equivalent.
+
+    Cost: linear in total tokens — one doc-keyed shuffle for positional
+    shingles, one shingle-keyed frequency, one semi-join back, and the
+    merge window reuses the doc partitioning. No all-pairs stage.
+    """
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    spans = toked.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    spans = spans.localCheckpoint(eager=True)  # feeds freq AND the join
+    dup = (
+        spans.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("shingle")
+    )
+    anchors = spans.join(dup, "shingle", "left_semi").select(
+        id_col, "pos", (F.col("pos") + F.lit(k)).alias("_end")
+    )
+    ordered = Window.partitionBy(id_col).orderBy("pos")
+    before = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    merged = anchors.withColumn(
+        # a strictly later start than every earlier interval's end opens a
+        # new island; end == start is adjacency (contiguous tokens), merge
+        "_new",
+        F.when(F.col("pos") > F.coalesce(F.max("_end").over(before), F.lit(-1)), 1)
+        .otherwise(0),
+    ).withColumn("_grp", F.sum("_new").over(ordered))
+    return (
+        merged.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("_end") - F.min("pos")).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
+        .drop("_grp")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+    min_span_tokens: int = 5,
+) -> DataFrame:
+    """EXACT-SUBSTRING duplication extraction (token-level analogue of the
+    suffix-array method of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): emit every maximal token
+    range of length >= ``min_span_tokens`` whose every token lies inside a
+    k-gram shared by >= ``min_docs`` distinct documents.
+
+    Output: (id, span_start, span_tokens, span_text) — the actual
+    duplicated passages, not just per-doc pressure stats
+    (:func:`span_duplication` is the stats twin). Token offsets are
+    0-based over the normalized (trimmed, lowercased, whitespace-split)
+    token sequence.
+
+    Scale: the suffix-array construction the paper uses is a single-node
+    algorithm; the Spark-native equivalent anchors duplication on
+    positional k-grams (distributed freq table + semi-join) and merges
+    covered-token intervals with a per-doc window — every stage keyed,
+    linear in corpus tokens, no all-pairs. Precision relative to true
+    substring duplication: a run's every k-window is duplicated somewhere,
+    but possibly in different partner docs (same relaxation every k-gram
+    anchoring makes); recall is exact for duplicated substrings of length
+    >= k.
+
+    Invalid-input contract: null ids are excluded (duplication across
+    "distinct documents" needs identity); null texts produce no spans.
+    """
+    df = df.filter(F.col(id_col).isNotNull())
+    runs = _dup_token_runs(df, id_col, text_col, k, min_docs, min_span_tokens)
+    toks_by_doc = df.select(F.col(id_col), tokens(text_col).alias("_ts"))
+    return runs.join(toks_by_doc, id_col).select(
+        F.col(id_col),
+        "span_start",
+        "span_tokens",
+        F.array_join(
+            F.slice("_ts", F.col("span_start") + 1, F.col("span_tokens")), " "
+        ).alias("span_text"),
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+    min_span_tokens: int = 5,
+) -> DataFrame:
+    """Remove the duplicated spans :func:`duplicated_spans` finds — the
+    write-side of substring dedup (Lee et al. drop the duplicated range
+    from all but one occurrence; this keeps per-doc determinism by
+    dropping EVERY occurrence, the conservative training-data choice —
+    no cross-doc "which copy survives" coordination at 100 TB).
+
+    Output: one row per doc with non-null text and id —
+    (id, n_tokens, n_dup_tokens, clean_text) where clean_text is the
+    normalized token sequence minus covered spans ('' when everything was
+    duplicated). Docs with no qualifying span pass through with
+    n_dup_tokens = 0.
+
+    Plan: the runs table (tiny relative to the corpus) explodes back to
+    covered positions; a doc-keyed LEFT ANTI join drops them from the
+    positional token rows; one per-doc aggregation rebuilds the text via
+    array_sort(collect_list(struct(pos, tok))) — order restored by the
+    unique position, partitioning-independent.
+    """
+    base = df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    runs = _dup_token_runs(base, id_col, text_col, k, min_docs, min_span_tokens)
+    covered = runs.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - F.lit(1),
+            )
+        ).alias("tpos"),
+    )
+    toked = base.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("tpos", "tok")
+    )
+    kept = toked.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dup_tokens"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def _pair_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
     """(doc_a, doc_b, shingle-match rows with size_a/size_b) -> thresholded
     Jaccard per pair. Sizes arrive map-side via first() — no extra joins."""

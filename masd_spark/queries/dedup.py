@@ -12,10 +12,12 @@ from pyspark.sql import functions as F
 from masd_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
+    duplicated_spans,
     jaccard_pairs,
     minhash_lsh_pairs,
     shingle_rows,
     span_duplication,
+    strip_duplicated_spans,
 )
 from masd_spark.operators.similarity import cosine_pairs
 from masd_spark.queries import register, valid_embeddings
@@ -200,6 +202,106 @@ def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return span_duplication(docs, k=3, min_docs=2)
+
+
+# Shared CTE prefix for the substring-dedup (Lee et al. 2107.06499)
+# oracles: positional 5-gram anchors -> cross-doc-duplicated anchors ->
+# covered-token union -> maximal runs >= 8 tokens. k=5 because this
+# generator's 31-token vocabulary saturates the trigram space (df>=2 is
+# near-certain for every 3-gram at gate scale, flagging ~90% of all
+# tokens); 31^5 = 28.6M possible 5-grams keeps anchors discriminative —
+# the same desaturation dedup_minhash_lsh_scaled uses.
+_SPAN_RUNS_SQL = r"""toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    pos_spans AS (
+        SELECT doc_id, u.i - 1 AS pos,
+               ts[u.i] || ' ' || ts[u.i+1] || ' ' || ts[u.i+2]
+                       || ' ' || ts[u.i+3] || ' ' || ts[u.i+4] AS shingle
+        FROM toks, unnest(range(1, len(ts) - 3)) AS u(i)
+        WHERE len(ts) >= 5
+    ),
+    dupshingle AS (
+        SELECT shingle
+        FROM (SELECT DISTINCT doc_id, shingle FROM pos_spans)
+        GROUP BY shingle HAVING count(*) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT p.doc_id, p.pos + u.j AS tpos
+        FROM pos_spans p JOIN dupshingle USING (shingle),
+             unnest(range(0, 5)) AS u(j)
+    ),
+    runs AS (
+        SELECT doc_id, CAST(min(tpos) AS BIGINT) AS span_start,
+               CAST(count(*) AS BIGINT) AS span_tokens
+        FROM (SELECT doc_id, tpos,
+                     tpos - row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY tpos) AS grp
+              FROM covered)
+        GROUP BY doc_id, grp
+        HAVING count(*) >= 8
+    )"""
+
+
+@register(
+    "dedup_span_extract",
+    oracle=f"""
+    WITH {_SPAN_RUNS_SQL}
+    SELECT r.doc_id, r.span_start, r.span_tokens,
+           array_to_string(
+               t.ts[r.span_start + 1 : r.span_start + r.span_tokens], ' '
+           ) AS span_text
+    FROM runs r JOIN toks t USING (doc_id)
+    """,
+)
+def dedup_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication EXTRACTION (token-level analogue of
+    suffix-array substring dedup, Lee et al. arXiv:2107.06499): every
+    maximal token range >= 8 tokens whose every token lies inside a
+    positional 5-gram shared by >= 2 distinct documents — the actual
+    duplicated passages with offsets and text, not just pressure stats
+    (dedup_span_duplication is the stats twin). All stages keyed and
+    linear in corpus tokens; no all-pairs.
+    (operators/dedup.py:duplicated_spans)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=5, min_docs=2, min_span_tokens=8)
+
+
+@register(
+    "dedup_span_strip",
+    oracle=f"""
+    WITH {_SPAN_RUNS_SQL},
+    strip_cov AS (
+        SELECT doc_id, span_start + u.j AS tpos
+        FROM runs, unnest(range(0, span_tokens)) AS u(j)
+    ),
+    kept AS (
+        SELECT t.doc_id, u.i AS tpos, t.ts[u.i + 1] AS tok
+        FROM toks t, unnest(range(0, len(t.ts))) AS u(i)
+        WHERE NOT EXISTS (SELECT 1 FROM strip_cov s
+                          WHERE s.doc_id = t.doc_id AND s.tpos = u.i)
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(len(t.ts) - count(k.tpos) AS BIGINT) AS n_dup_tokens,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.tpos), '') AS clean_text
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.ts)
+    """,
+)
+def dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side of substring dedup: normalized text with every
+    qualifying duplicated span (>= 8 tokens, 5-gram anchors, >= 2 docs)
+    removed, plus before/after token counts. Dropping EVERY occurrence —
+    not all-but-one — keeps the operator deterministic per-doc with no
+    cross-doc survivor coordination at 100 TB.
+    (operators/dedup.py:strip_duplicated_spans)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicated_spans(docs, k=5, min_docs=2, min_span_tokens=8)
 
 
 @register(

@@ -49,6 +49,8 @@ NULL_SENSITIVE_QUERIES = [
     "sketch_mg_heavy_users",
     "chunk_dedup_stats",
     "dedup_span_duplication",
+    "dedup_span_extract",
+    "dedup_span_strip",
     "corpus_ngram_topk",
     "pipeline_length_bucketing",
     "filter_quality_quantile",

@@ -43,6 +43,8 @@ ORACLE_QUERIES = [
     "corpus_mixture_report",
     "pipeline_length_bucketing",
     "text_entropy_screen_guard",
+    "dedup_span_extract",
+    "dedup_span_strip",
 ]
 
 
