@@ -36,6 +36,36 @@ R01_BASELINE: dict[str, float] = {
 REGRESSION_FACTOR = 2.0
 
 
+def _ab_verdict(
+    total: float, prev_sum: float, prior_now: float, head_now: float
+) -> tuple[str, float | None]:
+    """Attribute a warm-sum drift (``total`` > 1.15x ``prev_sum``) from
+    the two SAME-WINDOW re-measurements: ``prior_now`` (prior judging
+    commit) and ``head_now`` (this tree), run back-to-back subprocesses.
+
+    - head slower than prior in the same window -> code-drift (real).
+    - head re-measures well below the in-process ``total`` -> the
+      original number was an unlucky host window (host-window-noise).
+    - both windows slow vs the committed value -> host-drift.
+
+    Comparing either run against its COMMITTED value is unsound on this
+    host: degradation is intermittent, so a lucky prior window next to
+    an unlucky head window mimics code drift (observed round 7: head
+    35.9s / prior 15.1s with byte-identical operator code, followed
+    minutes later by head 15.x).
+    """
+    if head_now > 0 and prior_now > 0:
+        code_ratio = head_now / prior_now
+        if code_ratio > 1.15:
+            return "code-drift", code_ratio
+        if total > 1.15 * head_now:
+            return "host-window-noise", code_ratio
+        if prior_now > 1.15 * prev_sum:
+            return "host-drift", code_ratio
+        return "inconclusive", code_ratio
+    return ("host-drift" if prior_now > prev_sum else "code-drift"), None
+
+
 def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
     """Round-over-round drift adjudication as DATA (VERDICT r6 item 8).
 
@@ -130,17 +160,7 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
         parsed_head = run_bench(str(root))
         prior_now = float(parsed.get("value") or 0)
         head_now = float((parsed_head or {}).get("value") or 0)
-        if head_now > 0 and prior_now > 0:
-            code_ratio = head_now / prior_now
-            if code_ratio > 1.15:
-                verdict = "code-drift"
-            elif total > 1.15 * head_now:
-                verdict = "host-window-noise"
-            else:
-                verdict = "host-drift" if prior_now > 1.15 * prev_sum else "inconclusive"
-        else:
-            verdict = "host-drift" if prior_now > prev_sum else "code-drift"
-            code_ratio = None
+        verdict, code_ratio = _ab_verdict(total, prev_sum, prior_now, head_now)
         return {
             "commit": base,
             "prev_round": prev_n,

@@ -667,3 +667,86 @@ def test_entropy_guard_routes_by_vocabulary_entropy(spark):
     assert abs(row.entropy_bits - math.log2(500)) < 1e-5
     assert row.simhash_collapse_risk is False
     assert row.recommended_screen == "simhash"
+
+
+def _ref_span_runs(texts, k, min_docs, min_span):
+    """Pure-Python reference for duplicated-span extraction: covered-token
+    union + islands, computed naively. Ground truth for the operator's
+    interval-merge formulation on arbitrary corpora."""
+    toks = {d: t.strip().lower().split() for d, t in texts.items()}
+    df = {}
+    grams = {}
+    for d, ts in toks.items():
+        g = [tuple(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        grams[d] = g
+        for sh in set(g):
+            df.setdefault(sh, set()).add(d)
+    out = []
+    for d, g in grams.items():
+        covered = set()
+        for i, sh in enumerate(g):
+            if len(df[sh]) >= min_docs:
+                covered.update(range(i, i + k))
+        run = []
+        for p in sorted(covered) + [10**9]:
+            if run and p != run[-1] + 1:
+                if len(run) >= min_span:
+                    out.append(
+                        (d, run[0], len(run), " ".join(toks[d][run[0] : run[0] + len(run)]))
+                    )
+                run = []
+            run.append(p)
+    return sorted(out)
+
+
+def test_duplicated_spans_matches_naive_reference_on_random_corpus(spark):
+    """Seeded random corpus with planted shared passages: the operator's
+    interval-merge must equal the naive covered-union reference — including
+    overlapping-but-not-consecutive anchor windows, the case a runs-of-
+    anchors formulation gets wrong."""
+    import random
+
+    from masd_spark.operators.dedup import duplicated_spans, strip_duplicated_spans
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(40)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12))) for _ in range(6)
+    ]
+    texts = {}
+    for d in range(60):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        for _ in range(rng.randint(0, 3)):
+            parts.insert(rng.randint(0, len(parts)), rng.choice(passages))
+        texts[d] = " ".join(parts)
+
+    k, min_docs, min_span = 3, 2, 4
+    ref = _ref_span_runs(texts, k, min_docs, min_span)
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in duplicated_spans(
+            docs, k=k, min_docs=min_docs, min_span_tokens=min_span
+        ).collect()
+    )
+    assert got == ref
+
+    # strip must remove exactly the reference runs' token positions
+    removed = {}
+    for d, start, n, _ in ref:
+        removed.setdefault(d, set()).update(range(start, start + n))
+    stripped = {
+        r["doc_id"]: r
+        for r in strip_duplicated_spans(
+            docs, k=k, min_docs=min_docs, min_span_tokens=min_span
+        ).collect()
+    }
+    for d, text in texts.items():
+        ts = text.strip().lower().split()
+        if ts == [] :
+            ts = [""]  # split('') semantics both engines share
+        keep = [t for i, t in enumerate(ts) if i not in removed.get(d, set())]
+        assert stripped[d]["n_tokens"] == len(ts)
+        assert stripped[d]["n_dup_tokens"] == len(removed.get(d, set()))
+        assert stripped[d]["clean_text"] == " ".join(keep)
