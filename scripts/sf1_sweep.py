@@ -47,6 +47,8 @@ SWEEP_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_scaled",
     "dedup_simhash_wide",
+    "dedup_span_extract",
+    "dedup_span_strip",
     "ann_ivf_persisted_topk",
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
