@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from masd_spark.operators.chunking import chunk_documents, chunk_dedup_stats
+from masd_spark.operators.chunking import (
+    chunk_dedup_stats,
+    chunk_documents,
+    chunk_documents_udtf,
+)
 from masd_spark.queries import register
 from masd_spark.sources.tables import load_table
 
@@ -14,9 +18,11 @@ _CHUNK, _OVERLAP = 32, 8
 _STEP = _CHUNK - _OVERLAP
 
 
-@register(
-    "chunk_documents_overlap",
-    oracle=f"""
+# One oracle, two Spark routes: the expression-only chunker and its
+# Spark 4 Python-UDTF twin register against the IDENTICAL SQL, so the
+# driver's value hash proves the table-function extension point agrees
+# with the built-in row-for-row.
+_CHUNK_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
         FROM documents WHERE length(trim(text)) > 0
@@ -33,8 +39,10 @@ _STEP = _CHUNK - _OVERLAP
            array_to_string(ts[start : least(start + {_CHUNK - 1}, len(ts))], ' ')
                AS chunk_text
     FROM s
-    """,
-)
+    """
+
+
+@register("chunk_documents_overlap", oracle=_CHUNK_ORACLE)
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 32-token chunks, 8-token overlap (stride
     24) — the RAG/pretraining context splitter. Row-local explode, no
@@ -44,6 +52,21 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs.select("doc_id", "text"), chunk_size=_CHUNK, overlap=_OVERLAP
     ).select("doc_id", "chunk_index", "n_chunk_tokens", "chunk_text")
+
+
+@register("chunk_documents_udtf", oracle=_CHUNK_ORACLE)
+def chunk_documents_udtf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sliding-window chunking through the Spark 4 Python-UDTF
+    extension point (SQL ``LATERAL``, ArrowEvalPythonUDTF) — API-surface
+    parity for custom row-to-rows operators that plain expressions can't
+    state; same oracle as the built-in twin, so the driver hash-checks
+    that both routes agree. Python in the loop => NOT the hot-path
+    choice; see operators/chunking.py:chunk_documents_udtf.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_udtf(
+        docs.select("doc_id", "text"), chunk_size=_CHUNK, overlap=_OVERLAP
+    )
 
 
 @register(

@@ -12,7 +12,10 @@ from tests.oracle import compare_query
 REGISTRY = load_all()
 
 
-@pytest.mark.parametrize("name", ["chunk_documents_overlap", "chunk_dedup_stats"])
+@pytest.mark.parametrize(
+    "name",
+    ["chunk_documents_overlap", "chunk_documents_udtf", "chunk_dedup_stats"],
+)
 def test_oracle_parity(spark, name):
     compare_query(spark, REGISTRY[name], SF_ORACLE)
 
