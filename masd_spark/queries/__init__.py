@@ -319,10 +319,20 @@ def certified_fingerprints() -> dict[str, dict]:
 def effective_checked_rounds() -> dict[str, int]:
     """Rotation staleness with the changed-since-checked policy (VERDICT
     r6 item 2): a query's effective last-checked round is the round its
-    CURRENT fingerprint was certified green at — 0 if it was never driver-
-    confirmed OR if its fingerprint changed since that confirmation. An
-    edited query therefore sorts like a never-checked one and re-enters
-    the very next driver window instead of hiding for a rotation cycle.
+    CURRENT fingerprint was certified green at. Two classes sort ahead of
+    every confirmed query:
+
+    - ``-1`` — certified green once, but the fingerprint changed since:
+      the existing green is possibly INVALIDATED (a latent regression),
+      so re-verifying it outranks everything, including first-time
+      checks of new registrations;
+    - ``0`` — never driver-confirmed: a first-time check establishes a
+      NEW claim; urgent, but nothing previously vouched-for is at stake.
+
+    The distinction matters only when the stale set exactly fills the
+    window: an edit can then defer a new registration's first check by
+    one round, never the reverse — re-earning possibly-stale greens is
+    the higher audit priority.
 
     Uses the certified round (not the raw artifact round) so that a
     freshly-tracked artifact whose fingerprints haven't been synced yet
@@ -335,6 +345,8 @@ def effective_checked_rounds() -> dict[str, int]:
         rec = certified.get(name)
         if rec and rec.get("fingerprint") == spec.fingerprint:
             out[name] = int(rec.get("round", 0))
+        elif rec:
+            out[name] = -1
         else:
             out[name] = 0
     return out

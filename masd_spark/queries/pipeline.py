@@ -758,3 +758,152 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tmp, 6).alias("temp_share"),
         F.round(tmp / nat, 6).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for pretraining)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET = "src0"
+_DSIR_TOPK = 200
+
+
+@register(
+    "pipeline_dsir_importance",
+    oracle=f"""
+    WITH ts AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS ts
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+        SELECT doc_id, source,
+               unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg
+        FROM ts WHERE len(ts) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               {md5_bucket_sql('bg', salt='dsir', modulus=_DSIR_BUCKETS)} AS bucket
+        FROM bg
+    ),
+    dist AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS cr,
+               CAST(count(*) FILTER (WHERE source = '{_DSIR_TARGET}')
+                    AS BIGINT) AS ct
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(ct) AS BIGINT) AS nt
+        FROM dist
+    ),
+    ratio AS (
+        SELECT bucket,
+               CAST(ln(CAST(ct + 1 AS DOUBLE)
+                       / CAST(nt + {_DSIR_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(18,8))
+             - CAST(ln(CAST(cr + 1 AS DOUBLE)
+                       / CAST(nr + {_DSIR_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(18,8)) AS lr
+        FROM dist CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT f.doc_id, f.source, sum(r.lr) AS w,
+               CAST(count(*) AS BIGINT) AS n_bigrams
+        FROM feats f JOIN ratio r USING (bucket)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_bigrams,
+           ROUND(CAST(w AS DOUBLE), 6) AS dsir_logweight
+    FROM scored ORDER BY w DESC, doc_id LIMIT {_DSIR_TOPK}
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, arXiv
+    2302.03169): select raw-pool documents that look most like a target
+    domain under a hashed-bigram bag-of-ngrams model. Per bucket b of
+    64 md5-hashed bigram buckets, the importance log-ratio
+    is ln p_target(b) - ln p_raw(b) with Laplace (+1) smoothing; a doc's
+    weight is the sum of the ratio over its bigram OCCURRENCES (counts,
+    not a set), and the top-200 docs by weight (doc_id
+    tie-break) are the selected training subset. Target domain here =
+    source 'src0' (the per-source token mixture is the only
+    domain signal in the synthetic corpus).
+
+    Engine addition (no reference analogue; reference scope is
+    consumer.py:83-208 stream transforms) — this is the §7 pretraining
+    data-selection family next to pipeline_temperature_mixture.
+
+    Parity recipe: each ln() is computed on a cross-engine-identical
+    double and quantized to DECIMAL(18,8) BEFORE any summation, so the
+    per-doc fold is integer-exact and order/partitioning-independent;
+    ORDER BY uses the exact decimal weight (not the rounded display
+    value) + doc_id, so the LIMIT boundary is deterministic on both
+    engines.
+
+    Scale: ONE pass over the corpus builds both distributions (a single
+    64-row groupBy with a conditional count — no second scan for the
+    target), the ratio table is a broadcast of 64 rows, and scoring
+    is a map-side broadcast join +
+    one partial-agg shuffle keyed on doc_id; the final top-k is
+    TakeOrderedAndProject (no global sort). At 100 TB the feature
+    explode is the only corpus-sized intermediate and it never
+    shuffles; re-tokenization for the two consumers (dist, scored) is
+    a deliberate scan/shuffle trade — checkpoint the feats frame if
+    the corpus is wider than it is tall.
+    """
+    from masd_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    ts = docs.select("doc_id", "source", tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    feats = ts.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))")
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("bg"), salt="dsir", modulus=_DSIR_BUCKETS).alias("bucket"),
+    )
+    dist = feats.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("ct"),
+    )
+    # 64 rows, but its LINEAGE is a full corpus scan — and it feeds both
+    # the totals and the ratio table. Checkpoint so the corpus is scanned
+    # once for the distributions, once for scoring (2 scans, not 3).
+    dist = dist.localCheckpoint(eager=True)
+    tot = dist.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    n_b = F.lit(_DSIR_BUCKETS)
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("nt") + n_b).cast("double"))
+            .cast("decimal(18,8)")
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("nr") + n_b).cast("double"))
+            .cast("decimal(18,8)")
+        ).alias("lr"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("w"), F.count("*").alias("n_bigrams"))
+    )
+    return (
+        scored.orderBy(F.col("w").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            F.round(F.col("w").cast("double"), 6).alias("dsir_logweight"),
+        )
+    )

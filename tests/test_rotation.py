@@ -42,11 +42,12 @@ def test_window_is_the_stalest_set():
 
 
 def test_round5_window_clears_backlog_first():
-    """While never-checked queries remain, the window spends every
-    non-flagship slot on them (49 first-time checks this round)."""
+    """While stale queries (never-checked backlog + fingerprint-stale
+    edits, effective round <= 0) remain, the window spends every
+    non-flagship slot on them."""
     window = NAMES[:DRIVER_WINDOW]
-    first_time = [n for n in window if CHECKED.get(n, 0) == 0]
-    never_total = sum(1 for n in NAMES if CHECKED.get(n, 0) == 0)
+    first_time = [n for n in window if CHECKED.get(n, 0) <= 0]
+    never_total = sum(1 for n in NAMES if CHECKED.get(n, 0) <= 0)
     assert len(first_time) == min(DRIVER_WINDOW - 1, never_total)
 
 
@@ -55,7 +56,7 @@ def test_registry_growth_bounded_by_window_capacity():
     ENTIRE stale set (never-checked backlog + fingerprint-stale edits +
     additions) fits in one driver window — so every new registration is
     driver-checked the round it lands and the backlog still drains."""
-    never = sum(1 for n in NAMES if CHECKED.get(n, 0) == 0)
+    never = sum(1 for n in NAMES if CHECKED.get(n, 0) <= 0)
     if len(NAMES) > 210:
         assert never <= DRIVER_WINDOW - 1, (
             f"{never} stale queries exceed the {DRIVER_WINDOW - 1} "
@@ -72,7 +73,7 @@ def test_simulated_staleness_bound():
     checked = dict(CHECKED)
     start = max(checked.values(), default=0) + 1
     max_gap = 0
-    backlog_prev = sum(1 for q in NAMES if checked.get(q, 0) == 0)
+    backlog_prev = sum(1 for q in NAMES if checked.get(q, 0) <= 0)
     for rnd in range(start, start + 3 * period + 2):
         order = rotation_order(NAMES, checked)
         assert order[0] == FLAGSHIP
@@ -84,7 +85,7 @@ def test_simulated_staleness_bound():
             if prev >= start:
                 max_gap = max(max_gap, rnd - prev)
             checked[q] = rnd
-        backlog = sum(1 for q in NAMES if checked.get(q, 0) == 0)
+        backlog = sum(1 for q in NAMES if checked.get(q, 0) <= 0)
         assert backlog <= max(0, backlog_prev - (w - 1)) or backlog == 0
         backlog_prev = backlog
     assert backlog_prev == 0, "never-checked backlog must clear"
@@ -145,7 +146,9 @@ def test_edited_query_reenters_next_window(monkeypatch):
     }
     monkeypatch.setattr(q, "certified_fingerprints", lambda: fake)
     eff = q.effective_checked_rounds()
-    assert eff[victim] == 0
+    # -1, not 0: an invalidated green outranks even first-time checks,
+    # so the guarantee survives a window exactly filled by the backlog
+    assert eff[victim] == -1
     order = rotation_order(NAMES, eff)
     assert victim in order[:DRIVER_WINDOW]
 

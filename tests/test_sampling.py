@@ -262,3 +262,29 @@ def test_temperature_mixture_semantics(spark):
         assert smallest["boost"] >= 1.0
         assert largest["boost"] <= 1.0
         assert smallest["boost"] >= largest["boost"]
+
+
+def test_dsir_importance_selects_target_like_docs(spark):
+    """DSIR importance resampling (pipeline_dsir_importance): DuckDB
+    value parity, plus the semantic point of the operator — the selected
+    subset is enriched in the target domain (source 'src0') relative to
+    its uniform corpus share, and the weights are emitted in
+    non-increasing order with the documented deterministic tie-break."""
+    compare_query(spark, REGISTRY["pipeline_dsir_importance"], SF_ORACLE)
+    rows = REGISTRY["pipeline_dsir_importance"].fn(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 200
+    n_src0 = sum(r["source"] == "src0" for r in rows)
+    n_docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    n_target = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .where("source = 'src0'")
+        .count()
+    )
+    uniform_expect = len(rows) * n_target / n_docs
+    assert n_src0 > 1.5 * uniform_expect, (n_src0, uniform_expect)
+    # weights non-increasing (top-k by importance), schema stable
+    ws = [r["dsir_logweight"] for r in rows]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
+    assert rows[0].asDict().keys() == {
+        "doc_id", "source", "n_bigrams", "dsir_logweight",
+    }
