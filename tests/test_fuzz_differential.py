@@ -1,0 +1,349 @@
+"""Randomized differential testing: hypothesis-generated relational
+queries run through BOTH engines.
+
+The registry's 206 oracled queries are fixed points; this axis samples
+the NEIGHBORHOOD around them — random filter/group/aggregate
+combinations over lineitem, rendered twice from one AST: once through
+the PySpark DataFrame API (the engine surface under test) and once as
+DuckDB SQL (the oracle). Any semantic divergence Catalyst introduces
+for a predicate/aggregate shape no hand-written query happens to use —
+null comparison semantics, ANSI cast edges, aggregate-over-empty-group
+behavior, timestamp literal coercion — fails here with the shrunken
+counterexample printed by hypothesis.
+
+Exactness rules (the repo's standing parity recipe, applied to the
+generator): double columns are quantized to DECIMAL(18,6) BEFORE any
+sum, so folds are order/partitioning-independent; only exact
+aggregates (count / count-distinct / min / max / decimal-sum /
+bigint-sum) are generated; DuckDB's HUGEINT sum is cast back to
+BIGINT. Derandomized for a stable suite.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from masd_spark.sources.tables import load_table
+
+from tests.conftest import SF_ORACLE  # noqa: F401  (fixture plumbing)
+from tests.oracle import _normalize, duckdb_connection
+
+SF_FUZZ = "/root/testdata/sf0.001"  # 6k-row lineitem: ~0.3s per example
+
+
+# -- AST ------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Atom:
+    col: str
+    op: str  # <, <=, >, >=, =, <>
+    lit: object  # int, str, or ISO date string for timestamps
+    negate: bool
+
+
+@dataclass(frozen=True)
+class Query:
+    atoms: tuple[Atom, ...]
+    conj: str  # AND / OR
+    group: tuple[str, ...]
+    aggs: tuple[tuple[str, str], ...]  # (kind, col)
+
+
+_NUM_ATOM_COLS = ["l_quantity", "l_linenumber", "l_discount"]
+_STR_ATOMS = [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
+_GROUPS = [
+    (),
+    ("l_returnflag",),
+    ("l_linestatus",),
+    ("l_linenumber",),
+    ("l_returnflag", "l_linestatus"),
+]
+_DEC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+_MINMAX_COLS = _DEC_COLS + _INT_COLS + ["l_returnflag", "l_shipdate"]
+
+
+def _atoms() -> st.SearchStrategy[Atom]:
+    num = st.builds(
+        Atom,
+        col=st.sampled_from(_NUM_ATOM_COLS),
+        op=st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        lit=st.integers(min_value=0, max_value=50),
+        negate=st.booleans(),
+    )
+    txt = st.one_of(
+        *(
+            st.builds(
+                Atom,
+                col=st.just(c),
+                op=st.sampled_from(["=", "<>"]),
+                lit=st.sampled_from(vals),
+                negate=st.booleans(),
+            )
+            for c, vals in _STR_ATOMS
+        )
+    )
+    ts = st.builds(
+        Atom,
+        col=st.just("l_shipdate"),
+        op=st.sampled_from(["<", ">="]),
+        lit=st.dates(
+            min_value=__import__("datetime").date(1992, 1, 1),
+            max_value=__import__("datetime").date(1998, 12, 31),
+        ).map(lambda d: d.isoformat()),
+        negate=st.just(False),
+    )
+    return st.one_of(num, txt, ts)
+
+
+def _queries() -> st.SearchStrategy[Query]:
+    aggs = st.lists(
+        st.one_of(
+            st.tuples(st.just("count"), st.just("*")),
+            st.tuples(st.just("count"), st.sampled_from(_INT_COLS)),
+            st.tuples(st.just("count_distinct"), st.sampled_from(_INT_COLS + ["l_returnflag"])),
+            st.tuples(st.just("min"), st.sampled_from(_MINMAX_COLS)),
+            st.tuples(st.just("max"), st.sampled_from(_MINMAX_COLS)),
+            st.tuples(st.just("sum_int"), st.sampled_from(_INT_COLS)),
+            st.tuples(st.just("sum_dec"), st.sampled_from(_DEC_COLS)),
+        ),
+        min_size=1,
+        max_size=3,
+    ).map(tuple)
+    return st.builds(
+        Query,
+        atoms=st.lists(_atoms(), min_size=0, max_size=3).map(tuple),
+        conj=st.sampled_from(["AND", "OR"]),
+        group=st.sampled_from(_GROUPS),
+        aggs=aggs,
+    )
+
+
+# -- render: DuckDB SQL ---------------------------------------------------
+
+
+def _atom_sql(a: Atom) -> str:
+    if a.col == "l_shipdate":
+        cmp_ = f"{a.col} {a.op} TIMESTAMP '{a.lit} 00:00:00'"
+    elif isinstance(a.lit, str):
+        cmp_ = f"{a.col} {a.op} '{a.lit}'"
+    else:
+        cmp_ = f"{a.col} {a.op} {a.lit}"
+    return f"NOT ({cmp_})" if a.negate else f"({cmp_})"
+
+
+def _agg_sql(kind: str, col: str, alias: str) -> str:
+    if kind == "count" and col == "*":
+        return f"CAST(count(*) AS BIGINT) AS {alias}"
+    if kind == "count":
+        return f"CAST(count({col}) AS BIGINT) AS {alias}"
+    if kind == "count_distinct":
+        return f"CAST(count(DISTINCT {col}) AS BIGINT) AS {alias}"
+    if kind in ("min", "max"):
+        return f"{kind}({col}) AS {alias}"
+    if kind == "sum_int":
+        return f"CAST(sum({col}) AS BIGINT) AS {alias}"
+    if kind == "sum_dec":
+        return f"sum(CAST({col} AS DECIMAL(18,6))) AS {alias}"
+    raise AssertionError(kind)
+
+
+def to_sql(q: Query) -> str:
+    sel = list(q.group) + [
+        _agg_sql(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)
+    ]
+    sql = f"SELECT {', '.join(sel)} FROM lineitem"
+    if q.atoms:
+        sql += " WHERE " + f" {q.conj} ".join(_atom_sql(a) for a in q.atoms)
+    if q.group:
+        sql += " GROUP BY " + ", ".join(q.group)
+    return sql
+
+
+# -- render: DataFrame API ------------------------------------------------
+
+
+def _atom_col(a: Atom):
+    c = F.col(a.col)
+    lit = F.lit(a.lit).cast("timestamp") if a.col == "l_shipdate" else F.lit(a.lit)
+    ops = {
+        "<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
+        "=": c == lit, "<>": c != lit,
+    }
+    e = ops[a.op]
+    return ~e if a.negate else e
+
+
+def _agg_col(kind: str, col: str, alias: str):
+    if kind == "count" and col == "*":
+        return F.count(F.lit(1)).alias(alias)
+    if kind == "count":
+        return F.count(col).alias(alias)
+    if kind == "count_distinct":
+        return F.countDistinct(col).alias(alias)
+    if kind in ("min", "max"):
+        return getattr(F, kind)(col).alias(alias)
+    if kind == "sum_int":
+        return F.sum(col).alias(alias)
+    if kind == "sum_dec":
+        return F.sum(F.col(col).cast("decimal(18,6)")).alias(alias)
+    raise AssertionError(kind)
+
+
+def to_df(spark, q: Query):
+    df = load_table(spark, SF_FUZZ, "lineitem")
+    if q.atoms:
+        pred = _atom_col(q.atoms[0])
+        for a in q.atoms[1:]:
+            pred = (pred & _atom_col(a)) if q.conj == "AND" else (pred | _atom_col(a))
+        df = df.filter(pred)
+    aggs = [_agg_col(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)]
+    if q.group:
+        return df.groupBy(*q.group).agg(*aggs)
+    return df.agg(*aggs)
+
+
+# -- the property ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fuzz_con():
+    con = duckdb_connection(SF_FUZZ)
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=35,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_queries())
+def test_random_relational_query_matches_duckdb(spark, fuzz_con, q):
+    sdf = to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
+
+
+# -- join property --------------------------------------------------------
+#
+# Same idea one shape up: lineitem JOIN orders with a random join type,
+# per-side filters, and exact aggregates. Exercises null-extension
+# semantics (left/full outer), join-key null handling, and aggregate
+# behavior over the extended side — the shapes where engines genuinely
+# disagree by default.
+
+_JOIN_TYPES = ["inner", "left", "right", "full"]
+_O_STATUS = ["O", "F", "P"]
+
+
+@dataclass(frozen=True)
+class JoinQuery:
+    join_type: str
+    li_atom: Atom | None
+    o_status: str | None  # filter orders on o_orderstatus = X
+    group: tuple[str, ...]  # subset of (l_returnflag, o_orderpriority)
+    aggs: tuple[tuple[str, str], ...]
+
+
+_JOIN_GROUPS = [
+    (),
+    ("l_returnflag",),
+    ("o_orderpriority",),
+    ("l_returnflag", "o_orderpriority"),
+]
+_JOIN_AGGS = st.lists(
+    st.one_of(
+        st.tuples(st.just("count"), st.just("*")),
+        st.tuples(st.just("count"), st.sampled_from(["l_orderkey", "o_custkey"])),
+        st.tuples(st.just("count_distinct"), st.sampled_from(["l_orderkey", "o_custkey"])),
+        st.tuples(st.just("min"), st.sampled_from(["l_quantity", "o_totalprice", "o_orderdate"])),
+        st.tuples(st.just("max"), st.sampled_from(["l_quantity", "o_totalprice", "o_orderdate"])),
+        st.tuples(st.just("sum_int"), st.sampled_from(["l_suppkey", "o_custkey"])),
+        st.tuples(st.just("sum_dec"), st.sampled_from(["l_extendedprice", "o_totalprice"])),
+    ),
+    min_size=1,
+    max_size=3,
+).map(tuple)
+
+
+def _join_queries() -> st.SearchStrategy[JoinQuery]:
+    return st.builds(
+        JoinQuery,
+        join_type=st.sampled_from(_JOIN_TYPES),
+        li_atom=st.one_of(st.none(), _atoms()),
+        o_status=st.one_of(st.none(), st.sampled_from(_O_STATUS)),
+        group=st.sampled_from(_JOIN_GROUPS),
+        aggs=_JOIN_AGGS,
+    )
+
+
+_JT_SQL = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN", "full": "FULL JOIN"}
+
+
+def join_to_sql(q: JoinQuery) -> str:
+    li = "SELECT * FROM lineitem"
+    if q.li_atom:
+        li += " WHERE " + _atom_sql(q.li_atom)
+    od = "SELECT * FROM orders"
+    if q.o_status:
+        od += f" WHERE o_orderstatus = '{q.o_status}'"
+    sel = list(q.group) + [
+        _agg_sql(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)
+    ]
+    sql = (
+        f"SELECT {', '.join(sel)} FROM ({li}) li "
+        f"{_JT_SQL[q.join_type]} ({od}) o ON li.l_orderkey = o.o_orderkey"
+    )
+    if q.group:
+        sql += " GROUP BY " + ", ".join(q.group)
+    return sql
+
+
+def join_to_df(spark, q: JoinQuery):
+    li = load_table(spark, SF_FUZZ, "lineitem")
+    if q.li_atom:
+        li = li.filter(_atom_col(q.li_atom))
+    od = load_table(spark, SF_FUZZ, "orders")
+    if q.o_status:
+        od = od.filter(F.col("o_orderstatus") == q.o_status)
+    j = li.join(od, li["l_orderkey"] == od["o_orderkey"], q.join_type)
+    aggs = [_agg_col(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)]
+    if q.group:
+        return j.groupBy(*q.group).agg(*aggs)
+    return j.agg(*aggs)
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_join_queries())
+def test_random_join_query_matches_duckdb(spark, fuzz_con, q):
+    sdf = join_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(join_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (join_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {join_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
