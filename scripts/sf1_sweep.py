@@ -53,6 +53,7 @@ SWEEP_QUERIES = [
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
     "sketch_hll_error_bound",
+    "pipeline_dsir_importance",
 ]
 
 
