@@ -347,3 +347,105 @@ def test_random_join_query_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {join_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- window-function property ---------------------------------------------
+#
+# Third shape: analytic windows. Determinism rules: rank/dense_rank are
+# tie-stable by definition; row_number / lag / running-sum get a UNIQUE
+# total order (sort col + the (l_orderkey, l_linenumber) primary key);
+# running sums are decimal-quantized ROWS frames. Null ordering is
+# pinned to NULLS FIRST on both engines (Spark's ASC default; DuckDB
+# defaults NULLS LAST so the SQL says it explicitly).
+
+from pyspark.sql import Window as W  # noqa: E402
+
+_SORT_COLS = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
+_PARTS = [(), ("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
+_LAG_VALS = ["l_orderkey", "l_returnflag", "l_quantity"]
+
+
+@dataclass(frozen=True)
+class WinQuery:
+    atom: Atom | None
+    part: tuple[str, ...]
+    fn: str  # rank / dense_rank / row_number / lag / runsum
+    sort: str
+    val: str  # lag value col or runsum dec col
+
+
+def _win_queries() -> st.SearchStrategy[WinQuery]:
+    return st.builds(
+        WinQuery,
+        atom=st.one_of(st.none(), _atoms()),
+        part=st.sampled_from(_PARTS),
+        fn=st.sampled_from(["rank", "dense_rank", "row_number", "lag", "runsum"]),
+        sort=st.sampled_from(_SORT_COLS),
+        val=st.sampled_from(_LAG_VALS),
+    )
+
+
+def win_to_sql(q: WinQuery) -> str:
+    over_part = f"PARTITION BY {', '.join(q.part)} " if q.part else ""
+    uniq = f"ORDER BY {q.sort} NULLS FIRST, l_orderkey, l_linenumber"
+    tie_ok = f"ORDER BY {q.sort} NULLS FIRST"
+    if q.fn in ("rank", "dense_rank"):
+        expr = f"{q.fn}() OVER ({over_part}{tie_ok})"
+    elif q.fn == "row_number":
+        expr = f"row_number() OVER ({over_part}{uniq})"
+    elif q.fn == "lag":
+        expr = f"lag({q.val}) OVER ({over_part}{uniq})"
+    else:
+        dec = q.val if q.val != "l_returnflag" else "l_quantity"
+        expr = (
+            f"sum(CAST({dec} AS DECIMAL(18,6))) OVER ({over_part}{uniq} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+    sql = f"SELECT l_orderkey, l_linenumber, {expr} AS w FROM lineitem"
+    if q.atom:
+        sql += " WHERE " + _atom_sql(q.atom)
+    return sql
+
+
+def win_to_df(spark, q: WinQuery):
+    df = load_table(spark, SF_FUZZ, "lineitem")
+    if q.atom:
+        df = df.filter(_atom_col(q.atom))
+    base = W.partitionBy(*q.part) if q.part else W.partitionBy()
+    tie_ok = base.orderBy(F.col(q.sort).asc_nulls_first())
+    uniq = base.orderBy(
+        F.col(q.sort).asc_nulls_first(), "l_orderkey", "l_linenumber"
+    )
+    if q.fn in ("rank", "dense_rank"):
+        col = getattr(F, q.fn)().over(tie_ok)
+    elif q.fn == "row_number":
+        col = F.row_number().over(uniq)
+    elif q.fn == "lag":
+        col = F.lag(q.val).over(uniq)
+    else:
+        dec = q.val if q.val != "l_returnflag" else "l_quantity"
+        col = F.sum(F.col(dec).cast("decimal(18,6)")).over(
+            uniq.rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    return df.select("l_orderkey", "l_linenumber", col.alias("w"))
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_win_queries())
+def test_random_window_query_matches_duckdb(spark, fuzz_con, q):
+    sdf = win_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(win_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (win_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {win_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
