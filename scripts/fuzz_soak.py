@@ -1,0 +1,103 @@
+"""Offline differential-fuzz soak: a much larger randomized sample than
+the pinned suite settings.
+
+tests/test_fuzz_differential.py runs derandomized (stable CI, fixed
+neighborhood). This tool is the exploration half: it draws N fresh
+random examples per shape (scan/agg, join, window) from the SAME
+strategies and renderers, runs them through Spark and DuckDB, and
+prints one summary JSON line — the same contract as the other offline
+sweeps. Any failing example is printed with its SQL so it can be
+minimized and pinned as a regression.
+
+Usage: python scripts/fuzz_soak.py [n_per_shape] [--seed N]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+for p in (str(REPO), str(REPO / "tests")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    seed = 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    n_per_shape = int(argv[0]) if argv else 150
+
+    from hypothesis import HealthCheck, given, seed as hyp_seed, settings
+
+    import test_fuzz_differential as fz
+    from masd_spark.session import get_spark
+    from tests.oracle import _normalize, duckdb_connection
+
+    spark = get_spark(app_name="fuzz-soak")
+    con = duckdb_connection(fz.SF_FUZZ)
+    shapes = [
+        ("scan_agg", fz._queries(), fz.to_df, fz.to_sql),
+        ("join", fz._join_queries(), fz.join_to_df, fz.join_to_sql),
+        ("window", fz._win_queries(), fz.win_to_df, fz.win_to_sql),
+    ]
+    failures: list[dict] = []
+    counts: dict[str, int] = {}
+    t0 = time.time()
+    def make_prop(shape_name, strat, to_df, to_sql, counter):
+        @settings(
+            max_examples=n_per_shape,
+            derandomize=False,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+            database=None,
+        )
+        @hyp_seed(seed)
+        @given(q=strat)
+        def prop(q):
+            counter[0] += 1
+            sdf = to_df(spark, q)
+            s_names, s_norm = _normalize(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
+            )
+            cur = con.execute(to_sql(q))
+            o_names, o_norm = _normalize(
+                [d[0] for d in cur.description], cur.fetchall()
+            )
+            if s_names != o_names or s_norm != o_norm:
+                failures.append({"shape": shape_name, "sql": to_sql(q)})
+                raise AssertionError(to_sql(q))
+
+        return prop
+
+    for shape_name, strat, to_df, to_sql in shapes:
+        counter = [0]
+        try:
+            make_prop(shape_name, strat, to_df, to_sql, counter)()
+        except AssertionError:
+            pass  # recorded in failures; keep sweeping the other shapes
+        counts[shape_name] = counter[0]
+        print(f"[soak] {shape_name}: {counter[0]} examples", file=sys.stderr)
+
+    out = {
+        "n_per_shape": n_per_shape,
+        "seed": seed,
+        "examples": counts,
+        "elapsed_s": round(time.time() - t0, 1),
+        "fail": failures,
+    }
+    print("FUZZSOAK " + json.dumps(out))
+    spark.stop()
+    con.close()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
