@@ -47,6 +47,7 @@ def main() -> int:
         ("scan_agg", fz._queries(), fz.to_df, fz.to_sql),
         ("join", fz._join_queries(), fz.join_to_df, fz.join_to_sql),
         ("window", fz._win_queries(), fz.win_to_df, fz.win_to_sql),
+        ("string", fz._str_queries(), fz.str_to_df, fz.str_to_sql),
     ]
     failures: list[dict] = []
     counts: dict[str, int] = {}

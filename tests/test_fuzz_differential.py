@@ -449,3 +449,82 @@ def test_random_window_query_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {win_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- scalar string-function property --------------------------------------
+#
+# Fourth shape: scalar string expressions over documents.text — the
+# layer every text operator's oracle twin is written in. Random
+# composition inner(trim/lower/upper) -> outer(length/substr/md5/
+# replace/reverse), compared value-for-value. Catches 1-based-index,
+# empty-string, and null-propagation disagreements between the
+# DataFrame functions and the SQL the oracles use.
+
+_INNER_FNS = ["trim", "lower", "upper"]
+_OUTER_FNS = ["length", "substr", "md5", "replace", "reverse", "identity"]
+
+
+@dataclass(frozen=True)
+class StrQuery:
+    inner: str
+    outer: str
+    start: int  # substr 1-based start
+    n: int  # substr length
+
+
+def _str_queries() -> st.SearchStrategy[StrQuery]:
+    return st.builds(
+        StrQuery,
+        inner=st.sampled_from(_INNER_FNS),
+        outer=st.sampled_from(_OUTER_FNS),
+        start=st.integers(min_value=1, max_value=30),
+        n=st.integers(min_value=0, max_value=20),
+    )
+
+
+def str_to_sql(q: StrQuery) -> str:
+    e = f"{q.inner}(text)"
+    if q.outer == "substr":
+        e = f"substr({e}, {q.start}, {q.n})"
+    elif q.outer == "replace":
+        e = f"replace({e}, ' ', '_')"
+    elif q.outer != "identity":
+        e = f"{q.outer}({e})"
+    if q.outer == "length":
+        e = f"CAST({e} AS BIGINT)"
+    return f"SELECT doc_id, {e} AS w FROM documents"
+
+
+def str_to_df(spark, q: StrQuery):
+    df = load_table(spark, SF_FUZZ, "documents")
+    e = getattr(F, q.inner)("text")
+    if q.outer == "substr":
+        e = F.substring(e, q.start, q.n)
+    elif q.outer == "replace":
+        e = F.replace(e, F.lit(" "), F.lit("_"))
+    elif q.outer == "length":
+        e = F.length(e).cast("bigint")
+    elif q.outer != "identity":
+        e = getattr(F, q.outer)(e)
+    return df.select("doc_id", e.alias("w"))
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_str_queries())
+def test_random_string_expr_matches_duckdb(spark, fuzz_con, q):
+    sdf = str_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(str_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (str_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {str_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
