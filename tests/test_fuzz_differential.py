@@ -352,15 +352,25 @@ def test_random_join_query_matches_duckdb(spark, fuzz_con, q):
 # -- window-function property ---------------------------------------------
 #
 # Third shape: analytic windows. Determinism rules: rank/dense_rank are
-# tie-stable by definition; row_number / lag / running-sum get a UNIQUE
-# total order (sort col + the (l_orderkey, l_linenumber) primary key);
-# running sums are decimal-quantized ROWS frames. Null ordering is
-# pinned to NULLS FIRST on both engines (Spark's ASC default; DuckDB
-# defaults NULLS LAST so the SQL says it explicitly).
+# tie-stable by definition; row_number / lag / running-sum get a total
+# order that ties on EVERY column — the synthetic lineitem has 1161
+# duplicate (l_orderkey, l_linenumber) pairs (found by the first soak
+# run: two engines legitimately disagreed on lag() under the
+# "primary-key" tiebreak), so uniqueness must come from the full row,
+# which pins the value sequence up to full-row duplicates (and those
+# are output-invariant). Running sums are decimal-quantized ROWS
+# frames. Null ordering is pinned to NULLS FIRST on both engines
+# (Spark's ASC default; DuckDB defaults NULLS LAST so the SQL says it
+# explicitly).
 
 from pyspark.sql import Window as W  # noqa: E402
 
 _SORT_COLS = ["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]
+_ALL_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
 _PARTS = [(), ("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
 _LAG_VALS = ["l_orderkey", "l_returnflag", "l_quantity"]
 
@@ -387,7 +397,8 @@ def _win_queries() -> st.SearchStrategy[WinQuery]:
 
 def win_to_sql(q: WinQuery) -> str:
     over_part = f"PARTITION BY {', '.join(q.part)} " if q.part else ""
-    uniq = f"ORDER BY {q.sort} NULLS FIRST, l_orderkey, l_linenumber"
+    tiebreak = ", ".join(f"{c} NULLS FIRST" for c in _ALL_COLS)
+    uniq = f"ORDER BY {q.sort} NULLS FIRST, {tiebreak}"
     tie_ok = f"ORDER BY {q.sort} NULLS FIRST"
     if q.fn in ("rank", "dense_rank"):
         expr = f"{q.fn}() OVER ({over_part}{tie_ok})"
@@ -414,7 +425,8 @@ def win_to_df(spark, q: WinQuery):
     base = W.partitionBy(*q.part) if q.part else W.partitionBy()
     tie_ok = base.orderBy(F.col(q.sort).asc_nulls_first())
     uniq = base.orderBy(
-        F.col(q.sort).asc_nulls_first(), "l_orderkey", "l_linenumber"
+        F.col(q.sort).asc_nulls_first(),
+        *[F.col(c).asc_nulls_first() for c in _ALL_COLS],
     )
     if q.fn in ("rank", "dense_rank"):
         col = getattr(F, q.fn)().over(tie_ok)
