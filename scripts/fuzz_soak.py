@@ -9,7 +9,11 @@ prints one summary JSON line — the same contract as the other offline
 sweeps. Any failing example is printed with its SQL so it can be
 minimized and pinned as a regression.
 
-Usage: python scripts/fuzz_soak.py [n_per_shape] [--seed N]
+Usage: python scripts/fuzz_soak.py [n_per_shape] [--seed N] [--sf-dir DIR]
+
+``--sf-dir`` points the shapes at a different fixture — notably the
+null-sprinkled one (scripts/make_null_fixture.py), turning the soak
+into a randomized NULL-semantics differential sweep.
 """
 
 from __future__ import annotations
@@ -29,9 +33,14 @@ for p in (str(REPO), str(REPO / "tests")):
 def main() -> int:
     argv = sys.argv[1:]
     seed = 0
+    sf_dir = None
     if "--seed" in argv:
         i = argv.index("--seed")
         seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        sf_dir = argv[i + 1]
         del argv[i : i + 2]
     n_per_shape = int(argv[0]) if argv else 150
 
@@ -41,6 +50,8 @@ def main() -> int:
     from masd_spark.session import get_spark
     from tests.oracle import _normalize, duckdb_connection
 
+    if sf_dir:
+        fz.SF_FUZZ = sf_dir
     spark = get_spark(app_name="fuzz-soak")
     con = duckdb_connection(fz.SF_FUZZ)
     shapes = [
@@ -48,6 +59,7 @@ def main() -> int:
         ("join", fz._join_queries(), fz.join_to_df, fz.join_to_sql),
         ("window", fz._win_queries(), fz.win_to_df, fz.win_to_sql),
         ("string", fz._str_queries(), fz.str_to_df, fz.str_to_sql),
+        ("setop", fz._set_queries(), fz.set_to_df, fz.set_to_sql),
     ]
     failures: list[dict] = []
     counts: dict[str, int] = {}
@@ -90,6 +102,7 @@ def main() -> int:
     out = {
         "n_per_shape": n_per_shape,
         "seed": seed,
+        "sf_dir": fz.SF_FUZZ,
         "examples": counts,
         "elapsed_s": round(time.time() - t0, 1),
         "fail": failures,

@@ -540,3 +540,100 @@ def test_random_string_expr_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {str_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- set-operations property ----------------------------------------------
+#
+# Fifth shape (SURVEY §2.7): two filtered projections of lineitem
+# combined with UNION [ALL] / INTERSECT / EXCEPT. Spark's DataFrame
+# set ops are ALL-semantics by default (union = UNION ALL,
+# intersectAll/exceptAll = multiset forms), where SQL keywords default
+# to DISTINCT — exactly the kind of asymmetry the fuzzer should pin,
+# so both semantics are sampled and rendered explicitly on each side.
+
+_SETOP_COLS = [
+    ("l_returnflag", "l_linestatus"),
+    ("l_returnflag", "l_linenumber"),
+    ("l_orderkey", "l_linenumber"),
+    ("l_linestatus",),
+]
+
+
+@dataclass(frozen=True)
+class SetQuery:
+    cols: tuple[str, ...]
+    op: str  # union_all / union / intersect / intersect_all / except / except_all
+    left: Atom | None
+    right: Atom | None
+
+
+def _set_queries() -> st.SearchStrategy[SetQuery]:
+    return st.builds(
+        SetQuery,
+        cols=st.sampled_from(_SETOP_COLS),
+        op=st.sampled_from(
+            ["union_all", "union", "intersect", "intersect_all", "except", "except_all"]
+        ),
+        left=st.one_of(st.none(), _atoms()),
+        right=st.one_of(st.none(), _atoms()),
+    )
+
+
+_SETOP_SQL = {
+    "union_all": "UNION ALL",
+    "union": "UNION",
+    "intersect": "INTERSECT",
+    "intersect_all": "INTERSECT ALL",
+    "except": "EXCEPT",
+    "except_all": "EXCEPT ALL",
+}
+
+
+def set_to_sql(q: SetQuery) -> str:
+    cols = ", ".join(q.cols)
+    left = f"SELECT {cols} FROM lineitem"
+    if q.left:
+        left += " WHERE " + _atom_sql(q.left)
+    right = f"SELECT {cols} FROM lineitem"
+    if q.right:
+        right += " WHERE " + _atom_sql(q.right)
+    return f"({left}) {_SETOP_SQL[q.op]} ({right})"
+
+
+def set_to_df(spark, q: SetQuery):
+    base = load_table(spark, SF_FUZZ, "lineitem")
+    left = base.filter(_atom_col(q.left)) if q.left else base
+    right = base.filter(_atom_col(q.right)) if q.right else base
+    left, right = left.select(*q.cols), right.select(*q.cols)
+    if q.op == "union_all":
+        return left.unionByName(right)
+    if q.op == "union":
+        return left.unionByName(right).distinct()
+    if q.op == "intersect":
+        return left.intersect(right)
+    if q.op == "intersect_all":
+        return left.intersectAll(right)
+    if q.op == "except":
+        return left.subtract(right)
+    return left.exceptAll(right)
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_set_queries())
+def test_random_set_op_matches_duckdb(spark, fuzz_con, q):
+    sdf = set_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(set_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (set_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {set_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
