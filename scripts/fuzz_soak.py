@@ -60,6 +60,7 @@ def main() -> int:
         ("window", fz._win_queries(), fz.win_to_df, fz.win_to_sql),
         ("string", fz._str_queries(), fz.str_to_df, fz.str_to_sql),
         ("setop", fz._set_queries(), fz.set_to_df, fz.set_to_sql),
+        ("events", fz._event_queries(), fz.event_to_df, fz.event_to_sql),
     ]
     failures: list[dict] = []
     counts: dict[str, int] = {}

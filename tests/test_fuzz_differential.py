@@ -637,3 +637,118 @@ def test_random_set_op_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {set_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- events time-bucket property ------------------------------------------
+#
+# Sixth shape: the events table and its timestamp contract. load_table
+# normalizes events.ts to "ns since epoch as long" (the parquet has
+# shipped as both ns-long and µs-TIMESTAMP); the oracle side reads the
+# raw parquet with epoch_ms(). Random epoch-ms bucketing + grouping +
+# exact aggregates must agree — any drift in the ts normalization or
+# the ms derivation (`ts DIV 1_000_000`) shows up immediately.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_BUCKETS_MS = [60_000, 300_000, 3_600_000, 86_400_000]
+_EV_GROUPS = [("bucket_ms",), ("event_type",), ("bucket_ms", "event_type"), ("user_id",)]
+
+
+@dataclass(frozen=True)
+class EventQuery:
+    types: tuple[str, ...]  # empty = no type filter
+    val_cmp: int | None  # value > N filter
+    bucket_ms: int
+    group: tuple[str, ...]
+    aggs: tuple[tuple[str, str], ...]
+
+
+_EV_AGGS = st.lists(
+    st.one_of(
+        st.tuples(st.just("count"), st.just("*")),
+        st.tuples(st.just("count"), st.sampled_from(["value", "user_id"])),
+        st.tuples(st.just("count_distinct"), st.sampled_from(["user_id", "event_type"])),
+        st.tuples(st.just("min"), st.sampled_from(["ts_ms", "value", "user_id"])),
+        st.tuples(st.just("max"), st.sampled_from(["ts_ms", "value", "user_id"])),
+        st.tuples(st.just("sum_int"), st.sampled_from(["user_id", "event_id"])),
+        st.tuples(st.just("sum_dec"), st.just("value")),
+    ),
+    min_size=1,
+    max_size=3,
+).map(tuple)
+
+
+def _event_queries() -> st.SearchStrategy[EventQuery]:
+    return st.builds(
+        EventQuery,
+        types=st.lists(
+            st.sampled_from(_EVENT_TYPES), min_size=0, max_size=3, unique=True
+        ).map(tuple),
+        val_cmp=st.one_of(st.none(), st.integers(min_value=-50, max_value=150)),
+        bucket_ms=st.sampled_from(_BUCKETS_MS),
+        group=st.sampled_from(_EV_GROUPS),
+        aggs=_EV_AGGS,
+    )
+
+
+def event_to_sql(q: EventQuery) -> str:
+    where = []
+    if q.types:
+        where.append("event_type IN (" + ", ".join(f"'{t}'" for t in q.types) + ")")
+    if q.val_cmp is not None:
+        where.append(f"value > {q.val_cmp}")
+    sel = list(q.group) + [
+        _agg_sql(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)
+    ]
+    sql = (
+        f"WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, "
+        f"ts_ms - (ts_ms % {q.bucket_ms}) AS bucket_ms, "
+        f"user_id, event_type, value FROM events) "
+        f"SELECT {', '.join(sel)} FROM e"
+    )
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if q.group:
+        sql += " GROUP BY " + ", ".join(q.group)
+    return sql
+
+
+def event_to_df(spark, q: EventQuery):
+    e = load_table(spark, SF_FUZZ, "events").select(
+        "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    e = e.withColumn(
+        "bucket_ms", F.col("ts_ms") - F.col("ts_ms") % F.lit(q.bucket_ms)
+    )
+    if q.types:
+        e = e.filter(F.col("event_type").isin(*q.types))
+    if q.val_cmp is not None:
+        e = e.filter(F.col("value") > q.val_cmp)
+    aggs = [_agg_col(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)]
+    if q.group:
+        return e.groupBy(*q.group).agg(*aggs)
+    return e.agg(*aggs)
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_event_queries())
+def test_random_event_bucket_query_matches_duckdb(spark, fuzz_con, q):
+    sdf = event_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(event_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (event_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {event_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
