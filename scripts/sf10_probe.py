@@ -47,10 +47,12 @@ PARITY = [
     "sketch_hll_error_bound",
     "sessionize_events",
     "asof_join_purchases",
+    "pipeline_dsir_importance",
 ]
 TIMING = [
     "dedup_minhash_lsh_scaled",
     "dedup_containment_scaled",
+    "dedup_span_extract",
     "ann_ivf_persisted_topk",
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
