@@ -186,8 +186,23 @@ def _maybe_ab_adjudicate(total: float, sf: float) -> dict | None:
         # Only HEAD and prior measured back-to-back under the same
         # conditions can attribute drift to code.
         parsed_head = run_bench(str(root))
-        prior_now = float(parsed.get("value") or 0)
-        head_now = float((parsed_head or {}).get("value") or 0)
+
+        def min_of_passes(p: dict | None) -> float:
+            # Align semantics across bench.py versions: HEAD reports
+            # per-query min-of-passes; older commits reported the warm
+            # pass. Re-derive the min from any run that carries both
+            # passes so code_ratio compares like with like.
+            if not p:
+                return 0.0
+            qs, qc = p.get("queries") or {}, p.get("queries_cold") or {}
+            if qs and qc:
+                return round(
+                    sum(min(v, qc.get(n, v)) for n, v in qs.items()), 3
+                )
+            return float(p.get("value") or 0)
+
+        prior_now = min_of_passes(parsed)
+        head_now = min_of_passes(parsed_head)
         verdict, code_ratio = _ab_verdict(total, prev_sum, prior_now, head_now)
         return {
             "commit": base,
@@ -335,6 +350,23 @@ def main() -> None:
         "regressions": regressions,
     }
     if len(per_pass) > 1:
+        # Leak guard for the min() estimator: min() deliberately discards
+        # a slow warm pass as window noise, but warm >> cold is ALSO the
+        # signature of cross-pass state accumulation (leaked checkpoint
+        # blocks, cache residue). Surface it loudly instead of letting
+        # min() bury it.
+        skew = {
+            n: round(per_pass[-1][n] / per_pass[0][n], 2)
+            for n in per_pass[-1]
+            if per_pass[0].get(n) and per_pass[-1][n] > 2.0 * per_pass[0][n]
+        }
+        if skew:
+            out["pass_skew"] = skew
+            print(
+                f"[bench] PASS-SKEW (warm > 2x cold — host noise OR a "
+                f"cross-pass state leak; investigate if it repeats): {skew}",
+                file=sys.stderr,
+            )
         out["queries_cold"] = per_pass[0]
         out["cold_over_warm"] = {
             n: round(per_pass[0][n] / timings[n], 2) if timings[n] else None

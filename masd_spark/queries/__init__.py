@@ -66,8 +66,9 @@ def _query_fingerprint(fn, oracle: str | None) -> str:
     text plus its (fully-composed) oracle string. Editing a query's plan
     code or its oracle — including oracle text assembled by module helpers,
     since the composed string is hashed — changes the fingerprint, which
-    resets the query's effective staleness to 0 so it re-enters the very
-    next driver window instead of hiding behind a stale green.
+    drops the query's effective staleness to -1 (ahead even of
+    never-checked queries) so it re-enters the very next driver window
+    instead of hiding behind a stale green.
 
     Granularity is deliberately per-query, not per-module: hashing the
     whole registering module would mark every sibling stale whenever a NEW
@@ -282,9 +283,11 @@ def rotation_order(names: list[str], checked: dict[str, int]) -> list[str]:
     """Deterministic round-robin: stalest-first, flagship pinned to slot 0.
 
     Sort key ``(name != FLAGSHIP, last_checked_round, registration
-    position)`` — never-checked queries (round 0) always fill the window
-    before anything already confirmed, and among equals the original
-    module registration order (a deliberate family grouping) breaks ties.
+    position)`` — stale queries fill the window before anything already
+    confirmed, in two tiers: edited-since-green (-1, a possibly
+    invalidated claim) ahead of never-checked (0, a new claim); among
+    equals the original module registration order (a deliberate family
+    grouping) breaks ties.
     With W=DRIVER_WINDOW slots and N queries this guarantees every query
     is re-checked at least every ceil((N-1)/(W-1)) rounds
     (tests/test_rotation.py simulates and asserts this bound).
@@ -440,8 +443,9 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
     import order (VERDICT r3 item 8). ``last_checked_round`` (VERDICT r4
     item 8) is the fingerprint-aware effective staleness derived from the
     GIT-TRACKED CORRECTNESS_r*.json artifacts and the certified
-    fingerprint file — 0 means the driver has never executed the query's
-    current content.
+    fingerprint file — 0 means the driver has never executed the query,
+    -1 means it was driver-green once but the query's content changed
+    since (both sort into the next window; -1 first).
     """
     # compute staleness ONCE and share with load_all's rotation, so
     # position and last_checked_round can never disagree

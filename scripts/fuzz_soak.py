@@ -63,6 +63,7 @@ def main() -> int:
         ("events", fz._event_queries(), fz.event_to_df, fz.event_to_sql),
     ]
     failures: list[dict] = []
+    seen_failures: set[tuple[str, str]] = set()
     counts: dict[str, int] = {}
     t0 = time.time()
     def make_prop(shape_name, strat, to_df, to_sql, counter):
@@ -77,16 +78,35 @@ def main() -> int:
         @given(q=strat)
         def prop(q):
             counter[0] += 1
-            sdf = to_df(spark, q)
-            s_names, s_norm = _normalize(
-                sdf.columns, [tuple(r) for r in sdf.collect()]
-            )
-            cur = con.execute(to_sql(q))
-            o_names, o_norm = _normalize(
-                [d[0] for d in cur.description], cur.fetchall()
-            )
+
+            def record(kind: str, detail: str = "") -> None:
+                # shrinking replays the failing example many times; record
+                # each distinct (shape, sql) once so the summary stays a
+                # one-bug-one-entry report
+                key = (shape_name, to_sql(q))
+                if key not in seen_failures:
+                    seen_failures.add(key)
+                    row = {"shape": shape_name, "sql": to_sql(q)}
+                    if detail:
+                        row[kind] = detail
+                    failures.append(row)
+
+            try:
+                sdf = to_df(spark, q)
+                s_names, s_norm = _normalize(
+                    sdf.columns, [tuple(r) for r in sdf.collect()]
+                )
+                cur = con.execute(to_sql(q))
+                o_names, o_norm = _normalize(
+                    [d[0] for d in cur.description], cur.fetchall()
+                )
+            except Exception as exc:  # noqa: BLE001 — an engine ERROR on a
+                # sampled example is itself a differential finding; report
+                # it instead of letting it abort the sweep
+                record("error", repr(exc)[:300])
+                raise AssertionError(to_sql(q)) from exc
             if s_names != o_names or s_norm != o_norm:
-                failures.append({"shape": shape_name, "sql": to_sql(q)})
+                record("mismatch")
                 raise AssertionError(to_sql(q))
 
         return prop
@@ -95,8 +115,9 @@ def main() -> int:
         counter = [0]
         try:
             make_prop(shape_name, strat, to_df, to_sql, counter)()
-        except AssertionError:
-            pass  # recorded in failures; keep sweeping the other shapes
+        except Exception:  # noqa: BLE001 — failure already recorded; a
+            # crash in one shape must not cost the others their runs
+            pass
         counts[shape_name] = counter[0]
         print(f"[soak] {shape_name}: {counter[0]} examples", file=sys.stderr)
 
@@ -104,7 +125,7 @@ def main() -> int:
         "n_per_shape": n_per_shape,
         "seed": seed,
         "sf_dir": fz.SF_FUZZ,
-        "examples": counts,
+        "executions": counts,  # includes hypothesis shrink replays on failure
         "elapsed_s": round(time.time() - t0, 1),
         "fail": failures,
     }

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from masd_spark.sources.tables import load_table
 
-from tests.conftest import SF_ORACLE  # noqa: F401  (fixture plumbing)
 from tests.oracle import _normalize, duckdb_connection
 
 SF_FUZZ = "/root/testdata/sf0.001"  # 6k-row lineitem: ~0.3s per example

@@ -101,7 +101,14 @@ def test_random_stream_config_matches_batch_twin(
             available_now=True,
             write_batch=sink,
         )
-        q.awaitTermination(300)
+        try:
+            finished = q.awaitTermination(300)
+            assert finished, (
+                f"streaming query did not drain in 300s (seed={seed} "
+                f"files={n_files}) — comparison below would be partial"
+            )
+        finally:
+            q.stop()  # never rmtree under a live query
 
         last = {}
         for _, rows in sorted(collected, key=lambda x: x[0]):
