@@ -645,7 +645,11 @@ def test_random_set_op_matches_duckdb(spark, fuzz_con, q):
 # shipped as both ns-long and µs-TIMESTAMP); the oracle side reads the
 # raw parquet with epoch_ms(). Random epoch-ms bucketing + grouping +
 # exact aggregates must agree — any drift in the ts normalization or
-# the ms derivation (`ts DIV 1_000_000`) shows up immediately.
+# the ms derivation (`ts DIV 1_000_000`) shows up immediately. Both
+# renderers apply the engine's measurement-value contract (rows whose
+# value is NaN/±Inf are excluded, NULL kept — queries/__init__.py
+# finite_values/finite_events), so the shape stays comparable on the
+# non-finite-poisoned fixture too.
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 _BUCKETS_MS = [60_000, 300_000, 3_600_000, 86_400_000]
@@ -701,7 +705,8 @@ def event_to_sql(q: EventQuery) -> str:
     sql = (
         f"WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, "
         f"ts_ms - (ts_ms % {q.bucket_ms}) AS bucket_ms, "
-        f"user_id, event_type, value FROM events) "
+        f"user_id, event_type, value FROM events "
+        f"WHERE value IS NULL OR isfinite(value)) "
         f"SELECT {', '.join(sel)} FROM e"
     )
     if where:
@@ -712,7 +717,9 @@ def event_to_sql(q: EventQuery) -> str:
 
 
 def event_to_df(spark, q: EventQuery):
-    e = load_table(spark, SF_FUZZ, "events").select(
+    from masd_spark.queries import finite_values
+
+    e = finite_values(load_table(spark, SF_FUZZ, "events")).select(
         "event_id",
         F.expr("ts div 1000000").alias("ts_ms"),
         "user_id",
