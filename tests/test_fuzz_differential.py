@@ -758,3 +758,131 @@ def test_random_event_bucket_query_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {event_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- embeddings/array property --------------------------------------------
+#
+# Seventh shape: array-column semantics on embeddings — element access
+# (both engines 1-based via element_at / list subscript), per-label
+# exact aggregates over a random coordinate, under the embedding
+# family's valid_vectors invalid-input contract (null id / null vector
+# / any NULL-or-non-finite element excluded on BOTH sides), so the
+# shape is comparable on the poisoned fixture as well.
+#
+# FUZZER FINDING (first derandomized run): FLOAT -> DECIMAL casts
+# genuinely disagree between the engines — DuckDB rounds from the
+# float32's SHORTEST decimal repr (0.2153955 -> 0.215396) while Spark
+# rounds from the full binary expansion (0.2153954952... -> 0.215395).
+# The parity recipe is therefore: NEVER cast a float32 column straight
+# to DECIMAL; widen to DOUBLE first (exact, both engines) so both
+# round the same value. Both renderers below do the double hop.
+
+_EMB_DIM = 64
+
+
+@dataclass(frozen=True)
+class EmbQuery:
+    idx: int  # 1-based coordinate
+    label_eq: int | None
+    mod: tuple[int, int] | None  # vec_id % m = r
+    group: tuple[str, ...]
+    aggs: tuple[str, ...]  # subset of count/min/max/sum_dec/n_labels
+
+
+def _emb_queries() -> st.SearchStrategy[EmbQuery]:
+    return st.builds(
+        EmbQuery,
+        idx=st.integers(min_value=1, max_value=_EMB_DIM),
+        label_eq=st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+        mod=st.one_of(
+            st.none(),
+            st.tuples(
+                st.integers(min_value=2, max_value=7),
+                st.integers(min_value=0, max_value=1),
+            ),
+        ),
+        group=st.sampled_from([(), ("label",)]),
+        aggs=st.lists(
+            st.sampled_from(["count", "min", "max", "sum_dec", "n_labels"]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        ).map(tuple),
+    )
+
+
+def _emb_agg_sql(kind: str, idx: int, alias: str) -> str:
+    el = f"embedding[{idx}]"
+    if kind == "count":
+        return f"CAST(count(*) AS BIGINT) AS {alias}"
+    if kind in ("min", "max"):
+        return f"{kind}({el}) AS {alias}"
+    if kind == "sum_dec":
+        return f"sum(CAST(CAST({el} AS DOUBLE) AS DECIMAL(18,6))) AS {alias}"
+    return f"CAST(count(DISTINCT label) AS BIGINT) AS {alias}"
+
+
+def emb_to_sql(q: EmbQuery) -> str:
+    from masd_spark.queries import valid_embeddings
+
+    where = []
+    if q.label_eq is not None:
+        where.append(f"label = {q.label_eq}")
+    if q.mod:
+        m, r = q.mod
+        where.append(f"vec_id % {m} = {r}")
+    sel = list(q.group) + [
+        _emb_agg_sql(k, q.idx, f"a{i}") for i, k in enumerate(q.aggs)
+    ]
+    sql = f"SELECT {', '.join(sel)} FROM embeddings"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if q.group:
+        sql += " GROUP BY " + ", ".join(q.group)
+    return valid_embeddings(sql)
+
+
+def emb_to_df(spark, q: EmbQuery):
+    from masd_spark.operators.similarity import valid_vectors
+
+    e = valid_vectors(
+        load_table(spark, SF_FUZZ, "embeddings"), "vec_id", "embedding"
+    )
+    if q.label_eq is not None:
+        e = e.filter(F.col("label") == q.label_eq)
+    if q.mod:
+        m, r = q.mod
+        e = e.filter(F.col("vec_id") % m == r)
+    el = F.element_at("embedding", q.idx)
+    agg_map = {
+        "count": F.count(F.lit(1)),
+        "min": F.min(el),
+        "max": F.max(el),
+        "sum_dec": F.sum(el.cast("double").cast("decimal(18,6)")),
+        "n_labels": F.countDistinct("label"),
+    }
+    aggs = [agg_map[k].alias(f"a{i}") for i, k in enumerate(q.aggs)]
+    if q.group:
+        return e.groupBy(*q.group).agg(*aggs)
+    return e.agg(*aggs)
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_emb_queries())
+def test_random_embedding_query_matches_duckdb(spark, fuzz_con, q):
+    sdf = emb_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(emb_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (emb_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {emb_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
