@@ -62,6 +62,7 @@ def main() -> int:
         ("setop", fz._set_queries(), fz.set_to_df, fz.set_to_sql),
         ("events", fz._event_queries(), fz.event_to_df, fz.event_to_sql),
         ("embeddings", fz._emb_queries(), fz.emb_to_df, fz.emb_to_sql),
+        ("semi_anti", fz._semi_queries(), fz.semi_to_df, fz.semi_to_sql),
     ]
     failures: list[dict] = []
     seen_failures: set[tuple[str, str]] = set()

@@ -886,3 +886,105 @@ def test_random_embedding_query_matches_duckdb(spark, fuzz_con, q):
         f"differential mismatch for: {emb_to_sql(q)}\n"
         f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
     )
+
+
+# -- semi/anti join property ----------------------------------------------
+#
+# Eighth shape: existence joins. Spark's leftsemi/leftanti implement
+# EXISTS / NOT EXISTS semantics — NOT the SQL `NOT IN` operator, which
+# under three-valued logic returns zero rows the moment the subquery
+# yields one NULL key. The oracle side renders EXISTS/NOT EXISTS so the
+# semantics match BY CONSTRUCTION on dirty data too; a future edit that
+# swaps an anti-join for a NOT IN (or vice versa) in an operator breaks
+# parity here on the null fixture before it ships.
+
+_SEMI_AGG = st.lists(
+    st.one_of(
+        st.tuples(st.just("count"), st.just("*")),
+        st.tuples(st.just("count_distinct"), st.sampled_from(["l_orderkey", "l_returnflag"])),
+        st.tuples(st.just("min"), st.sampled_from(["l_quantity", "l_shipdate"])),
+        st.tuples(st.just("max"), st.sampled_from(["l_quantity", "l_shipdate"])),
+        st.tuples(st.just("sum_dec"), st.sampled_from(["l_extendedprice", "l_quantity"])),
+    ),
+    min_size=1,
+    max_size=2,
+).map(tuple)
+
+
+@dataclass(frozen=True)
+class SemiQuery:
+    anti: bool
+    li_atom: Atom | None
+    o_status: str | None
+    group: tuple[str, ...]
+    aggs: tuple[tuple[str, str], ...]
+
+
+def _semi_queries() -> st.SearchStrategy[SemiQuery]:
+    return st.builds(
+        SemiQuery,
+        anti=st.booleans(),
+        li_atom=st.one_of(st.none(), _atoms()),
+        o_status=st.one_of(st.none(), st.sampled_from(_O_STATUS)),
+        group=st.sampled_from([(), ("l_returnflag",), ("l_linestatus",)]),
+        aggs=_SEMI_AGG,
+    )
+
+
+def semi_to_sql(q: SemiQuery) -> str:
+    od = "SELECT * FROM orders"
+    if q.o_status:
+        od += f" WHERE o_orderstatus = '{q.o_status}'"
+    neg = "NOT " if q.anti else ""
+    where = [
+        f"{neg}EXISTS (SELECT 1 FROM ({od}) o "
+        "WHERE o.o_orderkey = lineitem.l_orderkey)"
+    ]
+    if q.li_atom:
+        where.append(_atom_sql(q.li_atom))
+    sel = list(q.group) + [
+        _agg_sql(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)
+    ]
+    sql = f"SELECT {', '.join(sel)} FROM lineitem WHERE " + " AND ".join(where)
+    if q.group:
+        sql += " GROUP BY " + ", ".join(q.group)
+    return sql
+
+
+def semi_to_df(spark, q: SemiQuery):
+    li = load_table(spark, SF_FUZZ, "lineitem")
+    if q.li_atom:
+        li = li.filter(_atom_col(q.li_atom))
+    od = load_table(spark, SF_FUZZ, "orders")
+    if q.o_status:
+        od = od.filter(F.col("o_orderstatus") == q.o_status)
+    j = li.join(
+        od,
+        li["l_orderkey"] == od["o_orderkey"],
+        "left_anti" if q.anti else "left_semi",
+    )
+    aggs = [_agg_col(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)]
+    if q.group:
+        return j.groupBy(*q.group).agg(*aggs)
+    return j.agg(*aggs)
+
+
+@settings(
+    max_examples=25,
+    derandomize=True,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_semi_queries())
+def test_random_semi_anti_join_matches_duckdb(spark, fuzz_con, q):
+    sdf = semi_to_df(spark, q)
+    s_names, s_norm = _normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = fuzz_con.execute(semi_to_sql(q))
+    o_names, o_norm = _normalize(
+        [d[0] for d in cur.description], cur.fetchall()
+    )
+    assert s_names == o_names, (semi_to_sql(q), s_names, o_names)
+    assert s_norm == o_norm, (
+        f"differential mismatch for: {semi_to_sql(q)}\n"
+        f"  spark rows: {s_norm[:5]}\n  duckdb rows: {o_norm[:5]}"
+    )
