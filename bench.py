@@ -87,7 +87,13 @@ def _prev_committed_queries() -> dict[str, float]:
                 arts.append((int(m.group(1)), p))
         if not arts:
             return {}
-        prev = json.loads((root / max(arts)[1]).read_text())
+        # read the COMMITTED blob, not the working-tree file — a locally
+        # modified artifact must not shift the retry bar (ADVICE r7)
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{max(arts)[1]}"], cwd=root,
+            capture_output=True, text=True, timeout=60, check=True,
+        ).stdout
+        prev = json.loads(blob)
         qs = prev.get("queries") or prev.get("parsed", {}).get("queries") or {}
         return {k: float(v) for k, v in qs.items() if v}
     except Exception:  # noqa: BLE001
@@ -368,8 +374,14 @@ def main() -> None:
                 file=sys.stderr,
             )
         out["queries_cold"] = per_pass[0]
+        # ratio against the ACTUAL warm pass (the last one), not the
+        # per-query min — when min() discards a noisy warm pass the
+        # cold/min ratio would read 1.0 (cold/cold) and stop measuring
+        # what this key's name promises (ADVICE r7).
         out["cold_over_warm"] = {
-            n: round(per_pass[0][n] / timings[n], 2) if timings[n] else None
+            n: round(per_pass[0][n] / per_pass[-1][n], 2)
+            if per_pass[-1].get(n)
+            else None
             for n in timings
         }
         out["variance_note"] = (

@@ -35,7 +35,9 @@ class QuerySpec:
     headline: bool = False  # include in bench.py's per-round benchmark
     doc: str = ""
     family: str = ""  # defining query module (registry_manifest.json key)
-    fingerprint: str = ""  # content hash: registering-module source + oracle
+    src_fingerprint: str = ""  # cheap hash: fn source + oracle (cache key)
+    module: str = ""  # full dotted registering module (closure root)
+    raw_fn: Callable | None = None  # unwrapped fn (plan-fp source hashing)
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -61,25 +63,15 @@ def _module_src_hash(module_name: str) -> str:
 
 
 def _query_fingerprint(fn, oracle: str | None) -> str:
-    """Content fingerprint for the rotation's changed-since-checked policy
-    (VERDICT r6 item 2): sha256 of the registered function's OWN source
-    text plus its (fully-composed) oracle string. Editing a query's plan
-    code or its oracle — including oracle text assembled by module helpers,
-    since the composed string is hashed — changes the fingerprint, which
-    drops the query's effective staleness to -1 (ahead even of
-    never-checked queries) so it re-enters the very next driver window
-    instead of hiding behind a stale green.
-
-    Granularity is deliberately per-query, not per-module: hashing the
-    whole registering module would mark every sibling stale whenever a NEW
-    query is added to the file, flooding the driver window and starving
-    the never-checked backlog. The trade-off is a known gap: edits to a
-    shared helper (a `_dec_sum` in the query module, or operators/*.py)
-    that change results without touching the fn body or oracle text don't
-    move the hash. The local full-registry oracle sweep
-    (tests/test_parity_audit.py) value-checks every query in-round
-    regardless; the fingerprint exists to re-earn *driver* greens for
-    directly-edited queries.
+    """Cheap per-query SOURCE hash: sha256 of the registered function's own
+    source text plus its (fully-composed) oracle string. Since round 8 this
+    is no longer the certified fingerprint — it is one ingredient of
+    planfp.dep_key, the static staleness key that decides when the real
+    PLAN-CONTENT fingerprint (masd_spark/queries/planfp.py) must be
+    recomputed. The plan fingerprint closes this hash's known blind spot
+    (VERDICT r7 item 1): edits to shared helpers in operators/*.py changed
+    results without moving any source hash; the analyzed-plan text moves
+    with every transitively-reached helper.
     """
     import hashlib
     import inspect
@@ -117,7 +109,9 @@ def register(
             headline,
             doc or (fn.__doc__ or ""),
             family=fn.__module__.rsplit(".", 1)[-1],
-            fingerprint=_query_fingerprint(fn, oracle),
+            src_fingerprint=_query_fingerprint(fn, oracle),
+            module=fn.__module__,
+            raw_fn=fn,
         )
         return fn
 
@@ -319,16 +313,31 @@ def certified_fingerprints() -> dict[str, dict]:
         return {}
 
 
+def current_plan_fingerprints() -> dict[str, str | None]:
+    """Plan-content fingerprints for every registered query, from the
+    git-tracked cache (planfp.py). None = the cached entry is stale (a
+    file in the query's module closure was edited since the last
+    ``write_manifest``); the fingerprint is unknown until a refresh
+    recomputes it, and the rotation treats the query as possibly
+    invalidated meanwhile."""
+    from masd_spark.queries import planfp
+
+    _import_query_modules()
+    return planfp.current_fingerprints(REGISTRY)
+
+
 def effective_checked_rounds() -> dict[str, int]:
     """Rotation staleness with the changed-since-checked policy (VERDICT
-    r6 item 2): a query's effective last-checked round is the round its
-    CURRENT fingerprint was certified green at. Two classes sort ahead of
-    every confirmed query:
+    r6 item 2; r7 item 1 upgraded the fingerprint from source-text to
+    plan-content): a query's effective last-checked round is the round its
+    CURRENT plan fingerprint was certified green at. Two classes sort
+    ahead of every confirmed query:
 
-    - ``-1`` — certified green once, but the fingerprint changed since:
-      the existing green is possibly INVALIDATED (a latent regression),
-      so re-verifying it outranks everything, including first-time
-      checks of new registrations;
+    - ``-1`` — certified green once, but the plan fingerprint changed
+      (or is UNKNOWN because a closure file was edited and the cache
+      hasn't been refreshed): the existing green is possibly INVALIDATED
+      (a latent regression), so re-verifying it outranks everything,
+      including first-time checks of new registrations;
     - ``0`` — never driver-confirmed: a first-time check establishes a
       NEW claim; urgent, but nothing previously vouched-for is at stake.
 
@@ -343,10 +352,12 @@ def effective_checked_rounds() -> dict[str, int]:
     """
     _import_query_modules()
     certified = certified_fingerprints()
+    plan_fps = current_plan_fingerprints()
     out: dict[str, int] = {}
-    for name, spec in REGISTRY.items():
+    for name in REGISTRY:
         rec = certified.get(name)
-        if rec and rec.get("fingerprint") == spec.fingerprint:
+        fp = plan_fps.get(name)
+        if rec and fp is not None and rec.get("fingerprint") == fp:
             out[name] = int(rec.get("round", 0))
         elif rec:
             out[name] = -1
@@ -372,12 +383,18 @@ def sync_fingerprints() -> None:
     _import_query_modules()
     checked = last_checked_rounds()
     certified = certified_fingerprints()
+    plan_fps = current_plan_fingerprints()
     out: dict[str, dict] = {}
-    for name, spec in REGISTRY.items():
+    for name in REGISTRY:
         rec = certified.get(name)
         rnd = checked.get(name, 0)
-        if rnd > 0 and rnd > (rec.get("round", -1) if rec else -1):
-            rec = {"fingerprint": spec.fingerprint, "round": rnd}
+        fp = plan_fps.get(name)
+        # fp None (stale cache at sync time) -> can't certify an unknown
+        # fingerprint; keep the old record so the query stays -1
+        if fp is not None and rnd > 0 and rnd > (
+            rec.get("round", -1) if rec else -1
+        ):
+            rec = {"fingerprint": fp, "round": rnd}
         if rec:
             out[name] = rec
     with open(_fingerprint_path(), "w") as f:
@@ -450,6 +467,7 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
     # compute staleness ONCE and share with load_all's rotation, so
     # position and last_checked_round can never disagree
     checked = effective_checked_rounds()
+    plan_fps = current_plan_fingerprints()
     rows = []
     for i, spec in enumerate(load_all(checked).values()):
         rows.append(
@@ -461,19 +479,25 @@ def manifest(round_checked: int = DRIVER_WINDOW) -> list[dict]:
                 "position": i,
                 "last_checked_round": checked.get(spec.name, 0),
                 "driver_checked_this_round": i < round_checked,
-                "fingerprint": spec.fingerprint,
+                "fingerprint": plan_fps.get(spec.name),
             }
         )
     return rows
 
 
 def write_manifest(path: str = "registry_manifest.json") -> None:
-    """Round-start protocol: certify fingerprints against any newly-
-    tracked driver artifact, then emit the manifest. Also the right call
-    after ANY in-round query edit (the fingerprint sync is a no-op then;
-    only the manifest rows refresh)."""
+    """Round-start protocol AND after-any-edit protocol: refresh stale
+    plan fingerprints (runs each affected query's plan construction
+    against the tiny fixture — needs Spark only when something actually
+    changed), certify fingerprints against any newly-tracked driver
+    artifact (a no-op mid-round), then emit the manifest."""
     import json
 
+    from masd_spark.queries import planfp
+
+    _import_query_modules()
+    planfp.clear_closure_cache()
+    planfp.refresh(REGISTRY, log=print)
     sync_fingerprints()
     with open(path, "w") as f:
         json.dump(manifest(), f, indent=1)

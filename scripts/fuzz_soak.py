@@ -44,7 +44,13 @@ def main() -> int:
         del argv[i : i + 2]
     n_per_shape = int(argv[0]) if argv else 150
 
-    from hypothesis import HealthCheck, given, seed as hyp_seed, settings
+    from hypothesis import (
+        HealthCheck,
+        given,
+        seed as hyp_seed,
+        settings,
+        strategies as st,
+    )
 
     import test_fuzz_differential as fz
     from masd_spark.session import get_spark
@@ -122,6 +128,65 @@ def main() -> int:
             pass
         counts[shape_name] = counter[0]
         print(f"[soak] {shape_name}: {counter[0]} examples", file=sys.stderr)
+
+    # -- streaming-recovery shape (VERDICT r7 item 6) -----------------------
+    # No DuckDB half: the oracle is the batch twin inside the runner. Each
+    # example spins up TWO real streaming queries (kill + resume), so it
+    # gets a reduced example budget relative to the differential shapes.
+    import test_fuzz_streaming as fzs
+
+    recov_counter = [0]
+    n_recovery = max(2, n_per_shape // 10)
+
+    @settings(
+        max_examples=n_recovery,
+        derandomize=False,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+        database=None,
+    )
+    @hyp_seed(seed)
+    @given(
+        rseed=st.integers(min_value=0, max_value=10_000),
+        duration_ms=st.sampled_from([60_000, 120_000, 180_000]),
+        geometry=st.sampled_from(fzs._WINDOWS),
+        n_files=st.integers(min_value=2, max_value=5),
+        kill_at_frac=st.floats(min_value=0.0, max_value=1.0),
+        kill_mode=st.sampled_from(["exception", "stop"]),
+    )
+    def recovery_prop(
+        rseed, duration_ms, geometry, n_files, kill_at_frac, kill_mode
+    ):
+        recov_counter[0] += 1
+        kill_after = min(int(kill_at_frac * n_files), n_files - 1)
+        detail = (
+            f"seed={rseed} span={duration_ms} window={geometry} "
+            f"files={n_files} kill_after={kill_after} mode={kill_mode}"
+        )
+        try:
+            fzs.run_recovery_example(
+                spark, rseed, duration_ms, geometry, n_files,
+                kill_after, kill_mode,
+            )
+        except Exception as exc:  # noqa: BLE001
+            key = ("stream_recovery", detail)
+            if key not in seen_failures:
+                seen_failures.add(key)
+                failures.append(
+                    {"shape": "stream_recovery", "sql": detail,
+                     "error": repr(exc)[:300]}
+                )
+            raise
+
+    try:
+        recovery_prop()
+    except Exception:  # noqa: BLE001 — recorded above
+        pass
+    counts["stream_recovery"] = recov_counter[0]
+    print(
+        f"[soak] stream_recovery: {recov_counter[0]} examples",
+        file=sys.stderr,
+    )
 
     out = {
         "n_per_shape": n_per_shape,

@@ -693,6 +693,19 @@ def _event_queries() -> st.SearchStrategy[EventQuery]:
     )
 
 
+def _ts_ms_sql() -> str:
+    """DuckDB rendering of "events.ts as epoch-ms BIGINT", branched on the
+    fixture's physical type exactly like sources/tables.py:load_table —
+    epoch_ms(TIMESTAMP) on the µs-TIMESTAMP variant, integer floor-division
+    on the ns-long int64 variant (epoch_ms(BIGINT) would return a
+    TIMESTAMP there and break the % bucketing arithmetic; ADVICE r7)."""
+    from masd_spark.sources.tables import _events_ts_physical
+
+    if _events_ts_physical(f"{SF_FUZZ}/events.parquet") == "int64":
+        return "ts // 1000000"
+    return "epoch_ms(ts)"
+
+
 def event_to_sql(q: EventQuery) -> str:
     where = []
     if q.types:
@@ -703,7 +716,7 @@ def event_to_sql(q: EventQuery) -> str:
         _agg_sql(k, c, f"a{i}") for i, (k, c) in enumerate(q.aggs)
     ]
     sql = (
-        f"WITH e AS (SELECT event_id, epoch_ms(ts) AS ts_ms, "
+        f"WITH e AS (SELECT event_id, {_ts_ms_sql()} AS ts_ms, "
         f"ts_ms - (ts_ms % {q.bucket_ms}) AS bucket_ms, "
         f"user_id, event_type, value FROM events "
         f"WHERE value IS NULL OR isfinite(value)) "

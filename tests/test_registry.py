@@ -78,26 +78,52 @@ def test_fingerprint_sync_is_idempotent_within_a_round(monkeypatch, tmp_path):
     monkeypatch.setattr(q, "_fingerprint_path", lambda: fp_file)
     monkeypatch.setattr(q, "last_checked_rounds", lambda: {"victim": 6})
 
-    class Spec:
-        fingerprint = "aaaa"
-
+    fps = {"victim": "aaaa"}
     monkeypatch.setattr(q, "_import_query_modules", lambda: None)
-    monkeypatch.setattr(q, "REGISTRY", {"victim": Spec()})
+    monkeypatch.setattr(q, "current_plan_fingerprints", lambda: dict(fps))
+    monkeypatch.setattr(q, "REGISTRY", {"victim": object()})
     q.sync_fingerprints()
     rec = json.loads(fp_file.read_text())["victim"]
     assert rec == {"fingerprint": "aaaa", "round": 6}
     # the query is edited mid-round; sync re-runs (write_manifest call)
-    Spec.fingerprint = "bbbb"
+    fps["victim"] = "bbbb"
     q.sync_fingerprints()
     rec = json.loads(fp_file.read_text())["victim"]
     assert rec == {"fingerprint": "aaaa", "round": 6}, (
         "mid-round re-sync must not launder an edited query's staleness"
     )
-    # ...until the NEXT round's green artifact lands
+    # an edited query whose plan fingerprint is still UNKNOWN (stale
+    # cache) must never be certified — even against a new green round
+    fps["victim"] = None
     monkeypatch.setattr(q, "last_checked_rounds", lambda: {"victim": 7})
     q.sync_fingerprints()
     rec = json.loads(fp_file.read_text())["victim"]
+    assert rec == {"fingerprint": "aaaa", "round": 6}, (
+        "sync must not certify an unknown fingerprint"
+    )
+    # ...until the NEXT round's green artifact lands with a known fp
+    fps["victim"] = "bbbb"
+    q.sync_fingerprints()
+    rec = json.loads(fp_file.read_text())["victim"]
     assert rec == {"fingerprint": "bbbb", "round": 7}
+
+
+def test_committed_plan_cache_is_current():
+    """Every registered query must have a FRESH entry in the committed
+    plan-fingerprint cache (plan_fingerprints.json): a stale dep key
+    means some closure file was edited without re-running
+    ``write_manifest`` — the rotation would run on unknown fingerprints
+    and mark certified queries -1 wholesale. Regenerate with the same
+    write_manifest call that refreshes registry_manifest.json."""
+    from masd_spark.queries import current_plan_fingerprints, load_all
+
+    reg = load_all()
+    fps = current_plan_fingerprints()
+    stale = sorted(n for n in reg if fps.get(n) is None)
+    assert not stale, (
+        f"{len(stale)} queries have stale/missing plan fingerprints "
+        f"(run write_manifest): {stale[:10]}"
+    )
 
 
 def test_certified_fingerprints_match_live_registry():

@@ -159,3 +159,160 @@ def test_manifest_carries_rotation_state():
     for r in rows:
         assert "last_checked_round" in r
         assert r["last_checked_round"] == CHECKED.get(r["name"], 0)
+
+
+# -- plan-content fingerprints (VERDICT r7 item 1) --------------------------
+
+
+def test_operator_modules_are_in_query_closures():
+    """The staleness key's reach: every query module's static closure must
+    contain the operator modules it builds plans from — so an
+    operators/*.py edit always flips the dep key and surfaces the affected
+    queries as possibly-invalidated (-1) until write_manifest recomputes
+    their plan fingerprints."""
+    from masd_spark.queries import planfp
+
+    for qmod, opmod in [
+        ("masd_spark.queries.dedup", "masd_spark.operators.dedup"),
+        ("masd_spark.queries.similarity", "masd_spark.operators.similarity"),
+        ("masd_spark.queries.masd_core", "masd_spark.operators.window_agg"),
+        ("masd_spark.queries.graph_q", "masd_spark.operators.graph"),
+        # every closure transitively reaches the fixture loader + registry
+        ("masd_spark.queries.text", "masd_spark.sources.tables"),
+        ("masd_spark.queries.text", "masd_spark.queries"),
+    ]:
+        mods = [m for m, _ in planfp.module_closure(qmod)]
+        assert opmod in mods, f"{opmod} missing from {qmod} closure"
+
+
+def test_helper_edit_flips_dep_key_and_refronts(monkeypatch):
+    """Done-criterion for VERDICT r7 item 1: an operators/dedup.py-ONLY
+    edit must re-front every dependent query into the next driver window.
+    Simulate the edit by perturbing the closure hash of the dedup query
+    module (exactly what a changed file hash does) and assert (a) the
+    cached plan fingerprints for all dedup-family queries report stale,
+    (b) effective staleness drops to -1, (c) rotation puts them in the
+    window."""
+    import masd_spark.queries as q
+    from masd_spark.queries import planfp
+
+    dedup_queries = [n for n in NAMES if REG[n].module == "masd_spark.queries.dedup"]
+    assert dedup_queries, "no dedup-family queries registered?"
+
+    orig = planfp.closure_hash
+
+    def perturbed(module_name):
+        h = orig(module_name)
+        # operators/dedup.py sits in these closures; a content edit there
+        # changes exactly the closure hashes that include it
+        mods = [m for m, _ in planfp.module_closure(module_name)]
+        if "masd_spark.operators.dedup" in mods:
+            return "edited-" + h
+        return h
+
+    monkeypatch.setattr(planfp, "closure_hash", perturbed)
+    fps = q.current_plan_fingerprints()
+    for name in dedup_queries:
+        assert fps[name] is None, f"{name} should be stale after helper edit"
+    eff = q.effective_checked_rounds()
+    certified = q.certified_fingerprints()
+    stale_certified = [n for n in dedup_queries if n in certified]
+    for name in stale_certified:
+        assert eff[name] == -1
+    order = rotation_order(NAMES, eff)
+    window = set(order[:DRIVER_WINDOW])
+    minus_ones = [n for n in NAMES if eff.get(n) == -1]
+    if len(minus_ones) <= DRIVER_WINDOW - 1:
+        # all possibly-invalidated greens fit: every one is in the window
+        assert all(n in window for n in stale_certified)
+    else:
+        # more than a window's worth: every non-flagship slot goes to them
+        assert all(eff[n] == -1 for n in order[1:DRIVER_WINDOW])
+
+
+def test_plan_fingerprint_matches_committed_cache(spark):
+    """Cross-session determinism of the plan fingerprint, checked against
+    the COMMITTED cache (which was computed in a different session/JVM):
+    a normalization gap (expression ids, temp paths, lambda counters)
+    would make every fresh session disagree with the committed value and
+    flap the rotation. Stratified sample: pure-DataFrame, writer-action
+    (persisted index), opaque UDTF, window/top-k."""
+    import json
+    from pathlib import Path
+
+    from masd_spark.queries import planfp
+
+    committed = json.loads(
+        (Path(__file__).resolve().parent.parent / "plan_fingerprints.json").read_text()
+    )
+    for name in [
+        "q1_pricing_summary",
+        "topk_orders_per_segment",
+        "chunk_documents_udtf",
+        "ann_ivf_persisted_topk",
+    ]:
+        spec = REG[name]
+        rec = committed[name]
+        assert rec["dep"] == planfp.dep_key(spec), f"{name}: stale cache"
+        fp = planfp.compute_fingerprint(spark, spec)
+        assert fp == rec["fp"], (
+            f"{name}: fresh-session fingerprint {fp} != committed "
+            f"{rec['fp']} — plan normalization is leaking session state"
+        )
+
+
+def test_plan_fingerprint_sees_helper_semantics_not_helper_style(spark):
+    """The precision claim that distinguishes plan fingerprints from
+    module-source hashing: a helper SEMANTIC change (filter bound 10->11)
+    moves the fingerprint, while a helper REFACTOR that produces the
+    identical plan (filter -> where) does not — so an operators-file
+    style cleanup re-fronts nothing, an operators-file behavior change
+    re-fronts exactly its dependents. The query fn is held constant (its
+    source is a deliberate payload term); only the helper varies."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from masd_spark.queries import planfp
+
+    helper = {}
+
+    def q(spark, sf_dir):
+        from masd_spark.sources.tables import load_table
+
+        return (
+            helper["h"](load_table(spark, sf_dir, "lineitem"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+
+    spec = replace(
+        REG["q1_pricing_summary"], fn=q, raw_fn=q, oracle="SELECT 1"
+    )
+    helper["h"] = lambda df: df.filter(F.col("l_quantity") > 10)
+    fp_orig = planfp.compute_fingerprint(spark, spec)
+    # helper refactor, identical plan
+    helper["h"] = lambda df: df.where(F.col("l_quantity") > F.lit(10))
+    fp_refactor = planfp.compute_fingerprint(spark, spec)
+    # helper behavior change
+    helper["h"] = lambda df: df.filter(F.col("l_quantity") > 11)
+    fp_semantic = planfp.compute_fingerprint(spark, spec)
+    assert fp_orig == fp_refactor, "plan-identical refactor must not move fp"
+    assert fp_orig != fp_semantic, "helper bound edit must move fp"
+
+
+def test_opaque_plans_fold_in_closure_hash(monkeypatch, spark):
+    """Queries whose plans hide Python compute (pandas exec nodes, UDTFs,
+    LogicalRDD, LocalRelation) must fold the module-closure hash into
+    their fingerprint — a closure edit changes their fingerprint even
+    when the (opaque) plan text is unchanged."""
+    from masd_spark.queries import planfp
+
+    spec = REG["chunk_documents_udtf"]  # Generate <python udtf> => opaque
+    fp1 = planfp.compute_fingerprint(spark, spec)
+    orig = planfp.closure_hash
+    monkeypatch.setattr(
+        planfp, "closure_hash", lambda m: "edited-" + orig(m)
+    )
+    fp2 = planfp.compute_fingerprint(spark, spec)
+    assert fp1 != fp2
