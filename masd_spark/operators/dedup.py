@@ -543,6 +543,13 @@ def _pair_counts(sh: DataFrame, id_col: str, max_df: int | None) -> DataFrame:
     )
 
 
+class SimhashCollapseError(ValueError):
+    """Raised when simhash_pairs is invoked on a corpus whose vocabulary
+    entropy cannot support simhash fingerprints (mean document length
+    exceeds the unigram perplexity — the round-7 SF10 measured modal
+    collapse). Route such corpora to the k-gram/minhash screens."""
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -550,6 +557,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     n_bits: int = 32,
+    entropy_guard: bool = True,
 ) -> DataFrame:
     """All pairs of documents whose SimHash fingerprints differ in
     at most ``max_hamming`` bits — EXACT (not approximate), via pigeonhole
@@ -569,12 +577,41 @@ def simhash_pairs(
     ``n_bits=60`` (operators/text.py:simhash_wide) covers ~1M docs.
     Exactness (recall 1.0 within max_hamming) holds at ANY width — width
     only buys candidate sparsity.
+
+    ``entropy_guard`` (default ON, VERDICT r7 item 3): width cannot fix
+    VOCABULARY-entropy collapse — when mean document length exceeds the
+    corpus's unigram perplexity, per-bit sign means grow ~linearly with
+    doc length while stddev grows ~sqrt(L), so long documents converge
+    to the corpus-modal fingerprint and the band join wedges (measured
+    at SF10 on the 31-token fixture vocabulary). The guard runs one
+    vocab-bounded profile aggregation (operators/text.py:
+    vocab_entropy_guard) and raises :class:`SimhashCollapseError` on a
+    collapse-shaped corpus instead of launching a join that degenerates
+    at scale. Pass ``entropy_guard=False`` only for fixture-scale ground
+    truth/harness runs, or route via the guard's ``recommended_screen``
+    (the registered ``dedup_screen_routed`` plan does exactly that).
     """
     if not max_hamming < n_bands:
         raise ValueError(
             f"pigeonhole blocking needs max_hamming < n_bands, got "
             f"{max_hamming} >= {n_bands}"
         )
+    if entropy_guard:
+        from masd_spark.operators.text import vocab_entropy_guard
+
+        prof = vocab_entropy_guard(df, text_col=text_col).collect()
+        if prof and prof[0]["simhash_collapse_risk"]:
+            p = prof[0]
+            raise SimhashCollapseError(
+                f"simhash modal collapse on this corpus: mean doc length "
+                f"{p['mean_doc_tokens']} tokens exceeds unigram perplexity "
+                f"{p['unigram_perplexity']} (vocab {p['vocab_size']}, "
+                f"entropy {p['entropy_bits']} bits) — long docs converge "
+                f"to one fingerprint and the band join degenerates at "
+                f"scale; use the k-gram/minhash screens "
+                f"(minhash_lsh_pairs / jaccard_pairs) or pass "
+                f"entropy_guard=False for fixture-scale ground truth"
+            )
     band_bits = n_bits // n_bands
     from masd_spark.operators.text import simhash_wide
 

@@ -542,12 +542,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT via pigeonhole band blocking (4 byte-bands; <=3 differing bits
     leave >=1 band identical, so the banded equi-join has recall 1.0 and
     verification keeps precision 1.0). Linear fingerprinting + occupancy-
-    bounded band joins: the cheapest 100 TB near-dup screen.
+    bounded band joins: the cheapest 100 TB near-dup screen — on corpora
+    that pass the entropy guard; this fixture's 31-token vocabulary does
+    NOT (see dedup_screen_routed), so the guard is explicitly bypassed
+    here: this registration is the fixture-scale GROUND TRUTH of the
+    band-join algebra, never the production route for this corpus shape.
     """
     from masd_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3, n_bands=4)
+    return simhash_pairs(docs, max_hamming=3, n_bands=4, entropy_guard=False)
 
 
 @register("dedup_simhash_wide", oracle=_simhash_pairs_oracle(n_bits=60))
@@ -565,11 +569,71 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming <= 3 of 60 bits are also <= 3 of its low-32 projection, but
     not conversely. (operators/dedup.py:simhash_pairs,
     operators/text.py:simhash_wide)
+
+    Width does NOT fix vocabulary-entropy collapse (the r7 SF10 measured
+    finding): on THIS corpus shape the default entry point raises and
+    dedup_screen_routed routes to the minhash screen — the guard is
+    bypassed here because this registration is the fixture-scale ground
+    truth of the wide band-join algebra, excluded from SF10+ probes.
     """
     from masd_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3, n_bands=4, n_bits=60)
+    return simhash_pairs(
+        docs, max_hamming=3, n_bands=4, n_bits=60, entropy_guard=False
+    )
+
+
+def _routed_screen_oracle() -> str:
+    """Guard verdict + the routed screen's pairs in ONE statement: the
+    entropy-guard oracle (registered in queries/text.py, imported before
+    this module) computes ``recommended_screen`` in SQL, and every pair
+    row carries it. This fixture's 31-token vocabulary routes to
+    'kgram_minhash' deterministically at every SF, so the pair half is
+    the scaled-minhash oracle; if the Spark side ever routed differently
+    the route column (and the pair set) would hash-mismatch."""
+    from masd_spark.queries import REGISTRY
+
+    guard_sql = REGISTRY["text_entropy_screen_guard"].oracle
+    pairs_sql = _minhash_oracle(n_hashes=32, n_bands=8, threshold=0.5, k=5)
+    return f"""
+    WITH route AS MATERIALIZED (
+        SELECT recommended_screen FROM ({guard_sql}) g
+    )
+    SELECT r.recommended_screen AS route, p.doc_a, p.doc_b
+    FROM ({pairs_sql}) p CROSS JOIN route r
+    """
+
+
+@register("dedup_screen_routed", oracle=_routed_screen_oracle())
+def dedup_screen_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT near-dup screen entry point (VERDICT r7 item 3): run
+    the vocabulary-entropy guard once, then execute the screen it
+    recommends — the wide simhash band join on corpora whose entropy
+    supports fingerprinting, the k=5/32-hash scaled MinHash-LSH on
+    collapse-shaped corpora (where simhash_pairs would wedge at scale;
+    its default entry now raises SimhashCollapseError on exactly this
+    shape). The guard costs one vocab-bounded aggregation — at 100 TB
+    that is the price of never launching a band join that degenerates.
+    Every pair row carries the route so the oracle hash pins the routing
+    decision itself, not just the pair set.
+    """
+    from masd_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from masd_spark.operators.text import vocab_entropy_guard
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = vocab_entropy_guard(docs).collect()
+    route = prof[0]["recommended_screen"] if prof else "kgram_minhash"
+    if route == "kgram_minhash":
+        pairs = minhash_lsh_pairs(
+            docs, k=5, n_hashes=32, n_bands=8, threshold=0.5,
+            shingles=_shared_shingles(spark, sf_dir, k=5), max_bucket=50,
+        ).select("doc_a", "doc_b")
+    else:
+        pairs = simhash_pairs(
+            docs, max_hamming=3, n_bands=4, n_bits=60, entropy_guard=False
+        ).select("doc_a", "doc_b")
+    return pairs.select(F.lit(route).alias("route"), "doc_a", "doc_b")
 
 
 @register(
@@ -726,29 +790,122 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
-@register("dedup_semantic_clusters")
+@register(
+    "dedup_semantic_clusters",
+    oracle=valid_embeddings(f"""
+    WITH alldrop AS MATERIALIZED (
+        SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])),
+                    6) >= {_EMB_THRESHOLD}
+    )
+    SELECT 'n_vectors' AS metric, CAST(count(*) AS BIGINT) AS value,
+           TRUE AS ok
+    FROM embeddings
+    UNION ALL
+    SELECT 'dropped_subset_of_exact',
+           CAST((SELECT count(*) FROM alldrop) AS BIGINT), TRUE
+    UNION ALL SELECT 'kept_count_band', CAST(NULL AS BIGINT), TRUE
+    UNION ALL SELECT 'keep_agreement_vs_twin', CAST(NULL AS BIGINT), TRUE
+    """),
+)
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup (no_oracle: k-means centroids are
-    engine-side floats): cluster embeddings (k=8), drop the higher id of
-    every intra-cluster pair with cosine >= 0.35, report per-cluster
-    keep/drop counts. The pairwise stage is an equi-join on cluster id —
-    sum of per-cluster squares, never corpus^2; k scales with corpus to
-    bound cluster size. Subset-of-exact-dedup and recall are pinned in
-    tests/test_similarity.py.
+    """SemDeDup-style semantic dedup, FLOAT kernel: cluster embeddings
+    (k=8 float Lloyd), drop the higher id of every intra-cluster pair
+    with cosine >= 0.35. The pairwise stage is an equi-join on cluster
+    id — sum of per-cluster squares, never corpus^2; k scales with the
+    corpus to bound cluster size. This is the 100 TB path; its float
+    centroids are not engine-portable, so the result is an error-bound
+    contract (VERDICT r7 item 2, sketch_hll_error_bound pattern):
+
+    - n_vectors: one verdict per valid vector (portable count);
+    - dropped_subset_of_exact: SemDeDup's defining monotonicity — every
+      id the cluster-bounded screen drops is also dropped by the exact
+      all-pairs rule (whose drop count is the portable value; the
+      all-pairs recompute is harness-only cost, never the scale path);
+    - kept_count_band: kept set within [0.75, 1.33]x of the integer-
+      Lloyd twin's (dedup_semantic_clusters_exact, independently
+      hash-checked; measured ratio 1.027 at the gate);
+    - keep_agreement_vs_twin: per-vector verdict agreement >= 0.7
+      (measured 0.826 — inits differ, so clusterings legitimately
+      diverge on boundary vectors).
+
+    Per-cluster keep/drop counts remain available from the exact twin.
     """
-    from masd_spark.operators.clustering import semantic_dedup
+    from masd_spark.operators.clustering import (
+        kmeans_exact_longform,
+        semantic_dedup,
+    )
+    from masd_spark.operators.similarity import valid_vectors
+    from masd_spark.queries.similarity import (
+        _KM_ITER,
+        _KM_K,
+        _KM_SCALE,
+        _KM_SEED,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    verdicts = semantic_dedup(emb, dim=64, threshold=_EMB_THRESHOLD, k=8, n_iter=5)
-    return (
-        verdicts.groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_total"),
-            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.sum((~F.col("keep")).cast("bigint")).alias("n_dropped"),
-        )
-        .orderBy("cluster")
+    va = valid_vectors(emb, "vec_id", "embedding")
+    n_valid = va.count()
+
+    fv = semantic_dedup(
+        emb, dim=64, threshold=_EMB_THRESHOLD, k=8, n_iter=5
+    ).localCheckpoint(eager=True)
+    stats = fv.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum(F.col("keep").cast("bigint")).alias("kept"),
+    ).collect()[0]
+
+    # exact all-pairs drop set (ground truth for the subset property) —
+    # the same cosine_pairs the pinned subset invariant uses
+    from masd_spark.operators.similarity import cosine_pairs
+
+    alldrop = (
+        cosine_pairs(emb, threshold=_EMB_THRESHOLD, dim=64)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
     )
+    n_alldrop = alldrop.count()
+    escaped = (
+        fv.filter(~F.col("keep"))
+        .select("vec_id")
+        .join(alldrop, "vec_id", "left_anti")
+        .count()
+    )
+
+    # integer-Lloyd twin verdicts (independently hash-checked pipeline)
+    ea = kmeans_exact_longform(
+        emb, dim=64, k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED, scale=_KM_SCALE
+    ).select("vec_id", "cluster")
+    ev = semantic_dedup(emb, dim=64, threshold=_EMB_THRESHOLD, assignment=ea)
+    joined = fv.select("vec_id", F.col("keep").alias("fk")).join(
+        ev.select("vec_id", F.col("keep").alias("ek")), "vec_id"
+    )
+    tw = joined.agg(
+        F.avg((F.col("fk") == F.col("ek")).cast("double")).alias("agree"),
+        F.sum(F.col("ek").cast("bigint")).alias("twin_kept"),
+    ).collect()[0]
+
+    kept_ratio = (
+        float(stats["kept"]) / float(tw["twin_kept"]) if tw["twin_kept"] else 1.0
+    )
+    rows = [
+        (
+            "n_vectors",
+            n_valid,
+            bool(stats["n"] == n_valid and stats["n_ids"] == n_valid),
+        ),
+        ("dropped_subset_of_exact", n_alldrop, bool(escaped == 0)),
+        ("kept_count_band", None, bool(0.75 <= kept_ratio <= 1.33)),
+        (
+            "keep_agreement_vs_twin",
+            None,
+            bool(tw["agree"] is not None and tw["agree"] >= 0.7),
+        ),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
 
 @register(

@@ -182,55 +182,123 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_refined_topk")
-def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION IVF shape: centroids Lloyd-refined with 3 k-means
-    iterations (operators/clustering.py:kmeans_centroids — each iteration
-    one map-side argmin + one d-column aggregate; only 16x64 floats reach
-    the driver) before the identical probe/re-rank plan as
-    ``ann_ivf_topk``. Refinement balances cells around the data's actual
-    modes, buying recall at equal n_probe. Float-averaged centroids are
-    not engine-portable, so this registers rows-only; the recall floor vs
-    the exact baseline (>= the seeded index's) is pinned in
-    tests/test_similarity.py, and the seeded twin remains the
-    hash-checked query.
-    """
-    from masd_spark.operators.clustering import kmeans_centroids
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(
-        emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
-    )
-    return ivf_topk(
-        emb,
-        _queries_df(emb),
-        dim=EMBEDDING_DIM,
-        k=10,
-        n_centroids=_IVF_CENTROIDS,
-        n_probe=_IVF_PROBE,
-        seed=_IVF_SEED,
-        centroids=cents,
-    )
+# ann_ivf_refined_topk (float-refined centroids) is registered BELOW its
+# exact twin — its error-bound oracle composes the twin's SQL with the
+# brute-force ground truth's.
 
 
-@register("cluster_kmeans_embeddings")
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=valid_embeddings("""
+    SELECT 'n_assigned' AS metric, CAST(count(*) AS BIGINT) AS value,
+           TRUE AS ok
+    FROM embeddings
+    UNION ALL SELECT 'cluster_ids_in_range', CAST(NULL AS BIGINT), TRUE
+    UNION ALL SELECT 'objective_band_vs_exact', CAST(NULL AS BIGINT), TRUE
+    UNION ALL SELECT 'beats_singleton', CAST(NULL AS BIGINT), TRUE
+    """),
+)
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative algorithm category: 5 Lloyd iterations of k-means (k=8)
-    over the embeddings, returning per-cluster sizes. Driver loop carries
-    only the k centroid vectors between passes; each pass is map-side
-    assignment + one k-row-per-task aggregation. No oracle (float
-    averaging order varies run-to-run in the last bits); invariants
-    (monotone inertia, full coverage) pinned in tests/test_similarity.py.
+    """Iterative algorithm category: 5 Lloyd iterations of float k-means
+    (k=8) over the embeddings — the 100 TB kernel (map-side assignment,
+    one k-row aggregate per pass, only k*d floats on the driver).
+
+    Oracled via the error-bound-contract pattern (VERDICT r7 item 2): the
+    float centroids are not engine-portable, so the result is a metric
+    contract the driver can hash — exact coverage count plus booleans the
+    float kernel must satisfy against provable references:
+
+    - n_assigned: every valid vector got exactly one cluster (the count
+      is a portable value DuckDB states independently);
+    - cluster_ids_in_range: all ids in [0, k);
+    - objective_band_vs_exact: the float inertia is within [0.8, 1.25]x
+      of the integer-Lloyd twin's (cluster_kmeans_embeddings_exact, its
+      full assignment independently hash-checked; inits differ, so the
+      band — measured ratio 1.0009 at sf0.1 — not per-vector equality,
+      is the sound claim);
+    - beats_singleton: inertia <= the optimal 1-cluster objective
+      (measured 0.95x — near-flat embeddings, hence the thin margin).
+
+    A broken kernel (wrong column, lost iteration, garbled assignment)
+    fails the count or blows the band by orders. The per-cluster sizes
+    this query previously returned remain available from the exact twin.
     """
-    from masd_spark.operators.clustering import kmeans_assign
+    from masd_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_exact_longform,
+    )
+    from masd_spark.operators.similarity import valid_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, dim=EMBEDDING_DIM, k=8, n_iter=5)
-    return (
-        assigned.groupBy("cluster")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster")
+    va = valid_vectors(emb, "vec_id", "embedding")
+    n_valid = va.count()
+
+    assigned = kmeans_assign(
+        emb, dim=EMBEDDING_DIM, k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED
     )
+    stats = assigned.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum("dist2").alias("j_float"),
+        F.min("cluster").alias("cmin"),
+        F.max("cluster").alias("cmax"),
+    ).collect()[0]
+
+    j_exact = (
+        kmeans_exact_longform(
+            emb, dim=EMBEDDING_DIM, k=_KM_K, n_iter=_KM_ITER,
+            seed=_KM_SEED, scale=_KM_SCALE,
+        )
+        .agg(F.sum("dist2"))
+        .collect()[0][0]
+        or 0
+    ) / float(_KM_SCALE) ** 2
+
+    mean_row = va.agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
+            for i in range(EMBEDDING_DIM)
+        ]
+    ).collect()[0]
+    j_single = (
+        va.agg(
+            F.sum(
+                sum(
+                    (F.col("embedding")[i].cast("double") - F.lit(mean_row[i]))
+                    ** 2
+                    for i in range(EMBEDDING_DIM)
+                )
+            )
+        ).collect()[0][0]
+        or 0.0
+    )
+
+    rows = [
+        (
+            "n_assigned",
+            int(stats["n"]),
+            bool(stats["n"] == n_valid and stats["n_ids"] == n_valid),
+        ),
+        (
+            "cluster_ids_in_range",
+            None,
+            bool(
+                stats["cmin"] is not None
+                and stats["cmin"] >= 0
+                and stats["cmax"] < _KM_K
+            ),
+        ),
+        (
+            "objective_band_vs_exact",
+            None,
+            bool(
+                j_exact > 0
+                and 0.8 <= float(stats["j_float"]) / j_exact <= 1.25
+            ),
+        ),
+        ("beats_singleton", None, bool(float(stats["j_float"]) <= j_single)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
 
 _LSH_PLANES = 6
@@ -372,29 +440,92 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
 
 
-@register("emb_pca_top_component")
+@register(
+    "emb_pca_top_component",
+    oracle=valid_embeddings("""
+    SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value, TRUE AS ok
+    FROM embeddings
+    UNION ALL SELECT 'unit_norm', CAST(NULL AS BIGINT), TRUE
+    UNION ALL SELECT 'rayleigh_dominance', CAST(NULL AS BIGINT), TRUE
+    """),
+)
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus via a ONE-PASS
     Gram reduction (operators/clustering.py:pca_top_component): Arrow/BLAS
     per-partition d×d Gram partials, one reduce, then a LOCAL eigensolve
-    on the driver's d×d matrix — power iteration was rejected for this
-    near-flat spectrum (see the operator docstring); the driver holds only
-    the d×d Gram and the 64 loadings. Float reduction -> no
-    single-query SQL oracle; the direction is pinned against numpy's
-    eigendecomposition to 1e-6 cosine in tests/test_similarity.py, and
-    loadings are rounded to 6 decimals for a portable surface. Output:
-    one row per coordinate plus the shared eigenvalue and sample size.
+    on the driver's d×d matrix — the 100 TB shape (only the d×d Gram and
+    64 loadings ever leave the executors).
+
+    Oracled via the error-bound-contract pattern (VERDICT r7 item 2):
+    numpy's eigenvector is not engine-portable, so the result is a metric
+    contract — the portable sample count plus booleans proving the float
+    solve against exact integer references:
+
+    - unit_norm: |v|^2 within 1e-9 of 1;
+    - rayleigh_dominance: v's Rayleigh quotient on the EXACT integer
+      covariance surrogate M = n*P - s*s^T (the same quantized matrix the
+      hash-checked emb_pca_power_iteration twin iterates; P via the
+      emb_gram_upper reduction) is >= the twin vector's quotient times
+      (1 - 1e-6). numpy maximizes the float covariance, the twin
+      maximizes M, so the measured slack is ~2e-8 — a wrong component
+      (sign bug, dropped coordinate, stale Gram) loses orders more.
+
+    The per-coordinate loadings remain pinned to numpy at 1e-6 cosine in
+    tests/test_similarity.py; the fully portable eigensolve lives in
+    emb_pca_power_iteration.
     """
-    from masd_spark.operators.clustering import pca_top_component
+    import numpy as np
+
+    from masd_spark.operators.clustering import (
+        pca_power_iteration_exact,
+        pca_top_component,
+    )
+    from masd_spark.operators.similarity import valid_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
+    va = valid_vectors(emb, "vec_id", "embedding")
     v, eig, n = pca_top_component(emb, dim=EMBEDDING_DIM, vec_col="embedding")
-    rows = [
-        (i, round(x, 6), round(eig, 6), n) for i, x in enumerate(v)
-    ]
-    return spark.createDataFrame(
-        rows, "component_idx bigint, loading double, eigenvalue double, n_rows bigint"
+
+    q = va.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("bigint"),
+            )
+        ).alias("pos", "x"),
     )
+    s = np.zeros(EMBEDDING_DIM)
+    for r in q.groupBy("pos").agg(F.sum("x").alias("s")).collect():
+        s[r["pos"]] = r["s"]
+    a = q.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xi"))
+    b = q.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
+    P = np.zeros((EMBEDDING_DIM, EMBEDDING_DIM))
+    for r in (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("g"))
+        .collect()
+    ):
+        P[r["i"], r["j"]] = r["g"]
+    M = n * P - np.outer(s, s)
+
+    u = np.zeros(EMBEDDING_DIM)
+    for r in pca_power_iteration_exact(
+        emb, dim=EMBEDDING_DIM, scale=_KM_SCALE, big=_PI_BIG,
+        n_squarings=_PI_SQUARINGS,
+    ).collect():
+        u[r["dim"] - 1] = r["loading"]
+
+    vv = np.array(v, dtype=float)
+    r_v = float(vv @ M @ vv / (vv @ vv)) if vv.any() else 0.0
+    r_u = float(u @ M @ u / (u @ u)) if u.any() else 0.0
+    rows = [
+        ("n_rows", n, bool(n == va.count())),
+        ("unit_norm", None, bool(abs(float(vv @ vv) - 1.0) <= 1e-9)),
+        ("rayleigh_dominance", None, bool(r_v >= r_u * (1 - 1e-6))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
 
 _PQ_M = 8
@@ -1008,6 +1139,120 @@ def ann_ivf_exact_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=10, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
         n_iter=3, seed=_IVF_SEED, scale=_KM_SCALE, dim=EMBEDDING_DIM,
     )
+
+
+def _refined_bound_oracle() -> str:
+    """Error-bound contract for the FLOAT-refined IVF (VERDICT r7 item 2):
+    composes the two already-registered portable sub-oracles — the exact
+    brute-force ground truth and the integer-Lloyd refined twin — into a
+    metric row set DuckDB can state. Sub-oracles are read from REGISTRY
+    (already valid_embeddings-rewritten; only the fresh probe-count scan
+    gets the rewrite here)."""
+    from masd_spark.queries import REGISTRY
+
+    brute_sql = REGISTRY["ann_cosine_topk"].oracle
+    twin_sql = REGISTRY["ann_ivf_exact_refined_topk"].oracle
+    probes = valid_embeddings(
+        "SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0"
+    )
+    return f"""
+    WITH exact AS MATERIALIZED (
+        SELECT query_id, vec_id FROM ({brute_sql})
+    ),
+    ref AS MATERIALIZED (
+        SELECT query_id, vec_id FROM ({twin_sql})
+    )
+    SELECT 'n_queries' AS metric, CAST(({probes}) AS BIGINT) AS value,
+           TRUE AS ok
+    UNION ALL
+    SELECT 'exact_refined_recall_ppm',
+           CAST((SELECT count(*)
+                 FROM ref JOIN exact USING (query_id, vec_id)) * 1000000
+                // (SELECT count(*) FROM exact) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'results_complete', CAST(NULL AS BIGINT), TRUE
+    """
+
+
+@register("ann_ivf_refined_topk", oracle=_refined_bound_oracle())
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF shape: centroids Lloyd-refined with 3 k-means
+    iterations (operators/clustering.py:kmeans_centroids — each iteration
+    one map-side argmin + one d-column aggregate; only 16x64 floats reach
+    the driver) before the identical probe/re-rank plan as
+    ``ann_ivf_topk``. Refinement balances cells around the data's actual
+    modes, buying recall at equal n_probe.
+
+    Float-averaged centroids are not engine-portable, so the result is an
+    error-bound contract (VERDICT r7 item 2) instead of rows-only: the
+    portable probe count, the exact-refined twin's recall@10 vs brute
+    force in ppm (an integer both engines derive from independently
+    hash-checked parts), and booleans asserting the float-refined index
+    covers every probe with a full k and its recall is within 0.15 of the
+    twin's (measured: float 0.58 vs twin 0.56 at the gate — the float
+    refinement is normally the better index; the band absorbs cell-
+    boundary flips from float vs quantized Lloyd trajectories).
+    """
+    from masd_spark.operators.clustering import kmeans_centroids
+    from masd_spark.queries import REGISTRY
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
+    )
+    flt = ivf_topk(
+        emb,
+        _queries_df(emb),
+        dim=EMBEDDING_DIM,
+        k=10,
+        n_centroids=_IVF_CENTROIDS,
+        n_probe=_IVF_PROBE,
+        seed=_IVF_SEED,
+        centroids=cents,
+    ).select("query_id", "vec_id")
+
+    brute = (
+        REGISTRY["ann_cosine_topk"].fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+    )
+    twin = (
+        REGISTRY["ann_ivf_exact_refined_topk"].fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+    )
+    total = brute.count()
+    twin_ppm = (
+        (twin.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
+        if total
+        else 0
+    )
+    float_ppm = (
+        (flt.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
+        if total
+        else 0
+    )
+
+    from masd_spark.operators.similarity import valid_vectors
+
+    n_probes = (
+        valid_vectors(emb, "vec_id", "embedding")
+        .filter(F.col("vec_id") % 100 == 0)
+        .count()
+    )
+    per_q = flt.groupBy("query_id").count()
+    n_q = per_q.count()
+    complete = per_q.filter(F.col("count") != 10).count() == 0
+
+    rows = [
+        ("n_queries", n_probes, bool(n_q == n_probes)),
+        (
+            "exact_refined_recall_ppm",
+            twin_ppm,
+            bool(float_ppm >= twin_ppm - 150_000),
+        ),
+        ("results_complete", None, bool(complete and n_q == n_probes)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
 
 @register(

@@ -17,6 +17,10 @@ def test_trade_edges_parity(spark):
     compare_query(spark, REGISTRY["graph_trade_edges"], SF_ORACLE)
 
 
+def test_pagerank_contract_parity(spark):
+    compare_query(spark, REGISTRY["graph_pagerank_trade"], SF_ORACLE)
+
+
 def _numpy_pagerank(edges, n_iter, d):
     """Independent dense reference: edges = [(src, dst, w)]."""
     nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
@@ -42,12 +46,18 @@ def test_pagerank_matches_numpy_on_trade_graph(spark):
     edges = [(r.src, r.dst, r.weight) for r in edges_df.collect()]
     want = _numpy_pagerank(edges, n_iter=10, d=0.85)
     got = {
-        r.nationkey: r.pagerank
-        for r in REGISTRY["graph_pagerank_trade"].fn(spark, SF_ORACLE).collect()
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges_df, n_iter=10, damping=0.85, weight="weight"
+        ).collect()
     }
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    # and the registered contract query reports every node within tol
+    contract = REGISTRY["graph_pagerank_trade"].fn(spark, SF_ORACLE).collect()
+    assert {r.nationkey for r in contract} == set(want)
+    assert all(r.float_within_tol for r in contract)
 
 
 def test_pagerank_conserves_total_rank(spark):
@@ -264,10 +274,15 @@ def test_pagerank_exact_parity(spark):
 def test_pagerank_exact_agrees_with_float_kernel(spark):
     """Pico-unit floor arithmetic is a determinism device, not an
     accuracy loss: after 10 rounds the integer and float kernels agree
-    to well under the 6dp surface."""
+    to well under the 6dp surface — which is exactly the boolean the
+    registered contract query (graph_pagerank_trade) now hashes; this
+    test recomputes the comparison from the raw kernels."""
+    edges_df = REGISTRY["graph_trade_edges"].fn(spark, SF_ORACLE)
     flt = {
-        r.nationkey: r.pagerank
-        for r in REGISTRY["graph_pagerank_trade"].fn(spark, SF_ORACLE).collect()
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges_df, n_iter=10, damping=0.85, weight="weight"
+        ).collect()
     }
     ext = {
         r.nationkey: r.pagerank

@@ -188,8 +188,29 @@ def test_ivf_refined_keeps_probe_plan_shape(spark):
     """Refined centroids only change plan LITERALS: the candidate join
     stays cell-equi with broadcast probes — no nested loop, same number
     of broadcast joins as the seeded index."""
+    from masd_spark.operators.clustering import kmeans_centroids
+    from masd_spark.operators.similarity import ivf_topk
+    from masd_spark.queries.similarity import (
+        EMBEDDING_DIM,
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+        _IVF_SEED,
+        _queries_df,
+    )
+    from masd_spark.sources.tables import load_table
+
     seeded = _q(spark, "ann_ivf_topk")
-    refined = _q(spark, "ann_ivf_refined_topk")
+    # the registered query is now the error-bound CONTRACT (its result is
+    # a 3-row metric set); the probe plan under test is the operator
+    # composition the contract certifies
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    refined = ivf_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, seed=_IVF_SEED,
+        centroids=kmeans_centroids(
+            emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
+        ),
+    )
     for df in (seeded, refined):
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan

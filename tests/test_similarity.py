@@ -203,9 +203,30 @@ def test_ivf_refined_recall_at_least_seeded(spark):
     """Lloyd-refined centroids must not LOSE recall vs the seeded sample
     at equal n_probe (the whole point of refinement), and scores on
     overlapping pairs stay exact."""
+    from masd_spark.operators.clustering import kmeans_centroids
+    from masd_spark.operators.similarity import ivf_topk
+    from masd_spark.queries.similarity import (
+        EMBEDDING_DIM,
+        _IVF_CENTROIDS,
+        _IVF_PROBE,
+        _IVF_SEED,
+        _queries_df,
+    )
+    from masd_spark.sources.tables import load_table as _lt
+
+    emb = _lt(spark, SF_ORACLE, "embeddings")
     exact = REGISTRY["ann_cosine_topk"].fn(spark, SF_ORACLE).cache()
     seeded = REGISTRY["ann_ivf_topk"].fn(spark, SF_ORACLE).cache()
-    refined = REGISTRY["ann_ivf_refined_topk"].fn(spark, SF_ORACLE).cache()
+    refined = ivf_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, seed=_IVF_SEED,
+        centroids=kmeans_centroids(
+            emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
+        ),
+    ).cache()
+    # the registered contract query must certify the same pipeline
+    contract = REGISTRY["ann_ivf_refined_topk"].fn(spark, SF_ORACLE).collect()
+    assert all(r.ok for r in contract), contract
     n_exact = exact.count()
     assert n_exact > 0
     mismatched = (
@@ -319,9 +340,16 @@ def test_pca_top_component_matches_numpy(spark):
     direction)."""
     import numpy as np
 
-    rows = REGISTRY["emb_pca_top_component"].fn(spark, SF_ORACLE).collect()
-    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.component_idx)])
-    eig = rows[0].eigenvalue
+    from masd_spark.operators.clustering import pca_top_component
+    from masd_spark.sources.tables import load_table as _lt
+
+    v_list, eig, _n = pca_top_component(
+        _lt(spark, SF_ORACLE, "embeddings"), dim=64, vec_col="embedding"
+    )
+    v = np.array(v_list)
+    # the registered contract query must certify the same kernel
+    contract = REGISTRY["emb_pca_top_component"].fn(spark, SF_ORACLE).collect()
+    assert all(r.ok for r in contract), contract
 
     from masd_spark.sources.tables import load_table
 

@@ -45,6 +45,8 @@ ORACLE_QUERIES = [
     "text_entropy_screen_guard",
     "dedup_span_extract",
     "dedup_span_strip",
+    "dedup_semantic_clusters",
+    "dedup_screen_routed",
 ]
 
 
@@ -340,7 +342,14 @@ def test_simhash_pairs_exact_vs_brute_force(spark):
     from tests.conftest import SF_SMOKE
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    banded = sorted(map(tuple, simhash_pairs(docs, max_hamming=3).collect()))
+    # ground-truth algebra check on the low-entropy fixture: bypass the
+    # default entropy guard (its own behavior is tested separately)
+    banded = sorted(
+        map(
+            tuple,
+            simhash_pairs(docs, max_hamming=3, entropy_guard=False).collect(),
+        )
+    )
 
     fp = simhash32(docs).collect()
     brute = sorted(
@@ -750,3 +759,58 @@ def test_duplicated_spans_matches_naive_reference_on_random_corpus(spark):
         assert stripped[d]["n_tokens"] == len(ts)
         assert stripped[d]["n_dup_tokens"] == len(removed.get(d, set()))
         assert stripped[d]["clean_text"] == " ".join(keep)
+
+
+def test_simhash_entropy_guard_default(spark):
+    """VERDICT r7 item 3 done-criterion: simhash_pairs can no longer be
+    invoked accidentally on a corpus shape that wedges it. On a
+    low-entropy corpus (tiny vocabulary, docs longer than the unigram
+    perplexity) the DEFAULT entry raises SimhashCollapseError BEFORE any
+    band join runs; entropy_guard=False remains the explicit
+    ground-truth escape hatch; a high-entropy corpus passes the guard."""
+    import pytest
+
+    from masd_spark.operators.dedup import SimhashCollapseError, simhash_pairs
+
+    # wedge shape: 4-token vocabulary (perplexity <= 4), 64-token docs
+    low = spark.createDataFrame(
+        [
+            (i, " ".join("abcd"[(i * 7 + j) % 4] for j in range(64)))
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(SimhashCollapseError, match="perplexity"):
+        simhash_pairs(low, max_hamming=3, n_bands=4)
+    # the escape hatch still computes (fixture-scale ground truth)
+    assert simhash_pairs(
+        low, max_hamming=3, n_bands=4, entropy_guard=False
+    ).count() >= 0
+
+    # healthy shape: wide vocabulary, short docs -> guard passes
+    high = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{(i * 13 + j * 5) % 997}" for j in range(8)))
+            for i in range(50)
+        ],
+        "doc_id long, text string",
+    )
+    assert simhash_pairs(high, max_hamming=3, n_bands=4).count() >= 0
+
+
+def test_routed_screen_picks_minhash_on_fixture(spark):
+    """The registered router must route THIS fixture's low-entropy corpus
+    to the minhash screen and return exactly the scaled-minhash pair set
+    labeled with the route."""
+    from tests.conftest import SF_SMOKE
+
+    routed = REGISTRY["dedup_screen_routed"].fn(spark, SF_SMOKE)
+    rows = routed.collect()
+    assert all(r["route"] == "kgram_minhash" for r in rows)
+    scaled = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_minhash_lsh_scaled"].fn(spark, SF_SMOKE)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == scaled
