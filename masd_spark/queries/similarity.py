@@ -273,6 +273,8 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         or 0.0
     )
 
+    empty = n_valid == 0  # degenerate corpus: contracts hold vacuously
+    j_float = float(stats["j_float"] or 0.0)
     rows = [
         (
             "n_assigned",
@@ -283,20 +285,22 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_ids_in_range",
             None,
             bool(
-                stats["cmin"] is not None
-                and stats["cmin"] >= 0
-                and stats["cmax"] < _KM_K
+                empty
+                or (
+                    stats["cmin"] is not None
+                    and stats["cmin"] >= 0
+                    and stats["cmax"] < _KM_K
+                )
             ),
         ),
         (
             "objective_band_vs_exact",
             None,
             bool(
-                j_exact > 0
-                and 0.8 <= float(stats["j_float"]) / j_exact <= 1.25
+                empty or (j_exact > 0 and 0.8 <= j_float / j_exact <= 1.25)
             ),
         ),
-        ("beats_singleton", None, bool(float(stats["j_float"]) <= j_single)),
+        ("beats_singleton", None, bool(empty or j_float <= j_single)),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
@@ -484,6 +488,18 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     va = valid_vectors(emb, "vec_id", "embedding")
+    n_valid = va.count()
+    if n_valid < 2:
+        # degenerate corpus: the eigensolve needs >= 2 rows; the
+        # contract holds vacuously (the oracle's count is also n_valid)
+        rows = [
+            ("n_rows", n_valid, True),
+            ("unit_norm", None, True),
+            ("rayleigh_dominance", None, True),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, value bigint, ok boolean"
+        )
     v, eig, n = pca_top_component(emb, dim=EMBEDDING_DIM, vec_col="embedding")
 
     q = va.select(
@@ -520,10 +536,19 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     vv = np.array(v, dtype=float)
     r_v = float(vv @ M @ vv / (vv @ vv)) if vv.any() else 0.0
     r_u = float(u @ M @ u / (u @ u)) if u.any() else 0.0
+    empty = n == 0  # degenerate corpus: contracts hold vacuously
     rows = [
-        ("n_rows", n, bool(n == va.count())),
-        ("unit_norm", None, bool(abs(float(vv @ vv) - 1.0) <= 1e-9)),
-        ("rayleigh_dominance", None, bool(r_v >= r_u * (1 - 1e-6))),
+        ("n_rows", n, bool(n == n_valid)),
+        (
+            "unit_norm",
+            None,
+            bool(empty or abs(float(vv @ vv) - 1.0) <= 1e-9),
+        ),
+        (
+            "rayleigh_dominance",
+            None,
+            bool(empty or r_v >= r_u * (1 - 1e-6)),
+        ),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
@@ -1221,15 +1246,16 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     total = brute.count()
+    # empty ground truth: DuckDB's 0 // 0 is NULL — mirror it
     twin_ppm = (
         (twin.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
         if total
-        else 0
+        else None
     )
     float_ppm = (
         (flt.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
         if total
-        else 0
+        else None
     )
 
     from masd_spark.operators.similarity import valid_vectors
@@ -1248,7 +1274,9 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "exact_refined_recall_ppm",
             twin_ppm,
-            bool(float_ppm >= twin_ppm - 150_000),
+            bool(
+                twin_ppm is None or float_ppm >= twin_ppm - 150_000
+            ),
         ),
         ("results_complete", None, bool(complete and n_q == n_probes)),
     ]
