@@ -97,6 +97,7 @@ def main() -> int:
     timing = list(TIMING)
     hash_parity = set(HASH_PARITY)
     rnd = None
+    confs: dict[str, str] = {}
     i = 0
     while i < len(argv):
         if argv[i] == "--fixture":
@@ -125,6 +126,18 @@ def main() -> int:
             # whose results can't be collected at probe scale.
             hash_parity |= {s for s in argv[i + 1].split(",") if s}
             i += 2
+        elif argv[i] == "--conf":
+            # runtime-settable session confs (k=v[,k=v...]). The SF100DOCS
+            # probe needs spark.sql.files.maxPartitionBytes lowered: the
+            # 5M-doc parquet is ~570MB compressed -> ~5 input splits at
+            # the 128MB default, and one split's k-gram explosion (~1M
+            # docs * hundreds of shingles) OOMs a single task's block
+            # unroll. Smaller splits = more parallelism + bounded blocks,
+            # exactly what a real cluster gets from its own split sizing.
+            confs.update(
+                dict(kv.split("=", 1) for kv in argv[i + 1].split(",") if kv)
+            )
+            i += 2
         else:
             rnd = int(argv[i])
             i += 1
@@ -136,6 +149,8 @@ def main() -> int:
     from oracle import compare_query, hash_compare_query
 
     spark = get_spark(app_name="sf10-probe")
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
