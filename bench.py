@@ -88,14 +88,27 @@ def _prev_committed_queries() -> dict[str, float]:
         if not arts:
             return {}
         # read the COMMITTED blob, not the working-tree file — a locally
-        # modified artifact must not shift the retry bar (ADVICE r7)
-        blob = subprocess.run(
-            ["git", "show", f"HEAD:{max(arts)[1]}"], cwd=root,
-            capture_output=True, text=True, timeout=60, check=True,
-        ).stdout
-        prev = json.loads(blob)
-        qs = prev.get("queries") or prev.get("parsed", {}).get("queries") or {}
-        return {k: float(v) for k, v in qs.items() if v}
+        # modified artifact must not shift the retry bar (ADVICE r7).
+        # `git ls-files` also lists STAGED-but-uncommitted artifacts
+        # (this round's fresh BENCH after a `git add`), for which
+        # `git show HEAD:` fails — fall back through older artifacts to
+        # the newest one actually present in HEAD instead of silently
+        # dropping every committed baseline.
+        for _, path in sorted(arts, reverse=True):
+            blob = subprocess.run(
+                ["git", "show", f"HEAD:{path}"], cwd=root,
+                capture_output=True, text=True, timeout=60,
+            )
+            if blob.returncode != 0:
+                continue
+            prev = json.loads(blob.stdout)
+            qs = (
+                prev.get("queries")
+                or prev.get("parsed", {}).get("queries")
+                or {}
+            )
+            return {k: float(v) for k, v in qs.items() if v}
+        return {}
     except Exception:  # noqa: BLE001
         return {}
 

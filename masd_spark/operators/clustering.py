@@ -373,6 +373,48 @@ def pca_top_component(
     return [float(c) for c in v], eig, n
 
 
+def gram_moments_longform(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Quantized long-form first/second moments of the valid-vector
+    corpus: ``(p, s, n)`` where ``p`` is the full dim x dim BIGINT Gram
+    X^T X as (i, j, p) rows (1-based dims, both triangles), ``s`` the
+    per-dimension column sums as (i, s), and ``n`` the valid-row count.
+
+    This is the ONE n-scale reduction of the exact-PCA family — the
+    power-iteration twin and the Rayleigh-dominance contract both
+    consume it, so callers that need both should materialize these
+    4096/64-row frames (localCheckpoint) and pass them to
+    :func:`pca_power_iteration_exact` via ``moments=`` instead of
+    paying the n-row self-join twice.
+    """
+    df = valid_vectors(df, id_col, vec_col)
+    idx = F.posexplode(
+        F.transform(
+            F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
+        )
+    )
+    q = df.select(F.col(id_col).alias("_rid"), idx.alias("pos", "x")).select(
+        "_rid", (F.col("pos") + 1).alias("dim"), "x"
+    )
+    p = (
+        q.select(F.col("_rid"), F.col("dim").alias("i"), F.col("x").alias("xi"))
+        .join(
+            q.select(F.col("_rid"), F.col("dim").alias("j"), F.col("x").alias("xj")),
+            "_rid",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("p"))
+    )
+    s = q.groupBy(F.col("dim").alias("i")).agg(F.sum("x").alias("s"))
+    n = df.count()  # scalar plan literal, like the k-means centroid count
+    return p, s, n
+
+
 def pca_power_iteration_exact(
     df: DataFrame,
     dim: int,
@@ -381,6 +423,7 @@ def pca_power_iteration_exact(
     scale: int = 10**4,
     big: int = 4 * 10**15,
     n_squarings: int = 12,
+    moments: tuple[DataFrame, DataFrame, int] | None = None,
 ) -> DataFrame:
     """Top principal component by INTEGER power iteration — the
     hash-checkable twin of :func:`pca_top_component`'s driver-local
@@ -418,27 +461,11 @@ def pca_power_iteration_exact(
     one-shuffle long-form shape. tests/test_similarity.py pins agreement
     with eigh on the SAME quantized matrix to <= 1e-6 per coordinate.
     """
-    df = valid_vectors(df, id_col, vec_col)
-    idx = F.posexplode(
-        F.transform(
-            F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
+    if moments is None:
+        moments = gram_moments_longform(
+            df, dim, id_col=id_col, vec_col=vec_col, scale=scale
         )
-    )
-    q = df.select(F.col(id_col).alias("_rid"), idx.alias("pos", "x")).select(
-        "_rid", (F.col("pos") + 1).alias("dim"), "x"
-    )
-
-    p = (
-        q.select(F.col("_rid"), F.col("dim").alias("i"), F.col("x").alias("xi"))
-        .join(
-            q.select(F.col("_rid"), F.col("dim").alias("j"), F.col("x").alias("xj")),
-            "_rid",
-        )
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("p"))
-    )
-    s = q.groupBy(F.col("dim").alias("i")).agg(F.sum("x").alias("s"))
-    n = df.count()  # scalar plan literal, like the k-means centroid count
+    p, s, n = moments
 
     m = (
         p.join(s.select(F.col("i"), F.col("s").alias("si")), "i")
@@ -506,9 +533,15 @@ def pca_power_iteration_exact(
         .select(
             F.col("dim").cast("bigint").alias("dim"),
             # qround6, not ROUND: Spark/DuckDB round(x, 6) diverge on
-            # half-boundary doubles (see functions/quantize.py)
+            # half-boundary doubles (see functions/quantize.py).
+            # try_divide: a zero-variance corpus yields the zero matrix
+            # and a zero norm — DuckDB's x/0.0 is NULL, so NULL loadings
+            # (not an ANSI DIVIDE_BY_ZERO abort) are the portable result
             qround6(
-                F.col("y").cast("double") / F.sqrt(F.col("n2").cast("double"))
+                F.try_divide(
+                    F.col("y").cast("double"),
+                    F.sqrt(F.col("n2").cast("double")),
+                )
             ).alias("loading"),
         )
     )

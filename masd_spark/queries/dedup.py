@@ -670,6 +670,11 @@ _EMB_PLANES = 4
 _EMB_TABLES = 16
 _EMB_SEED = 42
 _EMB_THRESHOLD = 0.35
+# dedup_semantic_clusters' subset-of-exact verification is quadratic in
+# the valid corpus — sound only at harness scale; the query refuses
+# larger inputs (between the SF10 fixture's 200k vectors, where the
+# ladder intentionally stops for this contract, and SF100's 2M)
+_SEMDEDUP_VERIFY_CAP = 500_000
 
 
 def _bucketed_cosine_oracle() -> str:
@@ -850,6 +855,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     va = valid_vectors(emb, "vec_id", "embedding")
     n_valid = va.count()
+    if n_valid > _SEMDEDUP_VERIFY_CAP:
+        # enforce the docstring's "harness-only" claim mechanically: the
+        # subset/agreement verification below recomputes the EXACT
+        # all-pairs drop set (corpus^2 candidates), which is sound
+        # ground truth at gate/fixture scale and a scale-killer beyond
+        # it. At scale, run the kernel itself (operators/clustering.py:
+        # semantic_dedup) or the hash-checked twin
+        # (dedup_semantic_clusters_exact) — never this contract query.
+        raise ValueError(
+            f"dedup_semantic_clusters is a verification contract with an "
+            f"exact all-pairs stage; refusing {n_valid} valid vectors "
+            f"(cap {_SEMDEDUP_VERIFY_CAP}). Use semantic_dedup / "
+            f"dedup_semantic_clusters_exact at scale."
+        )
 
     fv = semantic_dedup(
         emb, dim=64, threshold=_EMB_THRESHOLD, k=8, n_iter=5
@@ -891,6 +910,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
 
     empty = n_valid == 0  # degenerate corpus: contracts hold vacuously
+    # twin_kept == 0 is only reachable when the corpus is empty: the
+    # smallest vec_id in every non-empty cluster is never the higher id
+    # of any pair, so each kernel keeps >= 1 vector per non-empty
+    # cluster whenever n_valid >= 1. The 1.0 fallback therefore only
+    # fires in the `empty` regime where the band is vacuous anyway —
+    # it cannot mask a float kernel that wrongly keeps everything.
     kept_ratio = (
         float(stats["kept"] or 0) / float(tw["twin_kept"])
         if tw["twin_kept"]

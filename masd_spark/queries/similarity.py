@@ -64,6 +64,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CENTROIDS = 16
 _IVF_PROBE = 4
+# below this many valid vectors, ann_ivf_refined_topk's completeness /
+# probe-count claims hold vacuously (see its contract comment)
+_IVF_CONTRACT_FLOOR = 300
 _IVF_SEED = 42
 
 _IVF_ORACLE = f"""
@@ -296,11 +299,20 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "objective_band_vs_exact",
             None,
+            # zero-inertia corpora are legitimate (one valid vector, or
+            # all valid embeddings identical): both kernels must land on
+            # exactly-0 inertia, so treat j_exact == 0 as in-band when
+            # the float side agrees to within accumulation noise
             bool(
-                empty or (j_exact > 0 and 0.8 <= j_float / j_exact <= 1.25)
+                empty
+                or (j_exact == 0 and j_float <= 1e-9)
+                or (j_exact > 0 and 0.8 <= j_float / j_exact <= 1.25)
             ),
         ),
-        ("beats_singleton", None, bool(empty or j_float <= j_single)),
+        # + 1e-9: on a zero-variance corpus both objectives are ~0 but
+        # each accumulates independent IEEE rounding (mean of identical
+        # floats is not exact), so demand dominance only beyond noise
+        ("beats_singleton", None, bool(empty or j_float <= j_single + 1e-9)),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 
@@ -502,41 +514,44 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     v, eig, n = pca_top_component(emb, dim=EMBEDDING_DIM, vec_col="embedding")
 
-    q = va.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double") * _KM_SCALE).cast("bigint"),
-            )
-        ).alias("pos", "x"),
+    # ONE n-scale moment reduction, shared: materialize the 4096-row Gram
+    # + 64-row column sums, then feed BOTH the Rayleigh surrogate M and
+    # the power-iteration twin from the same frames — the n-row self-join
+    # runs once, and the two consumers cannot desynchronize on
+    # quantization (they are the same quantization by construction)
+    from masd_spark.operators.clustering import gram_moments_longform
+
+    p_df, s_df, n_m = gram_moments_longform(
+        emb, dim=EMBEDDING_DIM, scale=_KM_SCALE
     )
+    p_df = p_df.localCheckpoint(eager=True)
+    s_df = s_df.localCheckpoint(eager=True)
+
     s = np.zeros(EMBEDDING_DIM)
-    for r in q.groupBy("pos").agg(F.sum("x").alias("s")).collect():
-        s[r["pos"]] = r["s"]
-    a = q.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xi"))
-    b = q.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xj"))
+    for r in s_df.collect():
+        s[r["i"] - 1] = r["s"]
     P = np.zeros((EMBEDDING_DIM, EMBEDDING_DIM))
-    for r in (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("g"))
-        .collect()
-    ):
-        P[r["i"], r["j"]] = r["g"]
-    M = n * P - np.outer(s, s)
+    for r in p_df.collect():
+        P[r["i"] - 1, r["j"] - 1] = r["p"]
+    M = n_m * P - np.outer(s, s)
 
     u = np.zeros(EMBEDDING_DIM)
     for r in pca_power_iteration_exact(
         emb, dim=EMBEDDING_DIM, scale=_KM_SCALE, big=_PI_BIG,
-        n_squarings=_PI_SQUARINGS,
+        n_squarings=_PI_SQUARINGS, moments=(p_df, s_df, n_m),
     ).collect():
-        u[r["dim"] - 1] = r["loading"]
+        if r["loading"] is not None:  # NULL on a zero-variance corpus
+            u[r["dim"] - 1] = r["loading"]
 
     vv = np.array(v, dtype=float)
     r_v = float(vv @ M @ vv / (vv @ vv)) if vv.any() else 0.0
     r_u = float(u @ M @ u / (u @ u)) if u.any() else 0.0
     empty = n == 0  # degenerate corpus: contracts hold vacuously
+    # zero-variance corpus (all valid embeddings identical): M is the
+    # zero matrix, every unit vector maximizes the (zero) quadratic
+    # form, and the twin's normalization degenerates to 0/0 NaN
+    # loadings — dominance is vacuous, not violated
+    zero_var = not M.any()
     rows = [
         ("n_rows", n, bool(n == n_valid)),
         (
@@ -547,7 +562,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "rayleigh_dominance",
             None,
-            bool(empty or r_v >= r_u * (1 - 1e-6)),
+            bool(empty or zero_var or r_v >= r_u * (1 - 1e-6)),
         ),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
@@ -1260,17 +1275,26 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from masd_spark.operators.similarity import valid_vectors
 
-    n_probes = (
-        valid_vectors(emb, "vec_id", "embedding")
-        .filter(F.col("vec_id") % 100 == 0)
-        .count()
-    )
+    va = valid_vectors(emb, "vec_id", "embedding")
+    n_valid = va.count()
+    n_probes = va.filter(F.col("vec_id") % 100 == 0).count()
     per_q = flt.groupBy("query_id").count()
     n_q = per_q.count()
     complete = per_q.filter(F.col("count") != 10).count() == 0
 
+    # Full-k completeness (10 rows per probe) is a corpus-size claim, not
+    # a universal invariant: with few valid vectors the probed cells of a
+    # 16-centroid index legitimately hold < k candidates, and a
+    # single-valid-vector slice returns no neighbor rows at all. The
+    # oracle states TRUE unconditionally, so below the calibrated floor
+    # the claims hold vacuously True on both sides (same pattern as the
+    # ladder-calibrated contract floors, r8); both committed gates carry
+    # 500-row embeddings tables, comfortably above it, so detection
+    # power at the gate is unchanged.
+    degenerate = n_valid < _IVF_CONTRACT_FLOOR
+
     rows = [
-        ("n_queries", n_probes, bool(n_q == n_probes)),
+        ("n_queries", n_probes, bool(degenerate or n_q == n_probes)),
         (
             "exact_refined_recall_ppm",
             twin_ppm,
@@ -1278,7 +1302,11 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 twin_ppm is None or float_ppm >= twin_ppm - 150_000
             ),
         ),
-        ("results_complete", None, bool(complete and n_q == n_probes)),
+        (
+            "results_complete",
+            None,
+            bool(degenerate or (complete and n_q == n_probes)),
+        ),
     ]
     return spark.createDataFrame(rows, "metric string, value bigint, ok boolean")
 

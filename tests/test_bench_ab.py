@@ -48,3 +48,29 @@ def test_missing_head_requote_falls_back_to_committed_compare():
     assert v == "host-drift" and r is None
     v, r = bench._ab_verdict(total=30.0, prev_sum=15.0, prior_now=14.0, head_now=0.0)
     assert v == "code-drift" and r is None
+
+
+def test_prev_committed_queries_skips_staged_artifact(tmp_path, monkeypatch):
+    """`git ls-files` lists STAGED artifacts too; a fresh BENCH_r8 that
+    is added but not yet committed must fall back to the newest artifact
+    in HEAD instead of blanking every baseline (ADVICE-r7 follow-up)."""
+    import json
+    import subprocess
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+
+    def run(*a):
+        subprocess.run(a, cwd=repo, check=True, capture_output=True)
+
+    run("git", "init", "-q")
+    run("git", "config", "user.email", "t@t")
+    run("git", "config", "user.name", "t")
+    (repo / "BENCH_r7.json").write_text(json.dumps({"queries": {"q1": 1.5}}))
+    run("git", "add", "BENCH_r7.json")
+    run("git", "commit", "-qm", "r7")
+    (repo / "BENCH_r8.json").write_text(json.dumps({"queries": {"q1": 9.9}}))
+    run("git", "add", "BENCH_r8.json")
+
+    monkeypatch.setattr(bench, "__file__", str(repo / "bench.py"))
+    assert bench._prev_committed_queries() == {"q1": 1.5}

@@ -104,6 +104,79 @@ def test_write_zordered_empty_writes_empty_table(spark, tmp_path):
     assert set(back.columns) == set(src.columns)
 
 
+# ---------------------------------------------------------------------------
+# Degenerate-but-NON-empty corpora (r8 review findings): a tiny slice
+# (fewer valid vectors than the IVF contract floor / a full top-k) and a
+# zero-variance slice (all embeddings identical -> both k-means kernels
+# at exactly-0 inertia, PCA covariance identically zero) are legitimate
+# backfill shapes the zero-row guard does not cover. Each contract must
+# go vacuous-True against its unconditional-TRUE oracle, not fail.
+
+DEGENERATE_CONTRACT_QUERIES = [
+    "ann_ivf_refined_topk",
+    "cluster_kmeans_embeddings",
+    "emb_pca_top_component",
+    "dedup_semantic_clusters",
+]
+
+
+def _embeddings_variant_dir(tmp_path_factory, name: str, table) -> str:
+    """Fixture dir: every table empty-at-schema except embeddings."""
+    import pyarrow.parquet as _pq
+
+    d = tmp_path_factory.mktemp(name)
+    for t in TABLE_NAMES:
+        schema = _pq.read_schema(os.path.join(SF_ORACLE, f"{t}.parquet"))
+        _pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    _pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tiny_sf_dir(tmp_path_factory) -> str:
+    """5 valid embeddings — below the IVF contract floor, below k=10."""
+    tab = pq.read_table(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    # row 0 has vec_id 0 -> one probe (vec_id % 100 == 0) over 4 others
+    return _embeddings_variant_dir(tmp_path_factory, "sf_tiny", tab.slice(0, 5))
+
+
+@pytest.fixture(scope="module")
+def zero_var_sf_dir(tmp_path_factory) -> str:
+    """6 identical embeddings (distinct ids) — inertia exactly 0."""
+    import pyarrow as pa
+
+    tab = pq.read_table(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    one = tab.slice(0, 1)
+    rep = pa.concat_tables([one] * 6)
+    rep = rep.set_column(
+        rep.schema.get_field_index("vec_id"),
+        rep.schema.field("vec_id"),
+        pa.array(list(range(6)), type=pa.int64()),
+    )
+    return _embeddings_variant_dir(tmp_path_factory, "sf_zerovar", rep)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_CONTRACT_QUERIES)
+def test_tiny_corpus_contract_parity(spark, tiny_sf_dir, name):
+    compare_query(spark, REGISTRY[name], tiny_sf_dir)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_CONTRACT_QUERIES)
+def test_zero_variance_corpus_contract_parity(spark, zero_var_sf_dir, name):
+    compare_query(spark, REGISTRY[name], zero_var_sf_dir)
+
+
+def test_semantic_clusters_refuses_scale(spark, monkeypatch):
+    """The docstring's 'all-pairs verification is harness-only' claim is
+    mechanically enforced: above the cap the contract query raises
+    instead of launching a corpus^2 join."""
+    import masd_spark.queries.dedup as dq
+
+    monkeypatch.setattr(dq, "_SEMDEDUP_VERIFY_CAP", 3)
+    with pytest.raises(ValueError, match="all-pairs"):
+        REGISTRY["dedup_semantic_clusters"].fn(spark, SF_ORACLE)
+
+
 def test_rollup_empty_input_divergence_pinned(spark, empty_sf_dir):
     """DOCUMENTED cross-engine divergence, empty input ONLY: the SQL
     standard's () grouping set aggregates zero rows into one grand-total

@@ -42,6 +42,13 @@ NONFINITE_SENSITIVE_QUERIES = [
     "dedup_semantic_clusters_exact",
     "emb_gram_upper",
     "emb_pca_power_iteration",
+    # float kernels promoted from the no-crash list when the r8
+    # error-bound contracts gave them oracles: their n_valid/n_assigned
+    # rows state exactly the valid-vector contract this fixture poisons
+    "cluster_kmeans_embeddings",
+    "emb_pca_top_component",
+    "ann_ivf_refined_topk",
+    "dedup_semantic_clusters",
     # events.value family (finite_values contract)
     "histogram_event_values",
     "agg_mad_robust",
@@ -57,12 +64,9 @@ NONFINITE_SENSITIVE_QUERIES = [
     "ts_autocorrelation",
 ]
 
-# Rows-only float kernels that read the poisoned columns: no oracle to
+# Rows-only queries that read the poisoned columns: no oracle to
 # compare, but they must not ABORT on one bad vector/value.
 NONFINITE_NO_CRASH_QUERIES = [
-    "cluster_kmeans_embeddings",
-    "emb_pca_top_component",
-    "ann_ivf_refined_topk",
     "approx_aggregates",
 ]
 
