@@ -494,11 +494,32 @@ def _pair_counts(sh: DataFrame, id_col: str, max_df: int | None) -> DataFrame:
                 F.first("size_b").alias("size_b"),
             )
         )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-    rare = dfreq.filter(F.col("_df") <= max_df).select("shingle")
-    hot = dfreq.filter(F.col("_df") > max_df).select("shingle")
-    ra = a.join(rare, "shingle")
-    rb = b.join(rare, "shingle")
+    # One document-frequency aggregation, expressed as its HOT complement
+    # (optimization r8, guide §2.4/§3.1): the old form joined `rare` into
+    # both pair sides and `hot` into both hot-set builds as four DISTINCT
+    # filtered subtrees, so Catalyst planned the dfreq aggregation FOUR
+    # times (4 exchanges + 4 rescans of the shingle checkpoint; plan-
+    # verified). The hot set is the same information and provably TINY:
+    # #hot <= sum(df)/max_df = (total shingle rows)/(n_docs/100) = 100 x
+    # avg shingles/doc — bounded by document length, independent of
+    # corpus size — so it broadcasts safely at any scale, rare-filtering
+    # becomes a broadcast ANTI join (no shuffle of the shingle rows), and
+    # the ONE identical broadcast subtree is planned once and reused by
+    # ReuseExchange across all three consumers.
+    # The hot list is materialized once (it is tiny — see bound above) so
+    # the df aggregation runs exactly ONE time: the eager hot_sets build
+    # below and the main query's three broadcast consumers otherwise each
+    # re-planned the full groupBy over the shingle checkpoint
+    # (ReuseExchange only dedupes within a single executed plan).
+    hot = F.broadcast(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+        .localCheckpoint(eager=True)
+    )
+    ra = a.join(hot, "shingle", "left_anti")
+    rb = b.join(hot, "shingle", "left_anti")
     rare_agg = (
         ra.join(rb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -509,10 +530,15 @@ def _pair_counts(sh: DataFrame, id_col: str, max_df: int | None) -> DataFrame:
             F.first("size_b").alias("size_b"),
         )
     )
+    # left_semi + collect_set over the few hot rows; checkpointed because
+    # it is referenced twice (doc_a and doc_b attach) and is O(docs-with-
+    # a-hot-shingle) rows of <=100-element arrays — without the
+    # checkpoint the whole semi-join+agg ran twice.
     hot_sets = (
-        sh.join(hot, "shingle")
+        sh.join(hot, "shingle", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("shingle").alias("_hot"))
+        .localCheckpoint(eager=True)
     )
     empty = F.array().cast("array<string>")
     return (
@@ -744,6 +770,15 @@ def minhash_lsh_pairs(
         ["band", "band_hash"],
         max_bucket,
     )
+    # Materialize the banded rows before the self-join (optimization r8,
+    # guide §2.4): the candidate join references `banded` on BOTH sides,
+    # and Catalyst plans the full signature pipeline (doc-keyed sort
+    # aggregation of n_hashes md5 minima + band explode + occupancy
+    # window) TWICE — plan-verified as two complete copies feeding the
+    # join. The banded table is n_bands rows/doc of (id, band, md5) —
+    # linear, tiny next to the shingle set — so one checkpoint halves
+    # the whole signature stage at any scale.
+    banded = banded.localCheckpoint(eager=True)
     lhs = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
     rhs = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
     candidates = (

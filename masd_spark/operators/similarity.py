@@ -69,6 +69,119 @@ def valid_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+# Escape hatch for the equality pin (tests/test_similarity.py): False
+# routes brute_force_topk's fixed-dim path back to the pure-JVM HOF
+# join, the reference the Arrow kernel must match row-for-row.
+_ARROW_TOPK = True
+
+
+def _bf_arrow_kernel(q_groups, q_mismatch, k, qid_pa_type):
+    """Build the mapInArrow function for :func:`brute_force_topk`'s
+    vectorized path. Bit-exactness contract (why this is NOT a plain
+    matmul): the JVM HOF pipeline computes, per pair, a 0.0-seeded LEFT
+    FOLD of per-element double products, norms as the same fold of
+    squares, then ``dot / (q_norm * corpus_norm)``. Reassociating the
+    sums (``numpy.dot``/BLAS use pairwise/SIMD accumulation) changes the
+    last ulp, and ranking happens on values ROUNDED to 6 decimals — a
+    boundary flip would change emitted rows. So the kernel accumulates
+    COLUMN-STEPPED: ``acc += C[:, j] * Q[:, j]`` for j ascending — one
+    IEEE product + one IEEE add per element in exactly the fold's order,
+    vectorized ACROSS pairs instead of within one — and computes the
+    denominator as the same ``qn * cn`` product. Every emitted cosine is
+    bit-identical to the HOF expression's.
+
+    ``q_groups``: {length L: (list[(row_idx, qid)], Q float64 matrix
+    (nq x L), qn float64 vector)}; ``q_mismatch``: all (qid, length)
+    pairs — corpus rows whose length differs from a query's produce a
+    NULL cosine in the JVM form (zip_with pads with nulls), so those
+    pairs are emitted with a null score rather than dropped.
+
+    Per (query, batch), only rows that can reach the global top-k
+    survive: with key = cosine (NaN -> +inf, matching Spark's
+    NaN-greatest ordering), any row in the global ROUNDED top-k has
+    key >= (k-th largest batch key) - 1e-6, since rounding moves a
+    value by < 5e-7 each side — the batch emits that superset and the
+    downstream JVM round+rank reproduces the exact original ordering.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids_pa = batch.column(0)
+            vecs = batch.column(1)
+            lengths = pc.list_value_length(vecs).to_numpy(
+                zero_copy_only=False
+            )
+            flat = vecs.flatten().to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.cumsum(lengths)))
+            ids_np = ids_pa.to_numpy(zero_copy_only=False)
+            out_qid: list = []
+            out_idx: list[int] = []
+            out_cos: list = []
+            for length, (qids, qmat, qn) in q_groups.items():
+                rows = np.nonzero(lengths == length)[0]
+                if rows.size == 0:
+                    continue
+                # gather the group's rows into an (n_rows x L) matrix
+                idx = (
+                    starts[rows][:, None] + np.arange(length)[None, :]
+                ).ravel()
+                cmat = flat[idx].astype(np.float64).reshape(
+                    rows.size, length
+                )
+                # left-fold norms and dots, column-stepped (see docstring)
+                cacc = np.zeros(rows.size)
+                for j in range(length):
+                    cj = cmat[:, j]
+                    cacc = cacc + cj * cj
+                cn = np.sqrt(cacc)
+                dots = np.zeros((rows.size, len(qids)))
+                for j in range(length):
+                    dots = dots + cmat[:, j][:, None] * qmat[:, j][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (qn[None, :] * cn[:, None])
+                key = np.where(np.isnan(cos), np.inf, cos)
+                for qi, (_, qid) in enumerate(qids):
+                    col_key = key[:, qi]
+                    keep = ids_np[rows] != qid  # self-pair exclusion
+                    cand = np.nonzero(keep)[0]
+                    if cand.size > k:
+                        kth = np.partition(col_key[cand], cand.size - k)[
+                            cand.size - k
+                        ]
+                        cand = cand[col_key[cand] >= kth - 1e-6]
+                    for ci in cand:
+                        out_qid.append(qid)
+                        out_idx.append(int(rows[ci]))
+                        out_cos.append(float(cos[ci, qi]))
+            # JVM zip_with pads length-mismatched pairs to NULL cosine —
+            # emit those pairs (none on well-formed fixtures)
+            for qid, qlen in q_mismatch:
+                for ri in np.nonzero(lengths != qlen)[0]:
+                    if ids_np[ri] != qid:
+                        out_qid.append(qid)
+                        out_idx.append(int(ri))
+                        out_cos.append(None)
+            if not out_idx:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_qid, type=qid_pa_type),
+                    ids_pa.take(pa.array(out_idx, type=pa.int64())),
+                    pa.array(out_cos, type=pa.float64()),
+                ],
+                names=["__qid", "__cid", "__cos"],
+            )
+
+    return kernel
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -80,15 +193,85 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    ``queries`` must be small enough to broadcast (it is hinted); ranking
-    uses (rounded cosine desc, id asc) — a total order, so results are
-    deterministic and engine-portable. The vector math is the compact
-    HOF dot (see functions/vectors.py for the measurement that retired
-    the unrolled variant); norms are precomputed once per row, so each
-    pair costs one dot.
+    ``queries`` must be small enough to broadcast (the ``dim=None`` path
+    hints it; the vectorized path collects it — same size contract);
+    ranking uses (rounded cosine desc, id asc) — a total order, so
+    results are deterministic and engine-portable.
+
+    Optimization r8 (guide §4.2): with ``dim`` set, the scoring runs as
+    one ``mapInArrow`` over the corpus scan — whole Arrow batches handed
+    to a NumPy kernel that reproduces the JVM HOF fold BIT-EXACTLY (see
+    :func:`_bf_arrow_kernel`) and emits, per batch, only the rows that
+    can reach the global top-k. The JVM then rounds and ranks that
+    candidate superset with the identical window, so emitted rows are
+    unchanged (equality with the HOF path pinned by test). Measured at
+    sf0.1 (10k vectors x 100 queries): 1.0s -> ~0.3s warm, and the
+    per-pair zip_with allocation disappears from the hot path. The
+    ``dim=None`` path keeps the pure-JVM HOF shape.
     """
     corpus = valid_vectors(corpus, id_col, vec_col)
     queries = valid_vectors(queries, query_id_col, vec_col)
+    if dim is not None and _ARROW_TOPK:
+        import numpy as np
+
+        from pyspark.sql import types as T
+
+        qtab = queries.select(query_id_col, vec_col).toArrow()
+        qid_pa_type = qtab.schema.field(0).type
+        q_rows = [
+            (i, qtab.column(0)[i].as_py(), qtab.column(1)[i].as_py())
+            for i in range(qtab.num_rows)
+        ]
+        q_groups: dict = {}
+        for i, qid, vec in q_rows:
+            q_groups.setdefault(len(vec), []).append((i, qid, vec))
+        packed = {}
+        for length, rows in q_groups.items():
+            qmat = np.array([v for _, _, v in rows], dtype=np.float64)
+            qacc = np.zeros(len(rows))
+            for j in range(length):
+                qj = qmat[:, j]
+                qacc = qacc + qj * qj
+            packed[length] = (
+                [(i, qid) for i, qid, _ in rows],
+                qmat,
+                np.sqrt(qacc),
+            )
+        q_mismatch = [(qid, len(vec)) for _, qid, vec in q_rows]
+        corpus_id_type = corpus.schema[id_col].dataType
+        qid_spark_type = queries.schema[query_id_col].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("__qid", qid_spark_type),
+                T.StructField("__cid", corpus_id_type),
+                T.StructField("__cos", T.DoubleType()),
+            ]
+        )
+        scored = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .mapInArrow(
+                _bf_arrow_kernel(packed, q_mismatch, k, qid_pa_type),
+                out_schema,
+            )
+            .select(
+                F.col("__qid").alias(query_id_col),
+                F.col("__cid").alias(id_col),
+                F.round(F.col("__cos"), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                query_id_col,
+                id_col,
+                "cos_sim",
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )
     if dim is None:
         q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
         pairs = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))

@@ -42,6 +42,36 @@ RUNTIME_CONFS: dict[str, str] = {
     # bracket; the plan-shape assertions (plans/explain.py) parse those
     # brackets, and a 3-term pushed-filter list already overflows 100.
     "spark.sql.maxMetadataStringLength": "2000",
+    # Scan-parallelism FLOOR (optimization r8, guide §6): each fixture
+    # table is ONE parquet file (11 MB lineitem, 2 MB events, ...), and
+    # with the default 128 MB maxPartitionBytes + 4 MB openCostInBytes
+    # every scan planned into 1-3 input splits — single-digit cores doing
+    # all scan+map work while 30 sat idle. minPartitionNum only FLOORS parallelism
+    # (maxSplitBytes = min(maxPartitionBytes, max(openCost, bytes/N))),
+    # so at cluster scale, where bytes/N >> 128 MB, splits stay 128 MB
+    # and the setting is a no-op — scale-adaptive by construction, not a
+    # local[32] constant. openCostInBytes must drop with it or its 4 MB
+    # floor re-caps tiny files at ~3 splits; 64 KB keeps the many-small-
+    # files guard (a thousand 1 KB files still pack into few splits)
+    # while letting MB-scale fixture files split core-wide. Results are
+    # partitioning-independent (fuzzed by scripts/determinism_sweep.py
+    # regime B = 256 KB splits, and tests/test_determinism.py).
+    "spark.sql.files.minPartitionNum": str(
+        int(os.getenv("SPARK_GRAFT_CPUS", "32"))
+    ),
+    "spark.sql.files.openCostInBytes": str(64 * 1024),
+    # AQE post-shuffle coalescing floor (optimization r8, guide §2.2/2.5):
+    # coalescePartitions.parallelismFirst already targets default
+    # parallelism, but its 1 MB minPartitionSize floor re-coalesces the
+    # MB-scale fixture shuffles to 1-3 partitions — the materialized
+    # shingle checkpoint came out 3-partitioned and every downstream
+    # pair join ran 3 tasks wide (AQE sizes by shuffle BYTES and cannot
+    # see a consumer's compute amplification: 5x candidate fan-out, 16
+    # md5s/row). 64 KB keeps parallelism-first effective on small inputs;
+    # at cluster scale partitions are far above 64 KB and the advisory
+    # size governs exactly as before (measured here: capped jaccard pair
+    # stage 3.4s -> 1.8s, minhash 2.1s -> 1.1s warm at sf0.1).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 
