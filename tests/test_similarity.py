@@ -14,6 +14,44 @@ def test_ann_cosine_topk_parity(spark):
     compare_query(spark, REGISTRY["ann_cosine_topk"], SF_ORACLE)
 
 
+def test_brute_force_arrow_kernel_matches_hof(spark):
+    """Equality pin for the r8 mapInArrow scoring path: the NumPy kernel
+    must reproduce the pure-JVM HOF join ROW-FOR-ROW (same ids, same
+    rounded cosines, same ranks) on the fixture corpus — the shape every
+    declared query scores. Degenerate vectors are out of scope here: the
+    HOF reference itself raises under ANSI on a zero-norm vector
+    (dot / (qn * cn) -> DIVIDE_BY_ZERO at the _cn projection), so there
+    is no JVM behavior for the kernel to match on that shape; both paths
+    share the valid_vectors() contract for null/NaN/Inf elements."""
+    import masd_spark.operators.similarity as S
+    from masd_spark.operators.similarity import brute_force_topk
+    from masd_spark.sources.tables import load_table
+
+    corpus = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        df = brute_force_topk(corpus, queries, k=10, dim=64)
+        return sorted(
+            ((r[0], r[1], str(r[2]), r[3]) for r in df.collect())
+        )
+
+    prior = S._ARROW_TOPK
+    try:
+        S._ARROW_TOPK = True
+        arrow_rows = run()
+        S._ARROW_TOPK = False
+        hof_rows = run()
+    finally:
+        S._ARROW_TOPK = prior
+    assert arrow_rows == hof_rows
+    assert len(arrow_rows) > 0
+
+
 def test_bucketed_cosine_parity(spark):
     compare_query(spark, REGISTRY["dedup_embedding_cosine_bucketed"], SF_ORACLE)
 
