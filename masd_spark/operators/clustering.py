@@ -248,33 +248,69 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=True)  # reused by both join sides + output
     )
-    a = with_norm.select(
-        F.col(id_col).alias("id_a"),
-        F.col("cluster"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
-    b = with_norm.select(
-        F.col(id_col).alias("id_b"),
-        F.col("cluster"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                dot_fixed(F.col("_va"), F.col("_vb"), dim)
-                / (F.col("_na") * F.col("_nb")),
-                6,
-            )
-            >= threshold
+    # Optimization r8 (guide §4.2): the intra-cluster pair scoring is the
+    # same all-pairs cosine as cosine_pairs, restricted to equal cluster
+    # ids — run it through the shared bit-exact mapInArrow kernel (bucket
+    # column = cluster) instead of the JVM equi-join + per-pair HOF fold.
+    # The JVM re-applies the identical round+threshold filter, so the
+    # dropped-id set is unchanged (pinned in tests/test_similarity.py).
+    from masd_spark.operators import similarity as _sim
+
+    dropped = None
+    if _sim._ARROW_PAIRS and _sim._integral_id_type(with_norm, id_col):
+        narrow = with_norm.select(
+            F.col(id_col), F.col(vec_col), F.col("cluster").cast("long")
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
+        tab = narrow.toArrow()
+        if tab.num_rows <= _sim._ARROW_PAIRS_MAX:
+            from pyspark.sql import types as T
+
+            groups = _sim._pairs_corpus_groups(tab)
+            id_type = with_norm.schema[id_col].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("__ida", T.LongType()),
+                    T.StructField("__idb", T.LongType()),
+                    T.StructField("__cos", T.DoubleType()),
+                ]
+            )
+            dropped = (
+                narrow.mapInArrow(
+                    _sim._pairs_arrow_kernel(groups, threshold), out_schema
+                )
+                .filter(F.round(F.col("__cos"), 6) >= threshold)
+                .select(F.col("__idb").cast(id_type).alias(id_col))
+                .distinct()
+                .withColumn("_dropped", F.lit(True))
+            )
+    if dropped is None:
+        a = with_norm.select(
+            F.col(id_col).alias("id_a"),
+            F.col("cluster"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        b = with_norm.select(
+            F.col(id_col).alias("id_b"),
+            F.col("cluster"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        dropped = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.round(
+                    dot_fixed(F.col("_va"), F.col("_vb"), dim)
+                    / (F.col("_na") * F.col("_nb")),
+                    6,
+                )
+                >= threshold
+            )
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
+        )
     return (
         with_norm.select(id_col, "cluster")
         .join(dropped, id_col, "left")
@@ -393,24 +429,116 @@ def gram_moments_longform(
     paying the n-row self-join twice.
     """
     df = valid_vectors(df, id_col, vec_col)
-    idx = F.posexplode(
-        F.transform(
-            F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
-        )
+    quant = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * scale).cast("bigint")
     )
-    q = df.select(F.col(id_col).alias("_rid"), idx.alias("pos", "x")).select(
-        "_rid", (F.col("pos") + 1).alias("dim"), "x"
+
+    # Optimization r8 (guide §4.2): the Gram used to be an n-row
+    # self-join — (n*dim)^2/n intermediate rows through one shuffle
+    # (8.2M at sf0.1) — for a result that is an EXACT integer X^T X.
+    # Quantization stays in the JVM (ANSI round/cast semantics,
+    # including the CAST_OVERFLOW abort on poisoned magnitudes), and an
+    # Arrow kernel folds each task's quantized rows into one L_max x
+    # L_max int64 partial; the groupBy(i, j) SUM of integer partials is
+    # bit-identical to the self-join's by associativity of exact BIGINT
+    # addition. Group-key coverage matches too: pair (i, j) exists in
+    # the long-form output iff some row has length >= max(i, j), which
+    # is exactly when some task emits that partial cell. Ragged lengths
+    # accumulate into the top-left block, mirroring the per-row
+    # posexplode ranges.
+    def gram_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        acc_p = np.zeros((0, 0), dtype=np.int64)
+        acc_s = np.zeros(0, dtype=np.int64)
+
+        def grow(m):
+            nonlocal acc_p, acc_s
+            if m > acc_s.size:
+                np_ = np.zeros((m, m), dtype=np.int64)
+                np_[: acc_p.shape[0], : acc_p.shape[1]] = acc_p
+                ns_ = np.zeros(m, dtype=np.int64)
+                ns_[: acc_s.size] = acc_s
+                acc_p, acc_s = np_, ns_
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(0)
+            lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lengths)))
+            for length in np.unique(lengths):
+                if length == 0:
+                    continue
+                rows = np.nonzero(lengths == length)[0]
+                idx = (
+                    starts[rows][:, None] + np.arange(length)[None, :]
+                ).ravel()
+                X = flat[idx].reshape(rows.size, int(length))
+                grow(int(length))
+                mx = int(np.max(np.abs(X))) if X.size else 0
+                if mx and rows.size * mx * mx < 2**62:
+                    P = X.T @ X  # provably within int64
+                    S = X.sum(axis=0)
+                else:
+                    # can't prove no int64 overflow — exact object
+                    # (Python bigint) arithmetic, then mirror the ANSI
+                    # ARITHMETIC_OVERFLOW abort the JVM sum would raise
+                    Xo = X.astype(object)
+                    P = Xo.T @ Xo
+                    S = Xo.sum(axis=0)
+                    if any(abs(int(v)) >= 2**63 for v in np.ravel(P)) or any(
+                        abs(int(v)) >= 2**63 for v in S
+                    ):
+                        raise ArithmeticError(
+                            "gram_moments_longform: BIGINT overflow in "
+                            "the exact Gram — the JVM reference sum "
+                            "aborts with ARITHMETIC_OVERFLOW under ANSI "
+                            "on this corpus"
+                        )
+                    P = P.astype(np.int64)
+                    S = S.astype(np.int64)
+                acc_p[: P.shape[0], : P.shape[1]] += P
+                acc_s[: S.size] += S
+        m = acc_s.size
+        if m == 0:
+            return
+        ii, jj = np.meshgrid(
+            np.arange(1, m + 1), np.arange(1, m + 1), indexing="ij"
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.concatenate([ii.ravel(), np.arange(1, m + 1)]).astype(
+                        np.int32
+                    )
+                ),
+                pa.array(
+                    np.concatenate(
+                        [jj.ravel().astype(np.int64), np.full(m, -1)]
+                    ).astype(np.int32)
+                ),
+                pa.array(np.concatenate([acc_p.ravel(), acc_s])),
+            ],
+            names=["i", "j", "v"],
+        )
+
+    parts = df.select(quant.alias("_qv")).mapInArrow(
+        gram_kernel, "i int, j int, v long"
     )
     p = (
-        q.select(F.col("_rid"), F.col("dim").alias("i"), F.col("x").alias("xi"))
-        .join(
-            q.select(F.col("_rid"), F.col("dim").alias("j"), F.col("x").alias("xj")),
-            "_rid",
-        )
+        parts.filter(F.col("j") >= 1)
         .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("p"))
+        .agg(F.sum("v").alias("p"))
     )
-    s = q.groupBy(F.col("dim").alias("i")).agg(F.sum("x").alias("s"))
+    s = (
+        parts.filter(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
     n = df.count()  # scalar plan literal, like the k-means centroid count
     return p, s, n
 

@@ -70,11 +70,15 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     has_out = trans.select(F.col("_src").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # Optimization r8 (guide §2.4): the dangling mass used to be a
+    # separate collect() job per iteration (2 jobs/iter). It is a scalar
+    # aggregate, so attach it as a broadcast 1-row frame instead — the
+    # per-iteration checkpoint materializes everything in ONE job, and
+    # the arithmetic is unchanged: dangling/n was a double division on
+    # the driver and is the identical IEEE double division in the plan.
     for _ in range(n_iter):
-        dangling = (
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        dang = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contrib = (
             trans.join(ranks, trans["_src"] == ranks["node"])
@@ -84,12 +88,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -464,13 +472,14 @@ def pagerank_exact(
     has_out = trans.select(F.col("_src").alias("node")).distinct()
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
     ranks = nodes.withColumn("rank", F.lit(scale // n).cast("long"))
+    # Same job-fusion as the float kernel (r8): the dangling mass rides
+    # as a broadcast scalar, 1 job/iteration instead of 2. Exactness:
+    # ranks are non-negative, so Python's ``dangling // n`` equals SQL
+    # ``_dm div n`` — every operation stays the same BIGINT arithmetic.
     for _ in range(n_iter):
-        dangling = int(
-            ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
-            .collect()[0][0]
+        dang = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_dm")
         )
-        d_share = dangling // n
         contrib = (
             trans.join(ranks, trans["_src"] == ranks["node"])
             .select(
@@ -482,11 +491,12 @@ def pagerank_exact(
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 F.expr(
                     f"CAST({base} + ({damp_num} * (coalesce(c, CAST(0 AS BIGINT))"
-                    f" + {d_share})) div {damp_den} AS BIGINT)"
+                    f" + (_dm div {n}))) div {damp_den} AS BIGINT)"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -316,6 +316,188 @@ def brute_force_topk(
     )
 
 
+# Escape hatch for the equality pin (tests/test_similarity.py): False
+# routes cosine_pairs back to the pure-JVM theta-join reference.
+_ARROW_PAIRS = True
+# Driver-memory guard for the vectorized all-pairs path: the corpus is
+# collected once and closed over (like brute_force_topk's query set).
+# Aligned with queries/dedup.py:_SEMDEDUP_VERIFY_CAP — the largest corpus
+# any registered all-pairs ground truth accepts.
+_ARROW_PAIRS_MAX = 500_000
+
+
+def _integral_id_type(df: DataFrame, id_col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _length_grouped(ids_pa, vecs_pa):
+    """Split an Arrow (ids, list<float>) pair into per-length float64
+    matrices via the flattened values buffer — no per-row as_py loop.
+    Returns {L: (ids int64 (m,), C float64 (m x L))}."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = ids_pa.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = pc.list_value_length(vecs_pa).to_numpy(zero_copy_only=False)
+    flat = vecs_pa.flatten().to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.cumsum(lengths)))
+    out = {}
+    for length in np.unique(lengths):
+        rows = np.nonzero(lengths == length)[0]
+        if length == 0:
+            out[0] = (ids[rows], np.zeros((rows.size, 0)))
+            continue
+        idx = (starts[rows][:, None] + np.arange(length)[None, :]).ravel()
+        cmat = flat[idx].astype(np.float64).reshape(rows.size, int(length))
+        out[int(length)] = (ids[rows], cmat)
+    return out
+
+
+def _fold_norms(cmat):
+    """Column-stepped left-fold norms — the zip_with/aggregate order."""
+    import numpy as np
+
+    acc = np.zeros(cmat.shape[0])
+    for j in range(cmat.shape[1]):
+        cj = cmat[:, j]
+        acc = acc + cj * cj
+    return np.sqrt(acc)
+
+
+def _pairs_corpus_groups(tab):
+    """Group a collected (id, vec[, bucket]) Arrow table into {(bucket,
+    length): (ids int64, C float64 (m x L), cn float64)} with the same
+    column-stepped left-fold norms the JVM expression computes. With no
+    bucket column every row lands in bucket 0 (the all-pairs case); a
+    third column restricts pairing to equal buckets (semantic_dedup's
+    cluster equi-join). Raises on a zero-norm vector whenever the JVM
+    reference would score a pair against it — i.e. its (bucket, length)
+    group holds >= 2 rows, so the unguarded dot / (na * nb) division
+    aborts with DIVIDE_BY_ZERO under ANSI on that corpus shape.
+    (A zero-norm row whose group is a singleton pairs only across
+    lengths, where zip_with pads the dot to NULL and no division error
+    can fire — such corpora keep their JVM behavior: no pairs.)"""
+    import numpy as np
+    import pyarrow as pa
+
+    ids_pa = tab.column(0).combine_chunks()
+    vecs_pa = tab.column(1).combine_chunks()
+    if tab.num_columns > 2:
+        buckets = (
+            tab.column(2)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    else:
+        buckets = np.zeros(tab.num_rows, dtype=np.int64)
+
+    groups = {}
+    for bkt in np.unique(buckets):
+        rows = np.nonzero(buckets == bkt)[0]
+        idx = pa.array(rows)
+        for length, (gids, cmat) in _length_grouped(
+            ids_pa.take(idx), vecs_pa.take(idx)
+        ).items():
+            cn = _fold_norms(cmat)
+            if gids.size >= 2 and np.any(cn == 0.0):
+                raise ValueError(
+                    "cosine pair scoring: zero-norm vector in a pairing "
+                    "group with >= 2 rows — the JVM reference divides by "
+                    "(na * nb) and aborts with DIVIDE_BY_ZERO under "
+                    "ANSI; no vectorized behavior can match it. Drop "
+                    "zero vectors upstream."
+                )
+            groups[(int(bkt), length)] = (gids, cmat, cn)
+    return groups
+
+
+def _pairs_arrow_kernel(groups, threshold: float):
+    """mapInArrow function for :func:`cosine_pairs`' vectorized path.
+    Same bit-exactness contract as :func:`_bf_arrow_kernel`: dots and
+    norms are COLUMN-STEPPED left folds (one IEEE product + add per
+    element, ascending index — the zip_with/aggregate order), the
+    denominator is the same ``na * nb`` product, and ranking decisions
+    stay in the JVM — the kernel emits the RAW cosine for every pair
+    whose raw value clears ``threshold - 1e-6`` (round(x, 6) moves a
+    value < 5e-7, so the emitted set is a superset of the rounded
+    survivors) and the downstream JVM round+filter reproduces the exact
+    original rows. Pairs of mismatched lengths are never emitted: the
+    JVM's zip_with pads them to a NULL dot, and ``NULL >= threshold``
+    drops the row. An optional third input column restricts pairing to
+    equal bucket values (the cluster equi-join of semantic_dedup); with
+    two columns everything is one bucket (the all-pairs theta-join).
+    Each unordered pair is emitted exactly once, by the task whose input
+    batch holds the smaller id."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cut = threshold - 1e-6
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            out_a: list = []
+            out_b: list = []
+            out_cos: list = []
+            ids_pa, vecs_pa = batch.column(0), batch.column(1)
+            if batch.num_columns > 2:
+                bkts = (
+                    batch.column(2)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            else:
+                bkts = np.zeros(batch.num_rows, dtype=np.int64)
+            for bkt in np.unique(bkts):
+                brows = pa.array(np.nonzero(bkts == bkt)[0])
+                for length, (bids, bmat) in _length_grouped(
+                    ids_pa.take(brows), vecs_pa.take(brows)
+                ).items():
+                    key = (int(bkt), length)
+                    if key not in groups:
+                        continue
+                    cids, cmat, cn = groups[key]
+                    bn = _fold_norms(bmat)
+                    # tile the corpus side to bound the (r x m) temporaries
+                    for lo in range(0, len(cids), 4096):
+                        hi = min(lo + 4096, len(cids))
+                        ctile = cmat[lo:hi]
+                        dots = np.zeros((bmat.shape[0], hi - lo))
+                        for j in range(length):
+                            dots = (
+                                dots
+                                + bmat[:, j][:, None] * ctile[:, j][None, :]
+                            )
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = dots / (bn[:, None] * cn[lo:hi][None, :])
+                            keep = (cos >= cut) & (
+                                bids[:, None] < cids[lo:hi][None, :]
+                            )
+                        ri, ci = np.nonzero(keep)
+                        if ri.size:
+                            out_a.extend(bids[ri].tolist())
+                            out_b.extend(cids[lo:hi][ci].tolist())
+                            out_cos.extend(cos[ri, ci].tolist())
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_a, type=pa.int64()),
+                        pa.array(out_b, type=pa.int64()),
+                        pa.array(out_cos, type=pa.float64()),
+                    ],
+                    names=["__ida", "__idb", "__cos"],
+                )
+
+    return kernel
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,
@@ -330,8 +512,41 @@ def cosine_pairs(
     per-bucket. Norms are precomputed once per row; the per-pair dot is
     the compact HOF fold (functions/vectors.py documents the measurement
     that retired the unrolled variant).
+
+    Optimization r8 (guide §4.2): with ``dim`` set and an integral id
+    column, the O(n^2) scoring runs as one ``mapInArrow`` over the
+    corpus scan — the collected corpus (like brute_force_topk's query
+    set; guarded by ``_ARROW_PAIRS_MAX``) is closed over, each task
+    scores its scan slice against it with the bit-exact column-stepped
+    NumPy fold (:func:`_pairs_arrow_kernel`), and the JVM re-applies the
+    identical round+threshold so emitted rows are unchanged (equality
+    with the theta-join pinned by test). The theta-join reference plan
+    is kept for non-integral ids and oversized corpora.
     """
     df = valid_vectors(df, id_col, vec_col)
+    if dim is not None and _ARROW_PAIRS and _integral_id_type(df, id_col):
+        from pyspark.sql import types as T
+
+        narrow = df.select(F.col(id_col), F.col(vec_col))
+        tab = narrow.toArrow()
+        if tab.num_rows <= _ARROW_PAIRS_MAX:
+            groups = _pairs_corpus_groups(tab)
+            id_type = df.schema[id_col].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("__ida", T.LongType()),
+                    T.StructField("__idb", T.LongType()),
+                    T.StructField("__cos", T.DoubleType()),
+                ]
+            )
+            scored = narrow.mapInArrow(
+                _pairs_arrow_kernel(groups, threshold), out_schema
+            ).select(
+                F.col("__ida").cast(id_type).alias("id_a"),
+                F.col("__idb").cast(id_type).alias("id_b"),
+                F.round(F.col("__cos"), 6).alias("cos_sim"),
+            )
+            return scored.filter(F.col("cos_sim") >= threshold)
     norm_expr = (
         norm(F.col(vec_col)) if dim is None else norm_fixed(F.col(vec_col), dim)
     )

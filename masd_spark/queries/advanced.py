@@ -91,23 +91,67 @@ def approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
 
-    def pct_ok(col: str, p: float):
-        lo = F.expr(f"percentile({col}, {max(p - _PCT_MARGIN, 0.0)})")
-        hi = F.expr(f"percentile({col}, {min(p + _PCT_MARGIN, 1.0)})")
-        approx = F.percentile_approx(col, p)
-        return (approx >= lo) & (approx <= hi)
+    # Optimization r8 (guide §2.3/§7.2, measured): mixing count_distinct
+    # with the sketch/percentile aggregates made the planner's distinct
+    # rewrite key the FIRST aggregation by (l_returnflag, l_partkey) —
+    # every percentile/HLL object buffer was built per PARTKEY group
+    # (~200k groups at sf0.1) and merged through a 63-column exchange of
+    # serialized buffers. Splitting the exact distinct count into its own
+    # codegen'd pre-aggregation keeps the object aggregation at 3 groups
+    # with one buffer each; the exact percentile brackets collapse to one
+    # sorted buffer per column via the array form (identical per-element
+    # results — same Percentile aggregate, same input multiset). The
+    # join is null-safe so a NULL returnflag group would survive exactly
+    # as the single-aggregation form kept it.
+    def bracket(col: str, p: float) -> tuple[float, float]:
+        return (max(p - _PCT_MARGIN, 0.0), min(p + _PCT_MARGIN, 1.0))
 
-    exact = F.count_distinct("l_partkey")
-    cd_ok = (
-        F.abs(F.approx_count_distinct("l_partkey") - exact)
-        / exact
-    ) <= F.lit(_ACD_BOUND)
-    return li.groupBy("l_returnflag").agg(
-        exact.alias("exact_parts"),
-        cd_ok.alias("cd_within_bound"),
-        pct_ok("l_extendedprice", 0.5).alias("p50_within_bound"),
-        pct_ok("l_quantity", 0.25).alias("q25_within_bound"),
-        pct_ok("l_quantity", 0.75).alias("q75_within_bound"),
+    p50 = bracket("l_extendedprice", 0.5)
+    q25 = bracket("l_quantity", 0.25)
+    q75 = bracket("l_quantity", 0.75)
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_acd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("_a50"),
+        F.expr(
+            f"percentile(l_extendedprice, array({p50[0]}, {p50[1]}))"
+        ).alias("_bp"),
+        F.percentile_approx("l_quantity", 0.25).alias("_a25"),
+        F.percentile_approx("l_quantity", 0.75).alias("_a75"),
+        F.expr(
+            f"percentile(l_quantity, "
+            f"array({q25[0]}, {q25[1]}, {q75[0]}, {q75[1]}))"
+        ).alias("_bq"),
+    )
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("l_partkey").alias("exact_parts"))
+    )
+    s, e = sketches.alias("s"), exact_parts.alias("e")
+    joined = s.join(
+        e,
+        F.col("s.l_returnflag").eqNullSafe(F.col("e.l_returnflag")),
+    )
+    ex = F.col("e.exact_parts")
+    return joined.select(
+        F.col("s.l_returnflag").alias("l_returnflag"),
+        ex.alias("exact_parts"),
+        ((F.abs(F.col("_acd") - ex) / ex) <= F.lit(_ACD_BOUND)).alias(
+            "cd_within_bound"
+        ),
+        (
+            (F.col("_a50") >= F.col("_bp")[0])
+            & (F.col("_a50") <= F.col("_bp")[1])
+        ).alias("p50_within_bound"),
+        (
+            (F.col("_a25") >= F.col("_bq")[0])
+            & (F.col("_a25") <= F.col("_bq")[1])
+        ).alias("q25_within_bound"),
+        (
+            (F.col("_a75") >= F.col("_bq")[2])
+            & (F.col("_a75") <= F.col("_bq")[3])
+        ).alias("q75_within_bound"),
     )
 
 

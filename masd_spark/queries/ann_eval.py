@@ -67,14 +67,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the report costs the sum of its parts, all of which are
     bucket/cell/scan-bounded by design.
     """
+    # Optimization r8 (guide §2.4/§3.1): the exact ground-truth subtree
+    # used to be re-planned and re-executed per method join PLUS the
+    # denominator (6x the brute-force scan+rank). Materialize its
+    # n_queries*k rows once; a checkpointed LogicalRDD has no usable
+    # size estimate, so broadcast it explicitly into each method join
+    # (removes both per-join exchanges).
     exact_pairs = (
         REGISTRY[_EXACT].fn(spark, sf_dir).select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     per_method = []
     for m in _METHODS:
         approx = REGISTRY[m].fn(spark, sf_dir).select("query_id", "vec_id")
         per_method.append(
-            approx.join(exact_pairs, ["query_id", "vec_id"])
+            approx.join(F.broadcast(exact_pairs), ["query_id", "vec_id"])
             .agg(F.count("*").alias("hits"))
             .select(F.lit(m).alias("method"), "hits")
         )

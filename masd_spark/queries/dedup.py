@@ -903,6 +903,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_pairs(emb, threshold=_EMB_THRESHOLD, dim=64)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
+        # r8: reused by the count below AND the escaped anti-join —
+        # materialize the id list once (guide §2.4)
+        .localCheckpoint(eager=True)
     )
     n_alldrop = alldrop.count()
     escaped = (

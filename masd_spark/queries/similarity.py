@@ -1241,6 +1241,11 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(
         emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
     )
+    # Optimization r8 (guide §2.4): every contract operand below feeds
+    # several counts/joins — materialize each expensive subtree ONCE
+    # (brute force was re-executed 3x, the float probe plan 2x) and
+    # broadcast the tiny n_queries*k ground truth into the recall joins
+    # (a checkpointed LogicalRDD has no size estimate for auto-broadcast).
     flt = ivf_topk(
         emb,
         _queries_df(emb),
@@ -1250,11 +1255,12 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_IVF_PROBE,
         seed=_IVF_SEED,
         centroids=cents,
-    ).select("query_id", "vec_id")
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
 
     brute = (
         REGISTRY["ann_cosine_topk"].fn(spark, sf_dir)
         .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
     )
     twin = (
         REGISTRY["ann_ivf_exact_refined_topk"].fn(spark, sf_dir)
@@ -1263,12 +1269,20 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = brute.count()
     # empty ground truth: DuckDB's 0 // 0 is NULL — mirror it
     twin_ppm = (
-        (twin.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
+        (
+            twin.join(F.broadcast(brute), ["query_id", "vec_id"]).count()
+            * 1_000_000
+            // total
+        )
         if total
         else None
     )
     float_ppm = (
-        (flt.join(brute, ["query_id", "vec_id"]).count() * 1_000_000 // total)
+        (
+            flt.join(F.broadcast(brute), ["query_id", "vec_id"]).count()
+            * 1_000_000
+            // total
+        )
         if total
         else None
     )
@@ -1276,11 +1290,25 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from masd_spark.operators.similarity import valid_vectors
 
     va = valid_vectors(emb, "vec_id", "embedding")
-    n_valid = va.count()
-    n_probes = va.filter(F.col("vec_id") % 100 == 0).count()
-    per_q = flt.groupBy("query_id").count()
-    n_q = per_q.count()
-    complete = per_q.filter(F.col("count") != 10).count() == 0
+    # one corpus pass for both counts, one pass for both per-query stats
+    vstats = va.agg(
+        F.count("*").alias("n_valid"),
+        F.count(F.when(F.col("vec_id") % 100 == 0, 1)).alias("n_probes"),
+    ).collect()[0]
+    n_valid, n_probes = vstats["n_valid"], vstats["n_probes"]
+    qstats = (
+        flt.groupBy("query_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("n_q"),
+            F.coalesce(
+                F.sum((F.col("c") != 10).cast("bigint")), F.lit(0)
+            ).alias("incomplete"),
+        )
+        .collect()[0]
+    )
+    n_q = qstats["n_q"]
+    complete = qstats["incomplete"] == 0
 
     # Full-k completeness (10 rows per probe) is a corpus-size claim, not
     # a universal invariant: with few valid vectors the probed cells of a

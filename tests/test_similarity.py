@@ -52,6 +52,73 @@ def test_brute_force_arrow_kernel_matches_hof(spark):
     assert len(arrow_rows) > 0
 
 
+def test_cosine_pairs_arrow_kernel_matches_theta_join(spark):
+    """Equality pin for the r8 mapInArrow all-pairs path: the NumPy
+    kernel must reproduce the pure-JVM theta-join ROW-FOR-ROW (same
+    pairs, same rounded cosines) on the fixture corpus. Same scope
+    contract as the brute-force pin above: degenerate (zero-norm)
+    vectors have no JVM behavior to match — the reference plan itself
+    aborts under ANSI — so the kernel raises on them instead."""
+    import masd_spark.operators.similarity as S
+    from masd_spark.operators.similarity import cosine_pairs
+    from masd_spark.sources.tables import load_table
+
+    corpus = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def run():
+        df = cosine_pairs(corpus, threshold=0.35, dim=64)
+        return sorted((r[0], r[1], str(r[2])) for r in df.collect())
+
+    prior = S._ARROW_PAIRS
+    try:
+        S._ARROW_PAIRS = True
+        arrow_rows = run()
+        S._ARROW_PAIRS = False
+        hof_rows = run()
+    finally:
+        S._ARROW_PAIRS = prior
+    assert arrow_rows == hof_rows
+    assert len(arrow_rows) > 0
+
+
+def test_semantic_dedup_arrow_kernel_matches_cluster_join(spark):
+    """Equality pin for semantic_dedup's intra-cluster pair stage on the
+    shared Arrow kernel (bucket column = cluster id): identical
+    (vec_id, cluster, keep) verdicts vs the pure-JVM cluster equi-join.
+    The assignment is INJECTED (vec_id % 3) so the pin isolates the pair
+    stage — float Lloyd centroids are not bit-stable across runs and
+    would make a whole-pipeline pin flaky."""
+    import masd_spark.operators.similarity as S
+    from masd_spark.operators.clustering import semantic_dedup
+    from masd_spark.operators.similarity import valid_vectors
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    assignment = valid_vectors(emb, "vec_id", "embedding").select(
+        "vec_id", (F.col("vec_id") % 3).cast("int").alias("cluster")
+    )
+
+    def run():
+        df = semantic_dedup(
+            emb, dim=64, threshold=0.35, assignment=assignment
+        )
+        return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+    prior = S._ARROW_PAIRS
+    try:
+        S._ARROW_PAIRS = True
+        arrow_rows = run()
+        S._ARROW_PAIRS = False
+        jvm_rows = run()
+    finally:
+        S._ARROW_PAIRS = prior
+    assert arrow_rows == jvm_rows
+    assert len(arrow_rows) > 0
+    assert any(not r[2] for r in arrow_rows)  # some drops actually happen
+
+
 def test_bucketed_cosine_parity(spark):
     compare_query(spark, REGISTRY["dedup_embedding_cosine_bucketed"], SF_ORACLE)
 
