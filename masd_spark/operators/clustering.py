@@ -27,17 +27,34 @@ def _assign_expr(cents: list[list[float]], vec_col: str):
     """Map-side argmin over squared L2 distance to centroid literals.
     ||v - c||^2 = ||v||^2 - 2<v,c> + ||c||^2; ||v||^2 is constant per row,
     so argmin needs only (-2<v,c> + ||c||^2) — one HOF dot per centroid.
-    greatest() over (negated score, cid) structs gives a deterministic
-    argmin with ties to the higher cid.
+    array_max over (negated score, cid) structs gives a deterministic
+    argmin with ties to the higher cid (identical ordering semantics to
+    the former greatest() chain).
+
+    Optimization r8 (guide §1.2 per-task work, measured): the centroids
+    ride as ONE nested-array literal walked by HOFs instead of k unrolled
+    CreateArray(lit...) dots. Non-primitive literals land in the codegen
+    references array, so the generated source is IDENTICAL across Lloyd
+    iterations (only the reference object changes) and every iteration
+    after the first reuses the compiled stage — the old form inlined
+    k*dim double literals and recompiled ~2s of plan+codegen per
+    iteration at the fixture. Arithmetic is unchanged: the same zip_with/
+    aggregate fold per centroid, the same -2.0*dot + ||c||^2 ordering,
+    the same struct comparison — bit-identical assignments.
     """
-    structs = []
-    for cid, c in enumerate(cents):
-        c_norm2 = sum(x * x for x in c)
-        score = -2.0 * dot(F.col(vec_col), F.array(*[F.lit(x) for x in c])) + F.lit(
-            c_norm2
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    c2_lit = F.lit([float(sum(x * x for x in c)) for c in cents])
+
+    def score(j):
+        dotj = dot(F.col(vec_col), F.element_at(cents_lit, j + 1))
+        return F.lit(-2.0) * dotj + F.element_at(c2_lit, j + 1)
+
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda j: F.struct((-score(j)).alias("s"), j.alias("cid")),
         )
-        structs.append(F.struct((-score).alias("s"), F.lit(cid).alias("cid")))
-    return F.greatest(*structs)["cid"]
+    )["cid"]
 
 
 def kmeans_centroids(
@@ -120,16 +137,26 @@ def kmeans_assign(
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    best = None
-    for cid, c in enumerate(cents):
-        c_norm2 = sum(x * x for x in c)
-        d2 = (
-            v_norm2
-            - 2.0 * dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
-            + F.lit(c_norm2)
+    # same nested-array-literal HOF form as _assign_expr (r8): stable
+    # generated code across fits, identical IEEE arithmetic and struct
+    # ordering (pairwise greatest == array_max for a total order)
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    c2_lit = F.lit([float(sum(x * x for x in c)) for c in cents])
+
+    def d2_expr(j):
+        dotj = dot(F.col(vec_col), F.element_at(cents_lit, j + 1))
+        return v_norm2 - F.lit(2.0) * dotj + F.element_at(c2_lit, j + 1)
+
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda j: F.struct(
+                (-d2_expr(j)).alias("s"),
+                j.alias("cid"),
+                d2_expr(j).alias("d2"),
+            ),
         )
-        s = F.struct((-d2).alias("s"), F.lit(cid).alias("cid"), d2.alias("d2"))
-        best = s if best is None else F.greatest(best, s)
+    )
     return df.select(
         F.col(id_col),
         best["cid"].cast("bigint").alias("cluster"),
@@ -595,83 +622,90 @@ def pca_power_iteration_exact(
         )
     p, s, n = moments
 
-    m = (
-        p.join(s.select(F.col("i"), F.col("s").alias("si")), "i")
-        .join(s.select(F.col("i").alias("j"), F.col("s").alias("sj")), "j")
-        .select(
-            "i",
-            "j",
-            # operands cast to decimal BEFORE the arithmetic: n*p in 64-bit
-            # long overflows around sf10+ (n ~ 2e5, p ~ n*(1e4*|v|)^2) while
-            # the DuckDB oracle computes the same expression in HUGEINT
-            (
-                F.lit(n).cast("decimal(38,0)") * F.col("p").cast("decimal(38,0)")
-                - F.col("si").cast("decimal(38,0)") * F.col("sj").cast("decimal(38,0)")
+    # Optimization r8 (guide §1.2/§5): the n-scale work is the Gram
+    # reduction above; everything after it is d-only (<= d^2 = 4096
+    # rows), yet the 12 squarings used to run as ~24 tiny decimal
+    # join/agg jobs (16.9s at the fixture — pure scheduling and decimal
+    # codegen overhead, the same constant cost on a cluster). The d x d
+    # state is metadata-scale — the same O(d^2) driver footprint
+    # pca_top_component already collects — so the squarings now run on
+    # the driver in EXACT Python integers. Every step reproduces the
+    # former SQL bit-for-bit: n*P - s*s^T per cell; renorm q =
+    # max(maxabs div big, 1) with Spark's ``div`` (truncation toward
+    # zero — Python // floors, hence _tdiv); integer matmul; argmax
+    # diagonal with the (x desc, i asc) tiebreak; norm^2 as an exact
+    # integer sum. Only the final unit normalization stays in Spark SQL,
+    # with the identical double casts, try_divide and qround6 — the
+    # emitted rows are unchanged (the full-pipeline DuckDB oracle and
+    # the eigh pin in tests/test_similarity.py both hold).
+    import numpy as np
+
+    p_rows = p.collect()  # <= d^2 rows
+    s_rows = s.collect()  # <= d rows
+    if not p_rows:
+        # empty corpus: the former plan produced an empty frame (no m
+        # rows -> no jstar -> no colv rows)
+        return df.sparkSession.createDataFrame(
+            [], "dim bigint, loading double"
+        )
+    dmax = max(max(r["i"] for r in p_rows), max(r["j"] for r in p_rows))
+    P = [[0] * dmax for _ in range(dmax)]
+    for r in p_rows:
+        P[r["i"] - 1][r["j"] - 1] = int(r["p"])
+    sv = [0] * dmax
+    for r in s_rows:
+        sv[r["i"] - 1] = int(r["s"])
+    n_int = int(n)
+    M = np.empty((dmax, dmax), dtype=object)
+    for i in range(dmax):
+        for j in range(dmax):
+            M[i][j] = n_int * P[i][j] - sv[i] * sv[j]
+
+    def _tdiv(a: int, q: int) -> int:
+        """Spark/DuckDB integer ``div``: truncation toward zero."""
+        return -((-a) // q) if a < 0 else a // q
+
+    def _renorm(mat):
+        mx = max((abs(int(v)) for v in mat.ravel()), default=0)
+        q = max(_tdiv(mx, big), 1)
+        if q == 1:
+            return mat
+        out = np.empty(mat.shape, dtype=object)
+        for i in range(mat.shape[0]):
+            for j in range(mat.shape[1]):
+                out[i][j] = _tdiv(int(mat[i][j]), q)
+        return out
+
+    for _ in range(n_squarings):
+        rm = _renorm(M)
+        M = rm.dot(rm)  # object dtype: exact Python-int matmul
+
+    Mf = _renorm(M)
+    diag = [int(Mf[i][i]) for i in range(dmax)]
+    mxd = max(diag)
+    js = diag.index(mxd)  # smallest i on ties == (x desc, i asc) limit 1
+    col = [int(Mf[i][js]) for i in range(dmax)]
+    n2 = sum(v * v for v in col)  # |v| <= big = 4e15 -> fits decimal(38)
+
+    from decimal import Decimal
+
+    out_rows = [(i + 1, col[i], Decimal(n2)) for i in range(dmax)]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "dim bigint, y long, n2 decimal(38,0)"
+    ).select(
+        F.col("dim"),
+        # qround6, not ROUND: Spark/DuckDB round(x, 6) diverge on
+        # half-boundary doubles (see functions/quantize.py).
+        # try_divide: a zero-variance corpus yields the zero matrix
+        # and a zero norm — DuckDB's x/0.0 is NULL, so NULL loadings
+        # (not an ANSI DIVIDE_BY_ZERO abort) are the portable result
+        qround6(
+            F.try_divide(
+                F.col("y").cast("double"),
+                F.sqrt(F.col("n2").cast("double")),
             )
-            .cast("decimal(38,0)")
-            .alias("x"),
-        )
-    )
-
-    def renorm(mat: DataFrame) -> DataFrame:
-        mx = mat.agg(F.max(F.abs(F.col("x"))).alias("mx"))
-        return (
-            mat.crossJoin(F.broadcast(mx))
-            .select(
-                "i",
-                "j",
-                F.expr(f"x div greatest(mx div {big}, 1)").alias("x"),
-            )
-        )
-
-    for r in range(n_squarings):
-        rm = renorm(m).select(
-            "i", "j", F.col("x").cast("decimal(18,0)").alias("x")
-        )
-        if r % 3 == 0:
-            # truncate the join/agg lineage every few rounds: 4096-row
-            # materialization, keeps the 12-round plan out of analyzer
-            # and codegen blowup territory
-            rm = rm.localCheckpoint(eager=True)
-        a = rm.select(F.col("i"), F.col("j").alias("k"), F.col("x").alias("xa"))
-        b = rm.select(F.col("i").alias("k"), F.col("j"), F.col("x").alias("xb"))
-        m = (
-            a.join(b, "k")
-            .groupBy("i", "j")
-            .agg(F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("x"))
-        )
-
-    mf = renorm(m)
-    jstar = (
-        mf.filter(F.col("i") == F.col("j"))
-        .orderBy(F.desc("x"), F.asc("i"))
-        .limit(1)
-        .select(F.col("i").alias("js"))
-    )
-    colv = mf.join(F.broadcast(jstar), mf["j"] == F.col("js")).select(
-        F.col("i").alias("dim"), F.col("x").alias("y")
-    )
-    nrm = colv.agg(
-        F.sum(F.col("y").cast("decimal(18,0)") * F.col("y").cast("decimal(18,0)"))
-        .cast("decimal(38,0)")
-        .alias("n2")
-    )
-    return (
-        colv.crossJoin(F.broadcast(nrm))
-        .select(
-            F.col("dim").cast("bigint").alias("dim"),
-            # qround6, not ROUND: Spark/DuckDB round(x, 6) diverge on
-            # half-boundary doubles (see functions/quantize.py).
-            # try_divide: a zero-variance corpus yields the zero matrix
-            # and a zero norm — DuckDB's x/0.0 is NULL, so NULL loadings
-            # (not an ANSI DIVIDE_BY_ZERO abort) are the portable result
-            qround6(
-                F.try_divide(
-                    F.col("y").cast("double"),
-                    F.sqrt(F.col("n2").cast("double")),
-                )
-            ).alias("loading"),
-        )
+        ).alias("loading"),
     )
 
 
