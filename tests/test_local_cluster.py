@@ -174,7 +174,11 @@ def test_local_cluster_driver_window():
         [sys.executable, "-c", _WINDOW_SCRIPT],
         capture_output=True,
         text=True,
-        timeout=540,
+        # 540s fit an idle box but flaked inside a full-suite run (r8:
+        # 376s isolated, >540s after 30 min of suite-induced page-cache
+        # pressure). The timeout guards against a HUNG subprocess, not
+        # a slow window — size it for the contended case.
+        timeout=1200,
         env=env,
         cwd=str(REPO),
     )
