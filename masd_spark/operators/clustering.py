@@ -753,7 +753,14 @@ def kmeans_exact_longform(
             )
         ).alias("pos", "x"),
     ).select(id_col, (F.col("pos") + 1).alias("dim"), "x")
-    q = q.localCheckpoint(eager=True)
+    # Optimization r8 (guide §2.4): hash-partition the long-form corpus
+    # by id ONCE before the checkpoint (LogicalRDD preserves the
+    # partitioning). Every per-round consumer — the (id, cid) distance
+    # aggregation, the argmin window, the assignment join — clusters on
+    # id, so with the centroid side broadcast the rounds reuse this one
+    # exchange instead of re-shuffling n*dim rows per iteration; the
+    # only per-round exchange left is the k*dim-group centroid update.
+    q = q.repartition(F.col(id_col)).localCheckpoint(eager=True)
 
     from pyspark.sql import Window
 
@@ -774,10 +781,22 @@ def kmeans_exact_longform(
     )
 
     def assign(cents_df):
+        # Optimization r8 (guide §3.1): the centroid side is <= k*dim
+        # rows (512 here) — driver-scale BY DESIGN at any corpus size,
+        # the same bound that lets the float kernel carry centroids as
+        # plan literals — but as a checkpointed frame it has no usable
+        # size estimate, so the static plan sort-merge-joined it,
+        # shuffling + sorting the n*dim long-form corpus by `dim` every
+        # Lloyd round. Broadcast it explicitly: the corpus is never
+        # re-shuffled, and the partial aggregation keyed (id, cid)
+        # collapses the k-way expansion map-side before the one real
+        # exchange. Join rows and exact BIGINT sums are unchanged.
         dist = (
             q.join(
-                cents_df.select(
-                    F.col("cid"), F.col("dim"), F.col("x").alias("cx")
+                F.broadcast(
+                    cents_df.select(
+                        F.col("cid"), F.col("dim"), F.col("x").alias("cx")
+                    )
                 ),
                 "dim",
             )

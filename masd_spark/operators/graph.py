@@ -12,6 +12,8 @@ ARCHITECTURE.md).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -327,26 +329,90 @@ def k_core(
     if k < 1:
         raise ValueError("k_core requires k >= 1 (k=0 is the whole node set)")
     live = _undirected_simple(edges, src, dst).localCheckpoint(eager=True)
-    n_edges = live.count()
+
+    # Optimization r8 (guide §2.3/§2.4): the peel used to RECOUNT every
+    # node's degree from the full edge list each round (one wide agg +
+    # two edge-list semi-join shuffles + an extra checkpoint job), even
+    # though a round only removes the FRONTIER — the few nodes that just
+    # fell under k. Degrees are now maintained incrementally: a kept
+    # node's new degree is its old degree minus its removed incident
+    # edges, and an edge is removed exactly when it touches a peeled
+    # node — plain set algebra, so the fixpoint (node, degree) set is
+    # identical to the recount's (the unrolled DuckDB oracle pins it;
+    # tests/test_graph.py pins incremental == recount on fuzzed graphs).
+    # The peeled side of every join is frontier-sized and shrinks to
+    # zero, so AQE runtime-converts these to broadcast joins and the
+    # surviving edge list is never re-shuffled — per-round cost is
+    # O(frontier), not O(edges). One recount-vs-incremental difference
+    # is intentional: a kept node that loses its LAST edge stays in the
+    # degree table at 0 and is peeled next round (the recount drops it
+    # implicitly); it has no edges, so no other node is affected and the
+    # fixpoint is unchanged.
+    deg = (
+        live.select(F.col("u").alias("node"))
+        .unionAll(live.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    live_lazy = None  # next round's edge set, materialized only if needed
     for _ in range(max_iter):
-        deg = (
-            live.select(F.col("u").alias("node"))
-            .unionAll(live.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("degree"))
+        peeled = deg.filter(F.col("degree") < k)
+        n_peeled = peeled.count()
+        if n_peeled == 0:
+            # converged: the deferred live update is never materialized —
+            # the final productive round's edge checkpoint would be dead
+            return deg.select("node", "degree")
+        if live_lazy is not None:
+            live = live_lazy.localCheckpoint(eager=True)
+        # The frontier count is already in hand (the convergence check),
+        # so make the broadcast decision ourselves (guide §3.1): a
+        # checkpointed filter has no usable size estimate, and the
+        # static SortMergeJoin plan sorts + shuffles the FULL edge list
+        # against a frontier of a few thousand ids every round. 16 bytes
+        # a row vs the session's autoBroadcastJoinThreshold keeps the
+        # decision scale-adaptive — a huge round-0 peel of a power-law
+        # graph stays a shuffled join.
+        conf_val = deg.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
-        keep = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
-        new_live = (
-            live.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+        m = re.fullmatch(r"(-?\d+)\s*([kmg]?)b?", conf_val.strip().lower())
+        bcast_bar = (
+            int(m.group(1)) * units.get(m.group(2), 1)
+            if m
+            else 10 * 1024 * 1024
+        )
+        if 0 < bcast_bar and n_peeled * 16 <= bcast_bar:
+            peeled = F.broadcast(peeled)
+        peeled_u = peeled.select(F.col("node").alias("u"))
+        peeled_v = peeled.select(F.col("node").alias("v"))
+        # decrement = removed incident edges whose OTHER endpoint is n
+        # (rows landing on peeled nodes are dropped by the kept-join)
+        dec = (
+            live.join(peeled_u, "u", "left_semi")
+            .select(F.col("v").alias("node"))
+            .unionAll(
+                live.join(peeled_v, "v", "left_semi")
+                .select(F.col("u").alias("node"))
+            )
+            .groupBy("node")
+            .agg(F.count("*").alias("_d"))
+        )
+        deg = (
+            deg.filter(F.col("degree") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("degree") - F.coalesce(F.col("_d"), F.lit(0))
+                ).alias("degree"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_new = new_live.count()
-        if n_new == n_edges:
-            return keep.select("node", "degree")
-        live, n_edges = new_live, n_new
-        if n_edges == 0:
-            return keep.filter(F.lit(False)).select("node", "degree")
+        live_lazy = live.join(peeled_u, "u", "left_anti").join(
+            peeled_v, "v", "left_anti"
+        )
     raise RuntimeError(
         f"k_core(k={k}) did not converge after {max_iter} peel rounds; "
         "raise max_iter (and the oracle's unroll depth) to the graph's "

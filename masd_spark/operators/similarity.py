@@ -608,10 +608,9 @@ def cosine_pairs_bucketed(
     upstream — they are overfull in every table.
     """
     df = valid_vectors(df, id_col, vec_col)
-    bucketed = df.select(
-        F.col(id_col),
-        F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
-    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    # bucketing through the vectorized kernel (guide §4.2) — identical
+    # sign-bit buckets, pinned against the HOF plan in tests
+    bucketed = bucket_rows(df, dim, n_planes, n_tables, seed, id_col, vec_col)
     bucketed = drop_overfull_buckets(bucketed, ["table", "bucket"], max_bucket)
     lhs = bucketed.select(F.col(id_col).alias("id_a"), "table", "bucket")
     rhs = bucketed.select(F.col(id_col).alias("id_b"), "table", "bucket")
@@ -707,6 +706,130 @@ def _bucket_array(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: in
     return F.array(*entries)
 
 
+_ARROW_BUCKETS = True  # kill-switch for the vectorized bucketing path
+
+
+def _bucket_rows_arrow(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table, bucket) sign-bit LSH bucket rows via ONE ``mapInArrow``
+    pass — the vectorized twin of ``explode(_bucket_array(...))``
+    (optimization r8, guide §4.2).
+
+    The HOF form evaluates n_tables * n_planes interpreted zip_with/
+    aggregate folds per row (~1 us per element: 96 folds x 64 dims
+    dominated whole queries at fixture scale). This kernel computes the
+    identical doubles: each plane dot is a COLUMN-STEPPED left fold (one
+    IEEE product + add per element, ascending index — exactly the
+    0.0-seeded aggregate order), the sign test is the same ``>= 0`` on
+    the same final double, and bucket ids are the same bit sums. A row
+    whose vector length differs from ``dim`` gets bucket 0 in every
+    table, reproducing the HOF path (zip_with pads to NULL, the fold
+    goes NULL, ``when(NULL).otherwise(0)`` contributes 0 per bit).
+    Callers must pre-filter with :func:`valid_vectors` (same contract as
+    every bucketing consumer) so elements are finite and non-null.
+    Equality with the HOF plan is pinned in tests/test_similarity.py."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    planes = np.array(
+        [
+            p
+            for t in range(n_tables)
+            for p in _hyperplanes(dim, n_planes, seed + 1000 * t)
+        ],
+        dtype=np.float64,
+    )  # (n_tables * n_planes, dim), row t*n_planes+i = plane i of table t
+    weights_lit = [1 << i for i in range(n_planes)]
+    id_field = df.schema[id_col]
+    narrow = df.select(F.col(id_col), F.col(vec_col))
+
+    def kern(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        w = np.array(weights_lit, dtype=np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0)
+            col = batch.column(1)
+            lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            starts = np.concatenate(([0], np.cumsum(lengths)))
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            rows = np.nonzero(lengths == dim)[0]
+            if rows.size:
+                idx = (
+                    starts[rows][:, None] + np.arange(dim)[None, :]
+                ).ravel()
+                X = flat[idx].reshape(rows.size, dim)
+                acc = np.zeros((rows.size, planes.shape[0]))
+                for j in range(dim):  # column-stepped == the HOF fold
+                    acc = acc + X[:, j : j + 1] * planes[None, :, j]
+                bits = acc >= 0.0
+                buckets[rows] = (
+                    bits.reshape(rows.size, n_tables, n_planes)
+                    * w[None, None, :]
+                ).sum(axis=2)
+            id_rep = ids.take(pa.array(np.repeat(np.arange(n), n_tables)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_rep,
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                    pa.array(buckets.ravel()),
+                ],
+                names=[id_col, "table", "bucket"],
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    return narrow.mapInArrow(kern, out_schema).select(
+        F.col(id_col), F.col("table").cast("int"), F.col("bucket")
+    )
+
+
+def bucket_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, table, bucket) rows for a valid-vector frame — Arrow kernel
+    when enabled, HOF explode otherwise (identical values either way)."""
+    if _ARROW_BUCKETS:
+        return _bucket_rows_arrow(
+            df, dim, n_planes, n_tables, seed, id_col, vec_col
+        )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            _bucket_array(vec_col, dim, n_planes, n_tables, seed)
+        ).alias("tb"),
+    ).select(
+        id_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -796,7 +919,17 @@ def _ivf_assign(
     """Cell assignment: map-side argmax over literal centroid expressions
     (``greatest`` on (cos, cid) structs — struct ordering is
     lexicographic, so ties break to the higher cid deterministically).
-    Emits (id, vec, _n, _cid); no shuffle."""
+    Emits (id, vec, _n, _cid); no shuffle.
+
+    Optimization r8 NOTE (guide §1.1, measured and deliberately NOT
+    taken): a mapInArrow argmax kernel (bit-exact column-stepped folds,
+    ragged rows routed through this expression in a union branch) was
+    built, pinned, and A/B-timed — at the 2k-vector fixture the Python
+    boundary + extra union stages cost as much as the ~16 interpreted
+    HOF folds they replace (ann_ivf_topk measured NO faster across
+    repeated A/B passes), unlike the 48-fold LSH bucketing where the
+    same kernel shape wins 4x (bucket_rows). Reverted; revisit only
+    with profile evidence at a larger corpus."""
 
     def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
         # HOF dot against a literal centroid (compact expression; see
@@ -1029,15 +1162,13 @@ def lsh_topk(
     """
     corpus = valid_vectors(corpus, id_col, vec_col)
     queries = valid_vectors(queries, query_id_col, vec_col)
-    bc = corpus.select(
-        F.col(id_col),
-        F.explode(_bucket_array(vec_col, dim, n_planes, n_tables, seed)).alias("tb"),
-    ).select(id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    # bucketing through the vectorized kernel (guide §4.2) — identical
+    # sign-bit buckets, pinned against the HOF plan in tests
+    bc = bucket_rows(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    bq = q.select(
-        query_id_col,
-        F.explode(_bucket_array("_qvec", dim, n_planes, n_tables, seed)).alias("tb"),
-    ).select(query_id_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    bq = bucket_rows(
+        queries, dim, n_planes, n_tables, seed, query_id_col, vec_col
+    )
     # distinct on narrow id pairs (arrays never ride the dedup shuffle),
     # then join vectors back: corpus side by id, query side broadcast.
     cand_ids = (
@@ -1236,6 +1367,17 @@ def _pq_code_cols(vec_col: str, codebooks, cc) -> list:
     return cols
 
 
+def _pq_encode(
+    df: DataFrame, codebooks, cc, dim: int, vec_col: str
+) -> DataFrame:
+    """Append ``_c0.._c{m-1}`` PQ codes to any frame carrying
+    ``vec_col`` — the one shared encode entry point for the inline,
+    persisted-build and append paths. (An Arrow argmin kernel for this
+    step was measured A/B at the fixture and reverted — see the
+    _ivf_assign r8 note; the expression form stays.)"""
+    return df.select("*", *_pq_code_cols(vec_col, codebooks, cc))
+
+
 def _pq_recon2(cc):
     """Reconstructed squared norm from the assigned codes: DECIMAL sum of
     literal per-codeword norms picked by _c{j}."""
@@ -1341,10 +1483,13 @@ def pq_topk(
     if not codebooks[0]:
         return _empty_topk(corpus, queries, id_col, query_id_col)
     cc = _pq_codeword_norms(codebooks)
-    # --- corpus encoding: map-side argmin per subspace ------------------
+    # --- corpus encoding: map-side argmin per subspace (Arrow kernel
+    # for uniform-dim rows since r8, guide §4.2) -------------------------
     encoded = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .select(F.col(id_col), F.col(vec_col), *_pq_code_cols(vec_col, codebooks, cc))
+        _pq_encode(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            codebooks, cc, dim, vec_col,
+        )
         .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
         .drop(vec_col)
     )
@@ -1471,25 +1616,14 @@ def ivfpq_topk(
     codebooks = [[v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)]
     cc = _pq_codeword_norms(codebooks)
 
-    def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
-        plane = F.array(*[F.lit(x) for x in cvec])
-        return F.struct(
-            (dot(F.col(vec_col), plane) / (norm_col * F.lit(cnorm))).alias("c"),
-            F.lit(cid).alias("cid"),
-        )
-
-    # --- corpus side: one map-side pass emits (id, cell, codes, recon) --
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), norm_fixed(F.col(vec_col), dim).alias("_n")
-    )
+    # --- corpus side: map-side pass emits (id, cell, codes, recon) —
+    # cell assignment and code argmins through the shared r8 kernels
+    # (guide §4.2; identical values, see _cells_kernel/_codes_kernel) ----
     encoded = (
-        c.withColumn(
-            "_cid",
-            F.greatest(*[_cos_struct(cid, v, nn, F.col("_n")) for cid, v, nn in cents])[
-                "cid"
-            ],
+        _pq_encode(
+            _ivf_assign(corpus, cents, dim, id_col, vec_col).drop("_n"),
+            codebooks, cc, dim, vec_col,
         )
-        .select(F.col(id_col), F.col("_cid"), F.col(vec_col), *_pq_code_cols(vec_col, codebooks, cc))
         .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
         .drop(vec_col)
     )
@@ -1651,14 +1785,10 @@ def build_pq_index(
         ]
     if cents and codebooks and codebooks[0]:
         cc = _pq_codeword_norms(codebooks)
-        encoded = (
-            _ivf_assign(corpus, cents, dim, id_col, vec_col)
-            .select(
-                F.col(id_col), F.col(vec_col), F.col("_n"), F.col("_cid"),
-                *_pq_code_cols(vec_col, codebooks, cc),
-            )
-            .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
-        )
+        encoded = _pq_encode(
+            _ivf_assign(corpus, cents, dim, id_col, vec_col),
+            codebooks, cc, dim, vec_col,
+        ).withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
     else:
         encoded = corpus.limit(0).select(
             F.col(id_col),
@@ -1728,14 +1858,12 @@ def append_pq_index(
             "a non-empty corpus before appending"
         )
     cc = _pq_codeword_norms(codebooks)
-    encoded = (
-        _ivf_assign(valid_vectors(new_rows, id_col, vec_col), cents, dim, id_col, vec_col)
-        .select(
-            F.col(id_col), F.col(vec_col), F.col("_n"), F.col("_cid"),
-            *_pq_code_cols(vec_col, codebooks, cc),
-        )
-        .withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
-    )
+    encoded = _pq_encode(
+        _ivf_assign(
+            valid_vectors(new_rows, id_col, vec_col), cents, dim, id_col, vec_col
+        ),
+        codebooks, cc, dim, vec_col,
+    ).withColumn("_rn", F.sqrt(_pq_recon2(cc).cast("double")))
     encoded.write.mode("append").bucketBy(n_buckets, "_cid").saveAsTable(table_name)
 
 

@@ -234,7 +234,6 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     va = valid_vectors(emb, "vec_id", "embedding")
-    n_valid = va.count()
 
     assigned = kmeans_assign(
         emb, dim=EMBEDDING_DIM, k=_KM_K, n_iter=_KM_ITER, seed=_KM_SEED
@@ -257,12 +256,17 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         or 0
     ) / float(_KM_SCALE) ** 2
 
+    # n_valid rides the singleton-mean aggregation (guide §2.4: one scan
+    # fewer) — it stays an independent count of va, just computed in the
+    # same job; the n_assigned check still compares two separate plans
     mean_row = va.agg(
+        F.count("*").alias("_n_valid"),
         *[
             F.avg(F.col("embedding")[i].cast("double")).alias(f"m{i}")
             for i in range(EMBEDDING_DIM)
-        ]
+        ],
     ).collect()[0]
+    n_valid = mean_row["_n_valid"]
     j_single = (
         va.agg(
             F.sum(

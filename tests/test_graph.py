@@ -207,6 +207,54 @@ def test_kcore_planted_clique_and_tail(spark):
     assert k_core(edges, k=5).count() == 0
 
 
+def test_kcore_incremental_matches_reference_peel(spark):
+    """r8: the peel maintains degrees incrementally (decrement by removed
+    frontier edges) instead of recounting from the edge list each round.
+    Pin the fixpoint against an independent Python simultaneous-peel
+    reference on fuzzed graphs — the equivalence the rewrite relies on."""
+    import random
+
+    from masd_spark.operators.graph import k_core
+
+    rng = random.Random(7)
+    for _ in range(4):
+        n = rng.randint(6, 18)
+        edges = {(0, 1)}
+        for _ in range(rng.randint(5, 40)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        k = rng.randint(1, 4)
+        live = set(edges)
+        deg: dict[int, int] = {}
+        while True:
+            deg = {}
+            for u, v in live:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            peel = {x for x, d in deg.items() if d < k}
+            if not peel:
+                break
+            live = {
+                (u, v) for u, v in live if u not in peel and v not in peel
+            }
+        expect = {(x, d) for x, d in deg.items()}
+        df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {(r["node"], r["degree"]) for r in k_core(df, k=k).collect()}
+        assert got == expect, (k, sorted(edges))
+
+
+def test_kcore_peels_zero_degree_straggler(spark):
+    """A kept node that loses its LAST edge sits at degree 0 for one
+    round in the incremental peel (the recount dropped it implicitly);
+    it must still vanish from the fixpoint. Path a-b-c at k=2: endpoints
+    peel first, b drops 2 -> 0, core is empty."""
+    from masd_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert k_core(df, k=2).count() == 0
+
+
 def test_kcore_raises_when_unroll_too_shallow(spark):
     """The peel loop must fail loudly if max_iter is below the peeling
     depth — that is the contract that keeps the unrolled SQL oracle

@@ -83,6 +83,54 @@ def test_cosine_pairs_arrow_kernel_matches_theta_join(spark):
     assert len(arrow_rows) > 0
 
 
+def test_bucket_rows_arrow_kernel_matches_hof(spark):
+    """Equality pin for the r8 vectorized LSH bucketing: the mapInArrow
+    kernel must emit the IDENTICAL (id, table, bucket) row multiset as
+    the HOF explode plan — same column-stepped fold doubles, same sign
+    test, same bit sums — on the fixture corpus AND on a crafted frame
+    with ragged vector lengths (length != dim folds to NULL in the HOF
+    path and must bucket to 0 per table in both)."""
+    import masd_spark.operators.similarity as S
+    from masd_spark.operators.similarity import bucket_rows, valid_vectors
+    from masd_spark.sources.tables import load_table
+
+    corpus = valid_vectors(
+        load_table(spark, SF_ORACLE, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id",
+        "embedding",
+    )
+    ragged = spark.createDataFrame(
+        [
+            (1, [0.5] * 64),
+            (2, [0.5] * 63),          # short: NULL fold -> bucket 0
+            (3, [-0.25] * 65),        # long: NULL fold -> bucket 0
+            (4, []),                  # empty
+            (5, [-1.0] * 64),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    for frame in (corpus, ragged):
+        def run():
+            df = bucket_rows(frame, 64, 6, 8, 42, "vec_id", "embedding")
+            return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+        prior = S._ARROW_BUCKETS
+        try:
+            S._ARROW_BUCKETS = True
+            arrow_rows = run()
+            S._ARROW_BUCKETS = False
+            hof_rows = run()
+        finally:
+            S._ARROW_BUCKETS = prior
+        assert arrow_rows == hof_rows
+        assert len(arrow_rows) > 0
+    # ragged rows really do land in bucket 0 of every table
+    assert all(b == 0 for (i, t, b) in arrow_rows if i in (2, 3, 4))
+
+
 def test_semantic_dedup_arrow_kernel_matches_cluster_join(spark):
     """Equality pin for semantic_dedup's intra-cluster pair stage on the
     shared Arrow kernel (bucket column = cluster id): identical
