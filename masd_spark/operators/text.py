@@ -139,6 +139,35 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("bigint")
 
 
+def _with_md5_digit_blocks(df: DataFrame, tok_col: str) -> DataFrame:
+    """md5 hex digits 0..31 of ``tok_col``, pre-decoded into three BIGINT
+    blocks (digits 0-14, 15-29, 30-31). Optimization r8 (guide §1.2
+    per-task work): the simhash bit predicates used to decode each hex
+    digit with its own substring+conv — 60 string expressions per token
+    dominated the whole fingerprint pass. Three block convs (15 hex
+    digits = 60 bits < 2^63, exact in BIGINT) plus integer shift/mask
+    reads per digit yield the IDENTICAL digit values — the md5 hex
+    string is the same; only how digits are read out changes — so the
+    fingerprints (and their DuckDB-oracle hashes) are unchanged."""
+    h = F.md5(F.col(tok_col))
+    return df.withColumns(
+        {
+            "_d0": F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+            "_d1": F.conv(F.substring(h, 16, 15), 16, 10).cast("bigint"),
+            "_d2": F.conv(F.substring(h, 31, 2), 16, 10).cast("bigint"),
+        }
+    )
+
+
+def _block_digit(j: int):
+    """Value 0..15 of md5 hex digit ``j`` from the _d0/_d1/_d2 blocks."""
+    if j < 15:
+        return F.shiftright(F.col("_d0"), 4 * (14 - j)).bitwiseAND(F.lit(15))
+    if j < 30:
+        return F.shiftright(F.col("_d1"), 4 * (29 - j)).bitwiseAND(F.lit(15))
+    return F.shiftright(F.col("_d2"), 4 * (31 - j)).bitwiseAND(F.lit(15))
+
+
 def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash fingerprint per document.
 
@@ -152,9 +181,8 @@ def simhash32(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     pairwise work, fingerprints join/bucket afterwards.
     """
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    hashed = toked.withColumn("h", F.md5(F.col("tok")))
-    # hex digit j -> numeric value 0..15 (conv base16 -> base10)
-    digit = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")  # noqa: E731
+    hashed = _with_md5_digit_blocks(toked, "tok")
+    digit = _block_digit
     bit_sums = [
         F.sum(
             F.when(digit(j) >= 8, 1).otherwise(-1)
@@ -214,8 +242,8 @@ def simhash_wide(
     if not 0 < n_bits <= 60:
         raise ValueError(f"n_bits must be in (0, 60], got {n_bits}")
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    hashed = toked.withColumn("h", F.md5(F.col("tok")))
-    digit = lambda j: F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int")  # noqa: E731
+    hashed = _with_md5_digit_blocks(toked, "tok")
+    digit = _block_digit
 
     def bit_pred(j: int):
         if j < 32:

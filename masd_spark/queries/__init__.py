@@ -134,6 +134,28 @@ _EMB_VALID = (
 )
 
 
+def scratch_path(name: str) -> str:
+    """Location for a per-run throwaway artifact (persisted index
+    tables, layout demos) — on tmpfs when available (optimization r8,
+    guide §6). These queries rebuild their artifact every run from the
+    parquet inputs; only WHERE the scratch bytes land changes, and on
+    this host /tmp is the erratic block device the session already
+    routes shuffle files around (session.py spark.local.dir).
+    ``MASD_SCRATCH`` overrides (a real cluster points it at job-local
+    SSD or a warehouse prefix); without /dev/shm the old tempfile
+    default is used unchanged."""
+    import os
+    import tempfile
+
+    base = os.getenv("MASD_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/masd-scratch"
+    if base is None:
+        base = tempfile.gettempdir()
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
 def valid_embeddings(sql: str) -> str:
     """Rewrite every ``embeddings`` table reference in an oracle to the
     null-filtered subselect (token-level; no oracle uses a qualified

@@ -20,7 +20,7 @@ from masd_spark.operators.dedup import (
     strip_duplicated_spans,
 )
 from masd_spark.operators.similarity import cosine_pairs
-from masd_spark.queries import register, valid_embeddings
+from masd_spark.queries import register, scratch_path, valid_embeddings
 from masd_spark.sources.tables import load_table
 
 # Memoized materialized shingle sets, keyed per (session, sf_dir): the
@@ -1293,7 +1293,7 @@ def dedup_incremental_minhash_persisted(spark: SparkSession, sf_dir: str) -> Dat
     build_minhash_index(
         docs.filter(F.col("source") != "src0"),
         table,
-        path=os.path.join(tempfile.gettempdir(), f"masd_{table}"),
+        path=scratch_path(f"masd_{table}"),
     )
     return minhash_persisted_pairs(
         spark, docs.filter(F.col("source") == "src0"), table

@@ -16,7 +16,7 @@ from masd_spark.operators.similarity import (
     lsh_topk,
     valid_vectors,
 )
-from masd_spark.queries import register, valid_embeddings
+from masd_spark.queries import register, scratch_path, valid_embeddings
 from masd_spark.sources.tables import load_table
 
 EMBEDDING_DIM = 64
@@ -173,7 +173,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=_IVF_CENTROIDS,
         seed=_IVF_SEED,
         n_buckets=_IVF_CENTROIDS,
-        path=os.path.join(tempfile.gettempdir(), f"masd_{table}"),
+        path=scratch_path(f"masd_{table}"),
     )
     return ivf_persisted_topk(
         spark,
@@ -866,7 +866,7 @@ def _pq_index_table(spark: SparkSession, sf_dir: str) -> str:
             pq_seed=_PQ_SEED,
             ivf_seed=_IVF_SEED,
             n_buckets=_IVF_CENTROIDS,
-            path=os.path.join(tempfile.gettempdir(), f"masd_{table}"),
+            path=scratch_path(f"masd_{table}"),
         )
         _PQ_INDEX_BUILT.add(key)
     return table

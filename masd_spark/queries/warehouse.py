@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from masd_spark.operators.bloom import bloom_semi_join
 from masd_spark.operators.cdc import scd2_intervals
-from masd_spark.queries import register
+from masd_spark.queries import register, scratch_path
 from masd_spark.sources.tables import load_table
 
 
@@ -252,7 +252,7 @@ def layout_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = str(Path(tempfile.gettempdir()) / f"masd_layout_{tag}")
+    path = scratch_path(f"masd_layout_{tag}")
     write_range_sorted(orders, path, "o_totalprice", n_files=8)
     clustered = spark.read.parquet(path)
     return (
@@ -293,7 +293,7 @@ def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = str(Path(tempfile.gettempdir()) / f"masd_zorder_{tag}")
+    path = scratch_path(f"masd_zorder_{tag}")
     write_zordered(orders, path, "o_custkey", "o_totalprice", n_files=8)
     z = spark.read.parquet(path)
     return (
