@@ -58,10 +58,37 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     return dot(a, b)
 
 
+def lit_doubles(vec: list[float]) -> Column:
+    """A constant double vector as ONE parsed literal array column.
+
+    Optimization r9 (guide §1.2 — measured): building constant arrays as
+    ``F.array(*[F.lit(x) ...])`` or ``F.lit(nested_list)`` costs one py4j
+    round-trip per element — 0.35-0.5s per 8x64 centroid matrix, paid on
+    EVERY plan build (every Lloyd iteration, every IVF/PQ plan). Emitting
+    the values as SQL text and parsing with one ``F.expr`` call is
+    20-500x cheaper to build and yields the IDENTICAL literal: ``repr``
+    of a Python float is its shortest round-trip decimal, Spark parses
+    the ``D`` suffix with Java's exact ``parseDouble``, and constant
+    folding collapses the parsed ``array(...)`` into the same array
+    literal the old form produced (checked value-equal and
+    optimized-plan-equal) — so codegen still receives one non-primitive
+    literal in its references array, not inlined doubles."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")")
+
+
+def lit_double_matrix(mat: list[list[float]]) -> Column:
+    """A constant matrix as ONE parsed literal array<array<double>>
+    column (see :func:`lit_doubles` for why parsed, not element-wise)."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in mat
+    )
+    return F.expr(f"array({inner})")
+
+
 def dot_literal(a: Column, weights: list[float]) -> Column:
     """Dot of a vector column with a Python-side constant vector (the
     constants ride along as a literal array — LSH hyperplanes)."""
-    return dot(a, F.array(*[F.lit(float(w)) for w in weights]))
+    return dot(a, lit_doubles([float(w) for w in weights]))
 
 
 def norm_fixed(a: Column, dim: int) -> Column:

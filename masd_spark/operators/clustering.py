@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from masd_spark.functions.quantize import qround6
-from masd_spark.functions.vectors import dot
+from masd_spark.functions.vectors import dot, lit_double_matrix, lit_doubles
 from masd_spark.operators.similarity import valid_vectors
 
 
@@ -42,8 +42,8 @@ def _assign_expr(cents: list[list[float]], vec_col: str):
     aggregate fold per centroid, the same -2.0*dot + ||c||^2 ordering,
     the same struct comparison — bit-identical assignments.
     """
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
-    c2_lit = F.lit([float(sum(x * x for x in c)) for c in cents])
+    cents_lit = lit_double_matrix([[float(x) for x in c] for c in cents])
+    c2_lit = lit_doubles([float(sum(x * x for x in c)) for c in cents])
 
     def score(j):
         dotj = dot(F.col(vec_col), F.element_at(cents_lit, j + 1))
@@ -73,9 +73,35 @@ def kmeans_centroids(
     path (operators/similarity.py:ivf_topk(centroids=...)).
     """
     df = valid_vectors(df, id_col, vec_col)
+    cents, _ = _kmeans_fit(df, dim, k, n_iter, id_col, vec_col, seed)
+    return cents
+
+
+def _kmeans_fit(
+    va: DataFrame,
+    dim: int,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd fit over an already-validated corpus; returns (centroids,
+    materialized corpus) so callers can reuse the checkpoint.
+
+    Optimization r9 (guide §5/§7.3, measured): the corpus is projected to
+    (id, vec) and ``localCheckpoint``ed ONCE before the loop. Every Lloyd
+    iteration builds a NEW plan (the centroid literals change), and
+    Catalyst re-analyzed the full parquet-scan + validity-filter lineage
+    each round — per-iteration planning measured 2.0s over the scan
+    lineage vs 0.8s over the checkpointed LogicalRDD at sf0.1 (execution
+    itself is 0.2s). The checkpoint also replaces n_iter+1 corpus scans
+    with one. Row set, per-partition row order and partitioning are
+    unchanged by the materialization, so the double-sum accumulation
+    order — hence every centroid bit — is identical."""
+    va = va.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=True)
     init_rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        va.withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
         .orderBy("_h", id_col)
         .limit(k)
         .collect()
@@ -84,24 +110,27 @@ def kmeans_centroids(
     if not cents:
         # empty corpus: no centroids to fit — callers (kmeans_assign,
         # ivf_topk(centroids=...)) treat [] as "empty index", not a crash
-        return cents
+        return cents, va
 
+    # Column objects are immutable and reusable across DataFrames — build
+    # the dim sum expressions ONCE (64 columns x ~5 py4j calls each cost
+    # ~0.7s per iteration when rebuilt in the loop, r9 measured §1.2)
+    sum_cols = [
+        F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
     for _ in range(n_iter):
-        assigned = df.select(
+        assigned = va.select(
             F.col(vec_col), _assign_expr(cents, vec_col).alias("_cid")
         )
         sums = assigned.groupBy("_cid").agg(
-            F.count("*").alias("_n"),
-            *[
-                F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
-                for i in range(dim)
-            ],
+            F.count("*").alias("_n"), *sum_cols
         )
         updated = list(cents)  # empty clusters keep their old centroid
         for r in sums.collect():
             updated[r["_cid"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
         cents = updated
-    return cents
+    return cents, va
 
 
 def kmeans_assign(
@@ -123,7 +152,9 @@ def kmeans_assign(
     full coverage) rather than exact centroid bits.
     """
     df = valid_vectors(df, id_col, vec_col)
-    cents = kmeans_centroids(df, dim, k, n_iter, id_col, vec_col, seed)
+    # reuse the fit's materialized corpus for the final assignment scan
+    # (one corpus read for fit + assign instead of two, guide §2.4)
+    cents, df = _kmeans_fit(df, dim, k, n_iter, id_col, vec_col, seed)
     if not cents:
         # empty corpus: schema-correct empty assignment, not an abort
         return df.limit(0).select(
@@ -140,8 +171,8 @@ def kmeans_assign(
     # same nested-array-literal HOF form as _assign_expr (r8): stable
     # generated code across fits, identical IEEE arithmetic and struct
     # ordering (pairwise greatest == array_max for a total order)
-    cents_lit = F.lit([[float(x) for x in c] for c in cents])
-    c2_lit = F.lit([float(sum(x * x for x in c)) for c in cents])
+    cents_lit = lit_double_matrix([[float(x) for x in c] for c in cents])
+    c2_lit = lit_doubles([float(sum(x * x for x in c)) for c in cents])
 
     def d2_expr(j):
         dotj = dot(F.col(vec_col), F.element_at(cents_lit, j + 1))

@@ -33,6 +33,8 @@ from masd_spark.functions.vectors import (
     dot,
     dot_fixed,
     dot_literal,
+    lit_double_matrix,
+    lit_doubles,
     norm,
     norm_fixed,
 )
@@ -680,7 +682,7 @@ def lsh_bucket(
         # since-retired unrolled form blew a 1g driver heap at
         # plan/codegen time here — the first sighting of the expression-
         # size problem functions/vectors.py now documents in general.
-        plane_col = F.array(*[F.lit(x) for x in p])
+        plane_col = lit_doubles(p)
         bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)).otherwise(
             F.lit(0)
         )
@@ -696,7 +698,7 @@ def _bucket_array(vec_col: str, dim: int, n_planes: int, n_tables: int, seed: in
         bucket = F.lit(0).cast("bigint")
         for i, p in enumerate(planes):
             # HOF dot — see lsh_bucket for why not dot_literal here.
-            plane_col = F.array(*[F.lit(x) for x in p])
+            plane_col = lit_doubles(p)
             bucket = bucket + F.when(
                 dot(F.col(vec_col), plane_col) >= 0, F.lit(2**i)
             ).otherwise(F.lit(0))
@@ -934,7 +936,7 @@ def _ivf_assign(
     def _cos_struct(cid: int, cvec: list[float], cnorm: float, norm_col):
         # HOF dot against a literal centroid (compact expression; see
         # lsh_bucket for why not the unrolled form here)
-        plane = F.array(*[F.lit(x) for x in cvec])
+        plane = lit_doubles(cvec)
         return F.struct(
             (dot(F.col(vec_col), plane) / (norm_col * F.lit(cnorm))).alias("c"),
             F.lit(cid).alias("cid"),
@@ -973,7 +975,7 @@ def _ivf_probe(
     probe_structs = F.array(
         *[
             F.struct(
-                (dot(F.col("_qvec"), F.array(*[F.lit(x) for x in v]))
+                (dot(F.col("_qvec"), lit_doubles(v))
                  / (F.col("_qn") * F.lit(nn))).alias("c"),
                 F.lit(cid).alias("cid"),
             )
@@ -1318,7 +1320,7 @@ def _pq_codeword_norms(codebooks: list[list[list[float]]]) -> list[list[float]]:
 
 def _codebook_lit(cb: list[list[float]]):
     """A subspace codebook as a LITERAL array<array<double>> column."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in cb])
+    return lit_double_matrix([[float(x) for x in cw] for cw in cb])
 
 
 def _hof_dot(slice_col, cw_col):
@@ -1360,7 +1362,7 @@ def _pq_code_cols(vec_col: str, codebooks, cc) -> list:
 
     cols = []
     for j, cb in enumerate(codebooks):
-        cc_lit = F.array(*[F.lit(float(x)) for x in cc[j]])
+        cc_lit = lit_doubles([float(x) for x in cc[j]])
         slice_j = F.slice(F.col(vec_col), j * sub + 1, sub)
         keyed = F.transform(_codebook_lit(cb), keyed_fn(cc_lit, slice_j))
         cols.append(F.array_min(keyed)["cid"].alias(f"_c{j}"))
@@ -1382,7 +1384,7 @@ def _pq_recon2(cc):
     """Reconstructed squared norm from the assigned codes: DECIMAL sum of
     literal per-codeword norms picked by _c{j}."""
     terms = [
-        F.element_at(F.array(*[F.lit(x) for x in cc[j]]), F.col(f"_c{j}") + 1).cast(
+        F.element_at(lit_doubles(cc[j]), F.col(f"_c{j}") + 1).cast(
             _PQ_DEC
         )
         for j in range(len(cc))
@@ -1666,7 +1668,7 @@ def _ivfpq_probe(
         *[
             F.struct(
                 (
-                    dot(F.col("_qvec"), F.array(*[F.lit(x) for x in v]))
+                    dot(F.col("_qvec"), lit_doubles(v))
                     / (F.col("_qn") * F.lit(nn))
                 ).alias("c"),
                 F.lit(cid).alias("cid"),

@@ -73,18 +73,44 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_queries*k rows once; a checkpointed LogicalRDD has no usable
     # size estimate, so broadcast it explicitly into each method join
     # (removes both per-join exchanges).
-    exact_pairs = (
-        REGISTRY[_EXACT].fn(spark, sf_dir).select("query_id", "vec_id")
+    # Optimization r9 (guide §2.4/§2.6): all six legs now share ONE
+    # materialized valid-vector corpus (each method re-planned and
+    # re-scanned its own parquet + validity-filter lineage before), via
+    # the same ANN_LEGS helpers the registered queries delegate to — so
+    # each leg's rows are the registered query's by construction. The 5
+    # approximate legs are CONSTRUCTED from a small thread pool: building
+    # an index leg runs driver-side actions (IVF centroid sample, PQ
+    # codebook training collects) that were strictly sequential; the
+    # scheduler back-fills each leg's small jobs into the others' idle
+    # tails. Each leg is deterministic, so construction order cannot
+    # change any row.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from masd_spark.operators.similarity import valid_vectors
+    from masd_spark.queries.similarity import ANN_LEGS
+    from masd_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    va = (
+        valid_vectors(emb, "vec_id", "embedding")
+        .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    per_method = []
-    for m in _METHODS:
-        approx = REGISTRY[m].fn(spark, sf_dir).select("query_id", "vec_id")
-        per_method.append(
+    exact_pairs = (
+        ANN_LEGS[_EXACT](va).select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def leg(m: str) -> DataFrame:
+        approx = ANN_LEGS[m](va).select("query_id", "vec_id")
+        return (
             approx.join(F.broadcast(exact_pairs), ["query_id", "vec_id"])
             .agg(F.count("*").alias("hits"))
             .select(F.lit(m).alias("method"), "hits")
         )
+
+    with ThreadPoolExecutor(max_workers=len(_METHODS)) as pool:
+        per_method = list(pool.map(leg, _METHODS))
     union = reduce(DataFrame.unionAll, per_method)
     denom = exact_pairs.agg(F.count("*").alias("n_exact"))
     return union.crossJoin(F.broadcast(denom)).select(

@@ -58,8 +58,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; corpus scanned once; ranking on (rounded cosine, vec_id) is
     a total order -> deterministic and engine-portable.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+    return _exact_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 _IVF_CENTROIDS = 16
@@ -131,16 +130,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> probe set -> exact re-rank) — the second approximate index made
     value-checkable; recall vs the exact baseline stays in tests.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb,
-        _queries_df(emb),
-        dim=EMBEDDING_DIM,
-        k=10,
-        n_centroids=_IVF_CENTROIDS,
-        n_probe=_IVF_PROBE,
-        seed=_IVF_SEED,
-    )
+    return _ivf_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("ann_ivf_persisted_topk", oracle=valid_embeddings(_IVF_ORACLE))
@@ -384,16 +374,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked, not rows-only; recall vs the exact baseline is
     measured separately in tests/test_similarity.py.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(
-        emb,
-        _queries_df(emb),
-        dim=EMBEDDING_DIM,
-        k=10,
-        n_planes=_LSH_PLANES,
-        n_tables=_LSH_TABLES,
-        seed=_LSH_SEED,
-    )
+    return _lsh_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -454,10 +435,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-deterministic, so unlike the LSH and IVF paths this approximate
     index IS oracle-checkable — DuckDB reproduces it bit-for-bit.
     """
-    from masd_spark.operators.similarity import quantized_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+    return _quantized_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -675,19 +653,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the third approximate ANN index value-checkable end to end.
     Recall vs the exact baseline is pinned in tests/test_similarity.py.
     """
-    from masd_spark.operators.similarity import pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(
-        emb,
-        _queries_df(emb),
-        dim=EMBEDDING_DIM,
-        k=10,
-        m=_PQ_M,
-        n_codes=_PQ_CODES,
-        rerank=_PQ_RERANK,
-        seed=_PQ_SEED,
-    )
+    return _pq_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 _IVFPQ_RERANK = 100
@@ -822,22 +788,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate cut, re-rank. This is the production 100 TB ANN shape;
     recall floor vs the exact baseline pinned in tests.
     """
-    from masd_spark.operators.similarity import ivfpq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
-        emb,
-        _queries_df(emb),
-        dim=EMBEDDING_DIM,
-        k=10,
-        n_centroids=_IVF_CENTROIDS,
-        n_probe=_IVF_PROBE,
-        m=_PQ_M,
-        n_codes=_PQ_CODES,
-        rerank=_IVFPQ_RERANK,
-        ivf_seed=_IVF_SEED,
-        pq_seed=_PQ_SEED,
-    )
+    return _ivfpq_leg(load_table(spark, sf_dir, "embeddings"))
 
 
 def _pq_index_table(spark: SparkSession, sf_dir: str) -> str:
@@ -1238,12 +1189,22 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refinement is normally the better index; the band absorbs cell-
     boundary flips from float vs quantized Lloyd trajectories).
     """
-    from masd_spark.operators.clustering import kmeans_centroids
-    from masd_spark.queries import REGISTRY
+    from masd_spark.operators.clustering import _kmeans_fit
+    from masd_spark.operators.similarity import ivf_exact_refined_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(
-        emb, dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3, seed=_IVF_SEED
+    # Optimization r9 (guide §2.4/§7.3): ONE materialized valid-vector
+    # corpus (the Lloyd fit's own checkpoint) now feeds every leg — the
+    # float probe, the brute-force ground truth, the exact twin and the
+    # validity stats each re-planned and re-scanned the parquet + filter
+    # lineage before. Every operator re-applies valid_vectors (a no-op on
+    # the validated frame), so each leg's rows are unchanged — brute is
+    # the same brute_force_topk call ann_cosine_topk registers, the twin
+    # the same ivf_exact_refined_topk call its query registers.
+    cents, va = _kmeans_fit(
+        valid_vectors(emb, "vec_id", "embedding"),
+        dim=EMBEDDING_DIM, k=_IVF_CENTROIDS, n_iter=3,
+        id_col="vec_id", vec_col="embedding", seed=_IVF_SEED,
     )
     # Optimization r8 (guide §2.4): every contract operand below feeds
     # several counts/joins — materialize each expensive subtree ONCE
@@ -1251,8 +1212,8 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the tiny n_queries*k ground truth into the recall joins
     # (a checkpointed LogicalRDD has no size estimate for auto-broadcast).
     flt = ivf_topk(
-        emb,
-        _queries_df(emb),
+        va,
+        _queries_df(va),
         dim=EMBEDDING_DIM,
         k=10,
         n_centroids=_IVF_CENTROIDS,
@@ -1262,14 +1223,14 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id").localCheckpoint(eager=True)
 
     brute = (
-        REGISTRY["ann_cosine_topk"].fn(spark, sf_dir)
+        _exact_leg(va)
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
-    twin = (
-        REGISTRY["ann_ivf_exact_refined_topk"].fn(spark, sf_dir)
-        .select("query_id", "vec_id")
-    )
+    twin = ivf_exact_refined_topk(
+        va, k=10, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+        n_iter=3, seed=_IVF_SEED, scale=_KM_SCALE, dim=EMBEDDING_DIM,
+    ).select("query_id", "vec_id")
     total = brute.count()
     # empty ground truth: DuckDB's 0 // 0 is NULL — mirror it
     twin_ppm = (
@@ -1291,10 +1252,8 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else None
     )
 
-    from masd_spark.operators.similarity import valid_vectors
-
-    va = valid_vectors(emb, "vec_id", "embedding")
     # one corpus pass for both counts, one pass for both per-query stats
+    # (va is the fit's checkpoint of exactly the valid rows)
     vstats = va.agg(
         F.count("*").alias("n_valid"),
         F.count(F.when(F.col("vec_id") % 100 == 0, 1)).alias("n_probes"),
@@ -1477,3 +1436,69 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, dim=EMBEDDING_DIM, scale=_KM_SCALE, big=_PI_BIG,
         n_squarings=_PI_SQUARINGS,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN method legs (optimization r9, guide §2.4): the single source of truth
+# for each method's plan over a GIVEN embeddings frame. The registered
+# queries load the parquet table and delegate here; ann_recall_report
+# (queries/ann_eval.py) feeds every leg ONE materialized valid-vector
+# corpus instead of six independent parquet-scan lineages — same operator
+# calls, same constants, so each leg's rows are identical to its
+# registered query's (the report's oracle composes the registered
+# sub-oracles and the driver hash-checks it).
+# ---------------------------------------------------------------------------
+
+
+def _exact_leg(emb: DataFrame) -> DataFrame:
+    return brute_force_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+
+
+def _lsh_leg(emb: DataFrame) -> DataFrame:
+    return lsh_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10,
+        n_planes=_LSH_PLANES, n_tables=_LSH_TABLES, seed=_LSH_SEED,
+    )
+
+
+def _ivf_leg(emb: DataFrame) -> DataFrame:
+    return ivf_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, seed=_IVF_SEED,
+    )
+
+
+def _quantized_leg(emb: DataFrame) -> DataFrame:
+    from masd_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(emb, _queries_df(emb), k=10, dim=EMBEDDING_DIM)
+
+
+def _pq_leg(emb: DataFrame) -> DataFrame:
+    from masd_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10, m=_PQ_M,
+        n_codes=_PQ_CODES, rerank=_PQ_RERANK, seed=_PQ_SEED,
+    )
+
+
+def _ivfpq_leg(emb: DataFrame) -> DataFrame:
+    from masd_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        emb, _queries_df(emb), dim=EMBEDDING_DIM, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE, m=_PQ_M,
+        n_codes=_PQ_CODES, rerank=_IVFPQ_RERANK,
+        ivf_seed=_IVF_SEED, pq_seed=_PQ_SEED,
+    )
+
+
+ANN_LEGS = {
+    "ann_cosine_topk": _exact_leg,
+    "ann_lsh_topk": _lsh_leg,
+    "ann_ivf_topk": _ivf_leg,
+    "ann_quantized_topk": _quantized_leg,
+    "ann_pq_topk": _pq_leg,
+    "ann_ivfpq_topk": _ivfpq_leg,
+}

@@ -72,6 +72,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # size governs exactly as before (measured here: capped jaccard pair
     # stage 3.4s -> 1.8s, minhash 2.1s -> 1.1s warm at sf0.1).
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # Planning-cost cut (optimization r9, guide §7.3 "planning time itself
+    # can become the bottleneck"): constraint propagation re-derives
+    # inferred constraints over the whole expression tree on every
+    # analysis, with cost superlinear in tree width — and this engine's
+    # plans are wide (64-column centroid aggregates, k-way HOF argmins,
+    # iterative loops that re-plan per round because literals change).
+    # Measured (one JVM, on/off/on/off interleave over the 16 slowest
+    # registered queries): per-query min lower with it OFF in 13/16,
+    # headline q1/q5/asof ~10-25% lower, Lloyd-iteration planning
+    # 0.8s -> 0.55s. The rule is semantics-preserving by construction
+    # (constraints only ADD redundant filters/prune provably-true ones),
+    # so results are identical — it is purely a driver-CPU trade, and
+    # driver planning cost does not shrink with cluster size, so the
+    # saving carries to 100 TB deployments; flip it back for workloads
+    # whose join pruning relies on inferred IsNotNull constraints.
+    "spark.sql.constraintPropagation.enabled": "false",
 }
 
 
